@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every operator from SURVEY.md §2 registers here: a Spark query under
+  * `queries` and (when SQL-expressible) its DuckDB twin under `oracleSql`.
+  * Registration is delegated to the ops modules so each operator's query
+  * and oracle live next to its implementation. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The whole-database single-pass profiler — the reference's core program
+    * (SURVEY.md §2.4 profile_histogram). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ops.Profiler.profileHistogram(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] =
+    ops.ProfilerQueries.queries ++
+    ops.Relational.queries ++
+    ops.Joins.queries ++
+    ops.Windows.queries ++
+    ops.MaintenanceQueries.queries ++
+    ops.StreamingQueries.queries ++
+    ops.LlmPipeline.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    ops.ProfilerQueries.oracles ++
+    ops.Relational.oracles ++
+    ops.Joins.oracles ++
+    ops.Windows.oracles ++
+    ops.MaintenanceQueries.oracles ++
+    ops.StreamingQueries.oracles ++
+    ops.LlmPipeline.oracles
 }

@@ -1,0 +1,142 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZOrder
+
+/** Lakehouse table-maintenance seam (SURVEY.md §3.4, §7.3).
+  *
+  * The reference's storage layer is Delta (MERGE / OPTIMIZE / ZORDER /
+  * auto-optimized writes — dbc cmd2, cmd13-17). This environment ships no
+  * Delta jars, so the v1 implementation is parquet: overwrite writes,
+  * upsert-as-join, compaction by target file size, and Z-order clustering
+  * via range repartition on an interleaved-bits key. The trait isolates
+  * exactly the operations OSS Delta would slot into.
+  */
+trait TableStore {
+  def read(spark: SparkSession, name: String): DataFrame
+  def overwrite(df: DataFrame, name: String): Unit
+  /** Keyed upsert: source wins on key match, union otherwise (MERGE
+    * WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *). */
+  def upsert(spark: SparkSession, name: String, source: DataFrame, keys: Seq[String]): Unit
+  /** Bin-pack to ~targetBytes files (ref: delta.optimize.maxfilesize,
+    * dbc cmd2). */
+  def compact(spark: SparkSession, name: String, targetBytes: Long): OptimizeMetrics
+  /** Multi-dimensional clustering (ref: OPTIMIZE ZORDER, dbc cmd16/17). */
+  def cluster(spark: SparkSession, name: String, zorderBy: Seq[String], bits: Int): OptimizeMetrics
+}
+
+/** Shape-parity with the reference's OPTIMIZE result metrics struct
+  * (SURVEY.md Appendix B.3). */
+case class FileStats(num: Long, size: Long)
+case class OptimizeMetrics(numFilesAdded: Long, numFilesRemoved: Long,
+    filesAdded: FileStats, filesRemoved: FileStats, strategyName: String)
+
+/** Parquet-backed store rooted at a directory; table = subdirectory. */
+class ParquetStore(root: String) extends TableStore {
+  private def path(name: String) = s"$root/$name"
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(deleteRec)
+    f.delete(); ()
+  }
+
+  private def listFiles(name: String): Seq[java.io.File] = {
+    val d = new java.io.File(path(name))
+    if (!d.exists) Seq.empty
+    else d.listFiles.toSeq.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+  }
+
+  override def read(spark: SparkSession, name: String): DataFrame =
+    spark.read.parquet(path(name))
+
+  override def overwrite(df: DataFrame, name: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path(name))
+
+  override def upsert(spark: SparkSession, name: String, source: DataFrame,
+      keys: Seq[String]): Unit = {
+    val dir = new java.io.File(path(name))
+    val merged = if (!dir.exists) source else {
+      val target = read(spark, name)
+      val cond = keys.map(k => target(k) <=> source(k)).reduce(_ && _)
+      val cols = target.columns.map(c => coalesce(source(c), target(c)).as(c))
+      target.join(source, cond, "full_outer").select(cols.toIndexedSeq: _*)
+    }
+    // parquet has no transaction log: stage the merge, then swap — the
+    // single-writer stand-in for Delta's commit (SURVEY §3.4)
+    val tmp = path(name + "__staged")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path(name))
+    deleteRec(new java.io.File(tmp))
+  }
+
+  override def compact(spark: SparkSession, name: String, targetBytes: Long): OptimizeMetrics = {
+    val before = listFiles(name)
+    val totalBytes = before.map(_.length).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (before.size <= nOut)
+      return OptimizeMetrics(0, 0, FileStats(0, 0), FileStats(0, 0),
+        s"binPack($targetBytes)")
+    val df = read(spark, name).repartition(nOut)
+    rewrite(spark, df, name)
+    val after = listFiles(name)
+    OptimizeMetrics(after.size, before.size,
+      FileStats(after.size, after.map(_.length).sum),
+      FileStats(before.size, totalBytes), s"binPack($targetBytes)")
+  }
+
+  /** Order-preserving numeric image of a column: numerics pass through,
+    * strings map to their first-4-bytes big-endian value. Pure
+    * expressions — no window, no shuffle, survives any scale. */
+  private def numericImage(df: DataFrame, c: String): org.apache.spark.sql.Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        // hex of the utf8 prefix, fixed width → order-preserving bigint
+        conv(rpad(hex(substring(col(c), 1, 4)), 8, "0"), 16, 10).cast("bigint").cast("double")
+      case _ => col(c).cast("double")
+    }
+
+  override def cluster(spark: SparkSession, name: String, zorderBy: Seq[String],
+      bits: Int = 12): OptimizeMetrics = {
+    val before = listFiles(name)
+    val df = read(spark, name)
+    // Normalize each clustering column to [0, 2^bits) by min-max scaling
+    // its order-preserving numeric image (one tiny agg job to fetch
+    // min/max), then range-partition on the interleaved z-value and sort
+    // within partitions: every output file covers a compact Z-curve
+    // segment → parquet min/max row-group stats skip on every dimension.
+    // (Delta's OPTIMIZE uses per-column range-partition ids instead —
+    // better under skew; same plan shape, sampling instead of min/max.)
+    val imgCols = zorderBy.map(c => numericImage(df, c))
+    val aggs = imgCols.zipWithIndex.flatMap { case (ic, i) =>
+      Seq(min(ic).as(s"mn$i"), max(ic).as(s"mx$i")) }
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
+    val normCols = zorderBy.indices.map(i => s"__z$i")
+    var tmp = df
+    for (i <- zorderBy.indices) {
+      val (mn, mx) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+      val span = if (mx > mn) mx - mn else 1.0
+      tmp = tmp.withColumn(normCols(i),
+        ((imgCols(i) - mn) / span * ((1 << bits) - 1)).cast("bigint"))
+    }
+    val zed = tmp.withColumn("__zval", ZOrder.zvalue(bits, normCols.map(col): _*))
+    val clustered = zed
+      .repartitionByRange(math.max(1, before.size), col("__zval"))
+      .sortWithinPartitions("__zval")
+      .drop((normCols :+ "__zval").toIndexedSeq: _*)
+    rewrite(spark, clustered, name)
+    val after = listFiles(name)
+    OptimizeMetrics(after.size, before.size,
+      FileStats(after.size, after.map(_.length).sum),
+      FileStats(before.size, before.map(_.length).sum),
+      s"zorder(${zorderBy.mkString(",")})")
+  }
+
+  private def rewrite(spark: SparkSession, df: DataFrame, name: String): Unit = {
+    val tmp = path(name + "__staged")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path(name))
+    deleteRec(new java.io.File(tmp))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture/table registry: the engine's catalog surface.
+  *
+  * The reference discovers tables dynamically via `show tables` and
+  * `describe` (ref: notebooks/Create Data Profile.dbc cmd7/cmd12; SURVEY.md
+  * §2.1). Our engine's catalog is a static registry over a directory of
+  * parquet tables; metadata is declared once and cross-checked against the
+  * runtime parquet schema by `TablesSpec`, so downstream operators
+  * (profiler, describe, oracle generation) are schema-driven instead of
+  * string-metaprogrammed.
+  *
+  * At 100 TB this registry maps 1:1 onto `spark.catalog.listTables` /
+  * `listColumns` — metadata-only driver calls, no jobs.
+  */
+object Tables {
+
+  /** One column: Spark SQL type string (lower-cased `DataType.sql`) and the
+    * DuckDB-dialect formatting used by oracle generation. */
+  final case class Col(name: String, sparkType: String) {
+    def isAtomic: Boolean = !sparkType.startsWith("array")
+  }
+
+  final case class TableMeta(name: String, cols: Seq[Col]) {
+    def atomicCols: Seq[Col] = cols.filter(_.isAtomic)
+  }
+
+  /** Declared metadata for every fixture table (FIXTURES.md §A). */
+  val all: Seq[TableMeta] = Seq(
+    TableMeta("region", Seq(Col("r_regionkey", "int"), Col("r_name", "string"))),
+    TableMeta("nation", Seq(Col("n_nationkey", "int"), Col("n_name", "string"), Col("n_regionkey", "int"))),
+    TableMeta("supplier", Seq(Col("s_suppkey", "bigint"), Col("s_name", "string"),
+      Col("s_nationkey", "int"), Col("s_acctbal", "double"))),
+    TableMeta("customer", Seq(Col("c_custkey", "bigint"), Col("c_name", "string"),
+      Col("c_nationkey", "int"), Col("c_acctbal", "double"), Col("c_mktsegment", "string"))),
+    TableMeta("part", Seq(Col("p_partkey", "bigint"), Col("p_name", "string"), Col("p_brand", "string"),
+      Col("p_type", "string"), Col("p_size", "int"), Col("p_retailprice", "double"))),
+    TableMeta("orders", Seq(Col("o_orderkey", "bigint"), Col("o_custkey", "bigint"),
+      Col("o_orderstatus", "string"), Col("o_totalprice", "double"),
+      Col("o_orderdate", "timestamp_ntz"), Col("o_orderpriority", "string"))),
+    TableMeta("lineitem", Seq(Col("l_orderkey", "bigint"), Col("l_partkey", "bigint"),
+      Col("l_suppkey", "bigint"), Col("l_linenumber", "int"), Col("l_quantity", "double"),
+      Col("l_extendedprice", "double"), Col("l_discount", "double"), Col("l_tax", "double"),
+      Col("l_returnflag", "string"), Col("l_linestatus", "string"), Col("l_shipdate", "timestamp_ntz"))),
+    TableMeta("events", Seq(Col("event_id", "bigint"), Col("ts", "timestamp"), Col("user_id", "bigint"),
+      Col("event_type", "string"), Col("value", "double"), Col("props", "string"))),
+    TableMeta("documents", Seq(Col("doc_id", "bigint"), Col("text", "string"), Col("lang", "string"),
+      Col("source", "string"), Col("n_chars", "bigint"))),
+    TableMeta("embeddings", Seq(Col("vec_id", "bigint"), Col("embedding", "array<float>"),
+      Col("label", "int")))
+  )
+
+  def meta(name: String): TableMeta = all.find(_.name == name).get
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to map
+      // to TimestampType; read it as raw nanos and truncate to micros.
+      // Session-agnostic (works under the driver's own SparkSession too).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+}

