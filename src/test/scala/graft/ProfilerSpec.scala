@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.ops.Profiler
+
+/** Golden + property tests for the profiler (SURVEY.md §5.2 items 2-3). */
+class ProfilerSpec extends SparkSuite {
+
+  test("histogram counts per column sum to table rowcount") {
+    val hist = Profiler.profileHistogram(spark, sf)
+    val sums = hist.groupBy("tableName", "columnName")
+      .agg(sum(col("num_records").cast("long")).as("total"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (t <- Tables.all) {
+      val n = Tables.load(spark, sf, t.name).count()
+      for (c <- t.atomicCols)
+        assert(sums((t.name, c.name)) === n, s"${t.name}.${c.name}")
+    }
+  }
+
+  test("len equals length(value)") {
+    val bad = Profiler.profileHistogram(spark, sf)
+      .filter(col("len") =!= length(col("value")).cast("float"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("as-built variant reproduces the reference bug: value == columnName") {
+    val bad = Profiler.profileHistogramAsBuilt(spark, sf)
+      .filter(col("value") =!= col("columnName")).count()
+    assert(bad === 0)
+  }
+
+  test("profiler is idempotent (same result on re-run)") {
+    val a = Profiler.profileHistogram(spark, sf, Seq(Tables.meta("nation")))
+    val b = Profiler.profileHistogram(spark, sf, Seq(Tables.meta("nation")))
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
+  test("schemaInformation matches declared metadata (SchemaInformation contract)") {
+    val got = Profiler.schemaInformation(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    val want = (for (t <- Tables.all; c <- t.cols) yield (t.name, c.name, c.sparkType)).toSet
+    assert(got === want)
+  }
+
+  test("runtime parquet schema agrees with Tables metadata") {
+    for (t <- Tables.all) {
+      val fields = Tables.load(spark, sf, t.name).schema.fields
+        .map(f => (f.name, f.dataType.sql.toLowerCase)).toSeq
+      assert(fields === t.cols.map(c => (c.name, c.sparkType)), t.name)
+    }
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.engine.Tables
+import graft.ops.Streaming.EventRow
+import graft.ops.{Streaming, StreamingQueries}
+
+/** MemoryStream-driven micro-batch tests (SURVEY.md §5.2 item 5):
+  * batch-equivalence of the streaming twins plus the watermark/late-data
+  * semantics the DuckDB oracle can't express. */
+class StreamingSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def fixtureEvents: Seq[EventRow] =
+    Tables.load(spark, sf, "events").as[EventRow].collect().toSeq
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, user: Long = 1L, typ: String = "click"): EventRow =
+    EventRow(id, ts(t), user, typ, 1.0, "{}")
+
+  test("tumbling stream (complete mode) equals batch equivalent") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = Streaming.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumb").outputMode("complete").start()
+    try {
+      input.addData(fixtureEvents)
+      q.processAllAvailable()
+      val streamed = spark.table("tumb")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = StreamingQueries.queries("stream_tumbling")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than 10 minutes behind max event time") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = Streaming.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    try {
+      // batch 1: two events in hour 10, plus a 12:00 event -> watermark 11:50
+      input.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:30:00"),
+        ev(3, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      // batch 2: late event in hour 10 (beyond watermark) must be DROPPED,
+      // plus a 14:00 event to advance the watermark past hour 12
+      input.addData(ev(4, "2024-01-01 10:05:00"), ev(5, "2024-01-01 14:00:00"))
+      q.processAllAvailable()
+      val hour10 = spark.table("late")
+        .filter(col("wstart") === ts("2024-01-01 10:00:00").getTime / 1000)
+        .select("n").collect().map(_.getLong(0))
+      assert(hour10.toSeq === Seq(2L), "late event must not be counted")
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops same event_id across batches within watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = Streaming.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      input.addData(ev(1, "2024-01-01 10:02:00"), ev(3, "2024-01-01 10:03:00"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("session windows (streaming) match gap-based batch sessionization counts") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = Streaming.sessionCounts(input.toDF())
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    try {
+      input.addData(fixtureEvents)
+      q.processAllAvailable()
+      val streamed = spark.table("sess").groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = StreamingQueries.queries("stream_session")(spark, sf)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("stateful per-user counts equal batch groupBy at stream end") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = Streaming.statefulUserCounts(input.toDS())
+      .writeStream.format("memory").queryName("stateful").outputMode(OutputMode.Update).start()
+    try {
+      input.addData(fixtureEvents)
+      q.processAllAvailable()
+      // last update per user is the final state
+      val streamed = spark.table("stateful")
+        .groupBy("user_id").agg(max("n_events").as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = Tables.load(spark, sf, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}
