@@ -23,7 +23,8 @@ object SparkEntry {
     ops.Windows.queries ++
     ops.MaintenanceQueries.queries ++
     ops.StreamingQueries.queries ++
-    ops.LlmPipeline.queries
+    ops.LlmPipeline.queries ++
+    ops.Extras.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
     ops.Windows.oracles ++
     ops.MaintenanceQueries.oracles ++
     ops.StreamingQueries.oracles ++
-    ops.LlmPipeline.oracles
+    ops.LlmPipeline.oracles ++
+    ops.Extras.oracles
 }

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.SparkEntry.Q
+import graft.engine.{ParquetStore, Tables}
+
+/** Second-wave operators: schema drift (the reference README's open TODO),
+  * extra window frames, cube rollups, and the sink/optimize round-trips
+  * (SURVEY.md §2.1 sinks, §2.5, §2.7 setop_except rationale).
+  */
+object Extras {
+
+  /** Schema drift between two profiler runs — detects added columns, the
+    * reference's unimplemented TODO "remove databases and columns when
+    * removed in catalog" (ref: dbc cmd1). Old snapshot = catalog without
+    * events; drift = events' columns. */
+  private val schemaDrift: Q = (s, dir) => {
+    val now = Profiler.schemaInformation(s, dir)
+    val before = Profiler.schemaInformation(s, dir,
+      Tables.all.filterNot(_.name == "events"))
+    now.except(before).orderBy("tableName", "columnName")
+  }
+
+  /** Numeric RANGE frame: per-customer rolling order value over a key
+    * range (complements the ROWS frame in win_frame_agg). */
+  private val winRangeFrame: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      .rangeBetween(-5, 0)
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("range_sum"),
+        count(lit(1)).over(w).as("range_n"))
+      .orderBy("o_orderkey")
+  }
+
+  /** CUBE over the meta-key pair — completes the grouping-sets family
+    * (SURVEY §2.4 agg_grouping_sets). */
+  private val aggCube: Q = (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** sink_create_replace + scan round-trip (ref: `create or replace table`,
+    * dbc cmd8/9): overwrite the SchemaInformation meta-table into a store
+    * and read it back. Rows-only check (side-effecting). */
+  private val sinkRoundtrip: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val store = new ParquetStore(root)
+    store.overwrite(Profiler.schemaInformation(s, dir), "SchemaInformation")
+    store.read(s, "SchemaInformation").orderBy("tableName", "columnName")
+  }
+
+  /** The reference's maintenance pass (ref: OPTIMIZE/ZORDER, dbc cmd16/17):
+    * write small files, compact to target, z-order cluster, and emit the
+    * metrics struct in the reference's result shape (SURVEY Appendix B.3).
+    * Rows-only check (file counts are env-dependent at the margins). */
+  private val maintenanceOptimize: Q = (s, dir) => {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-opt").toString
+    val store = new ParquetStore(root)
+    store.overwrite(Tables.load(s, dir, "part").repartition(8), "part")
+    val c = store.compact(s, "part", targetBytes = 1073741824L)
+    val z = store.cluster(s, "part", Seq("p_size", "p_partkey"), bits = 8)
+    Seq(
+      ("compact", c.numFilesAdded, c.numFilesRemoved, c.strategyName),
+      ("zorder", z.numFilesAdded, z.numFilesRemoved, z.strategyName))
+      .toDF("op", "numFilesAdded", "numFilesRemoved", "strategyName")
+      .orderBy("op")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "schema_drift" -> schemaDrift,
+    "win_range_frame" -> winRangeFrame,
+    "agg_cube" -> aggCube,
+    "sink_roundtrip" -> sinkRoundtrip,
+    "maintenance_optimize" -> maintenanceOptimize
+  )
+
+  val oracles: Map[String, String] = Map(
+    "schema_drift" -> {
+      val values = Tables.meta("events").cols
+        .map(c => s"('graft','events','${c.name}','${c.sparkType}','')").mkString(",")
+      s"SELECT * FROM (VALUES $values) AS t(databaseName, tableName, columnName, dataType, comments) ORDER BY tableName, columnName"
+    },
+    "win_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS range_sum,
+        |CAST(COUNT(*) OVER w AS BIGINT) AS range_n
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) ORDER BY o_orderkey""".stripMargin,
+    "agg_cube" ->
+      "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"
+  )
+}
