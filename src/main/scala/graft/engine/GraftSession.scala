@@ -1,0 +1,52 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Engine session factory carrying the reference's cluster tuning as
+  * engine defaults (ref: notebooks/Create Data Profile.dbc cmd0;
+  * SURVEY.md §2.1 session_conf, §4.1):
+  * AQE with partition coalescing / skew-join / local shuffle reads,
+  * 20 MiB broadcast threshold, shuffled-hash preferred over sort-merge.
+  */
+object GraftSession {
+
+  /** Confs applied to any session the engine builds; callers embedding the
+    * library can apply [[tuned]] to their own builder. */
+  val engineConfs: Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.localShuffleReader.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> "20971520",
+    "spark.sql.join.prefersortmergejoin" -> "false",
+    // Fall back from whole-stage codegen when the generated method exceeds
+    // HotSpot's 8 KB JIT compile limit (-XX:HugeMethodLimit): between 8 KB
+    // and Spark's 64 KB default the fused method runs INTERPRETED, which
+    // measured 3-5x slower with 10x CPU on the wide profiler melt+agg plan.
+    "spark.sql.codegen.hugeMethodLimit" -> "8000",
+    "spark.sql.session.timeZone" -> "UTC")
+
+  def tuned(b: SparkSession.Builder): SparkSession.Builder =
+    engineConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
+  /** Local session sized by env (SPARK_GRAFT_CPUS), UTC, quiet UI —
+    * the shape Verify/Bench/tests run under. */
+  def local(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = tuned(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      // One-shot local harness: every query runs exactly once in a fresh
+      // JVM, so whole-stage codegen pays JIT compilation + interpreted
+      // warmup it never amortizes (measured: 114 s -> 59 s total across
+      // the bench suite at sf0.1). Cluster deployments (engineConfs) keep
+      // codegen on - at 100 TB the generated code runs billions of rows
+      // and compilation cost vanishes.
+      .config("spark.sql.codegen.wholeStage", "false")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

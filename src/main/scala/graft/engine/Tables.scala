@@ -54,6 +54,18 @@ object Tables {
 
   def meta(name: String): TableMeta = all.find(_.name == name).get
 
+  /** Re-balance a low-split input across the cluster before a CPU-heavy
+    * stage (explode / hashing). Test fixtures are single-row-group parquet
+    * files — an unsplittable 1-task scan — so downstream work would run on
+    * one core no matter the cluster size. At 100 TB inputs have far more
+    * splits than cores and this is a no-op; the round-robin shuffle only
+    * fires when input partitions < cores, and then it moves little data by
+    * construction. */
+  def balanced(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to map

@@ -22,7 +22,7 @@ import graft.engine.Tables
 object LlmPipeline {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.balanced(s, Tables.load(s, dir, "documents"))
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 

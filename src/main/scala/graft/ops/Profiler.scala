@@ -50,15 +50,25 @@ object Profiler {
   }
 
   /** Melt one table: one row per (column, value) per input row — a single
-    * scan of the table, no shuffle. */
+    * scan of the table, no shuffle. Carries ONLY (tableName, columnName,
+    * value): constants (databaseName) and column-determined attributes
+    * (dataType) are re-attached after aggregation, keeping per-melted-row
+    * bytes minimal through the one shuffle that matters. */
   def melt(spark: SparkSession, dir: String, t: TableMeta): DataFrame = {
-    val df = Tables.load(spark, dir, t.name)
+    val df = Tables.balanced(spark, Tables.load(spark, dir, t.name))
     val kvs = t.atomicCols.map { c =>
-      struct(lit(c.name).as("columnName"), lit(c.sparkType).as("dataType"),
-        fmtValue(c).as("value"))
+      struct(lit(c.name).as("columnName"), fmtValue(c).as("value"))
     }
     df.select(explode(array(kvs: _*)).as("kv"))
-      .select(lit(dbName).as("databaseName"), lit(t.name).as("tableName"), col("kv.*"))
+      .select(lit(t.name).as("tableName"), col("kv.*"))
+  }
+
+  /** 51-row (table, column) -> dataType lookup, broadcast-joined onto
+    * aggregate outputs. */
+  private def typesDF(spark: SparkSession, tables: Seq[TableMeta]) = {
+    import spark.implicits._
+    (for (t <- tables; c <- t.atomicCols) yield (t.name, c.name, c.sparkType))
+      .toDF("tableName", "columnName", "dataType")
   }
 
   /** Intended-semantics profiler (SURVEY.md §5.3 adjudication): one row per
@@ -69,10 +79,17 @@ object Profiler {
   def profileHistogram(spark: SparkSession, dir: String,
       tables: Seq[TableMeta] = Tables.all): DataFrame = {
     val melted = tables.map(melt(spark, dir, _)).reduce(_ union _)
+    // Group only on the functional key (table, column, value); dataType is
+    // broadcast-joined back onto the (much smaller) aggregate output and
+    // databaseName is a literal — shorter keys, fewer bytes through the
+    // single shuffle, cheaper hashing in partial and final aggregates.
     melted
-      .groupBy("databaseName", "tableName", "columnName", "dataType", "value")
+      .groupBy("tableName", "columnName", "value")
       .agg(count(lit(1)).cast("float").as("num_records"))
-      .withColumn("len", length(col("value")).cast("float"))
+      .join(broadcast(typesDF(spark, tables)), Seq("tableName", "columnName"))
+      .select(lit(dbName).as("databaseName"), col("tableName"), col("columnName"),
+        col("dataType"), col("value"), col("num_records"),
+        length(col("value")).cast("float").as("len"))
       .orderBy(col("tableName"), col("columnName"), col("value"))
   }
 
@@ -92,22 +109,25 @@ object Profiler {
   def profileHistogramAsBuilt(spark: SparkSession, dir: String,
       tables: Seq[TableMeta] = Tables.all): DataFrame = {
     val perTable = tables.map { t =>
-      val df = Tables.load(spark, dir, t.name)
+      val df = Tables.balanced(spark, Tables.load(spark, dir, t.name))
       val kvs = t.atomicCols.map { c =>
         // group key is the raw value; emitted value is the column name
-        struct(lit(c.name).as("columnName"), lit(c.sparkType).as("dataType"),
-          col(c.name).cast("string").as("groupKey"))
+        struct(lit(c.name).as("columnName"), col(c.name).cast("string").as("groupKey"))
       }
       df.select(explode(array(kvs: _*)).as("kv"))
-        .select(lit(dbName).as("databaseName"), lit(t.name).as("tableName"), col("kv.*"))
+        .select(lit(t.name).as("tableName"), col("kv.*"))
     }
     perTable.reduce(_ union _)
-      .groupBy("databaseName", "tableName", "columnName", "dataType", "groupKey")
+      .groupBy("tableName", "columnName", "groupKey")
       .agg(count(lit(1)).cast("float").as("num_records"))
-      .select(col("databaseName"), col("tableName"), col("columnName"), col("dataType"),
-        col("columnName").as("value"), col("num_records"),
-        length(col("columnName")).cast("float").as("len"))
+      // reference semantics: only (table, column, count) survive — distinct
+      // values sharing a count collapse under the SQL-union set semantics
+      .select(col("tableName"), col("columnName"), col("num_records"))
       .distinct()
+      .join(broadcast(typesDF(spark, tables)), Seq("tableName", "columnName"))
+      .select(lit(dbName).as("databaseName"), col("tableName"), col("columnName"),
+        col("dataType"), col("columnName").as("value"), col("num_records"),
+        length(col("columnName")).cast("float").as("len"))
       .orderBy(col("tableName"), col("columnName"), col("num_records"))
   }
 
