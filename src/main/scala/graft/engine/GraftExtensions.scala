@@ -1,0 +1,34 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.LongType
+
+import org.apache.spark.sql.graftx.{CosineSim, ZValue}
+
+/** SparkSessionExtensions registration for the engine's native
+  * expressions, making them available to SQL text as `cosine_sim(a, b)`
+  * and `zvalue(bits, col…)` (SURVEY.md §4.3; extension point:
+  * `SparkSession.builder.withExtensions` or
+  * `spark.sql.extensions=graft.engine.GraftExtensions`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+
+    e.injectFunction((
+      FunctionIdentifier("zvalue"),
+      new ExpressionInfo(classOf[ZValue].getName, "zvalue"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size >= 2 && exprs.head.foldable,
+          "usage: zvalue(bitsLiteral, col, ...)")
+        val bits = exprs.head.eval().asInstanceOf[Number].intValue()
+        ZValue(exprs.tail.map(c => Cast(c, LongType)).toIndexedSeq, bits)
+      }))
+  }
+}

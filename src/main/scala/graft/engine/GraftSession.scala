@@ -35,6 +35,7 @@ object GraftSession {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val s = tuned(SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       // One-shot local harness: every query runs exactly once in a fresh

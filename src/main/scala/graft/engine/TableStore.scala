@@ -120,7 +120,7 @@ class ParquetStore(root: String) extends TableStore {
       tmp = tmp.withColumn(normCols(i),
         ((imgCols(i) - mn) / span * ((1 << bits) - 1)).cast("bigint"))
     }
-    val zed = tmp.withColumn("__zval", ZOrder.zvalue(bits, normCols.map(col): _*))
+    val zed = tmp.withColumn("__zval", graft.functions.Native.zvalue(bits, normCols.map(col): _*))
     val clustered = zed
       .repartitionByRange(math.max(1, before.size), col("__zval"))
       .sortWithinPartitions("__zval")

@@ -1,0 +1,15 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftx.GraftNative
+
+/** Public Column API over the engine's native Catalyst expressions
+  * (implementations in org.apache.spark.sql.graftx — they need the
+  * private[sql] catalyst surface; SURVEY.md §4.3). */
+object Native {
+  /** Fused-loop cosine similarity over two array<float> columns. */
+  def cosineSim(a: Column, b: Column): Column = GraftNative.cosineSim(a, b)
+
+  /** Morton interleave of the low `bits` bits of each column. */
+  def zvalue(bits: Int, cols: Column*): Column = GraftNative.zvalue(bits, cols: _*)
+}

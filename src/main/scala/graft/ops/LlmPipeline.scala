@@ -155,8 +155,7 @@ object LlmPipeline {
     * double arithmetic + round(6) for engine parity. */
   private val dedupEmbedCosine: Q = (s, dir) => {
     val e = emb(s, dir).filter(col("vec_id") < 500)
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
@@ -167,19 +166,18 @@ object LlmPipeline {
 
   // ---- similarity search ----------------------------------------------
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
+  /** Native fused-loop expression (graft.functions.CosineSim) — same
+    * double arithmetic as the HOF zip_with/aggregate form it replaced,
+    * one traversal instead of five, codegen'd. */
   private def cosineCol(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.Native.cosineSim(a, b)
 
   /** Brute-force cosine top-k against a query vector (vec_id 0): the
     * correctness baseline. Broadcast of the single query row; the scan
     * side never shuffles; TakeOrderedAndProject for the top-k (SURVEY
     * §2.10 sim_topk). */
   private val simTopk: Q = (s, dir) => {
-    val e = emb(s, dir)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 0)
@@ -208,8 +206,7 @@ object LlmPipeline {
 
   private val simAnnLsh: Q = (s, dir) => {
     val e = emb(s, dir)
-      .select(col("vec_id"), col("embedding"),
-        transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding"), col("embedding").as("v"))
     val buckets = lshBuckets(e.select(col("vec_id"), col("embedding")), 8)
     val withB = e.join(buckets, "vec_id")
     val q = withB.filter(col("vec_id") === 0)

@@ -21,14 +21,14 @@ object MaintenanceQueries {
   private val zorderKey: Q = (s, dir) =>
     Tables.load(s, dir, "part")
       .select(col("p_partkey"),
-        ZOrder.zvalue(bits, col("p_size"), col("p_partkey") % 256).as("zval"))
+        graft.functions.Native.zvalue(bits, col("p_size"), col("p_partkey") % 256).as("zval"))
       .orderBy("p_partkey")
 
   /** Rows enumerated in Z-curve order — what a clustered rewrite persists. */
   private val zorderOrder: Q = (s, dir) =>
     Tables.load(s, dir, "part")
       .select(col("p_partkey"), col("p_size"),
-        ZOrder.zvalue(bits, col("p_size"), col("p_partkey") % 256).as("zval"))
+        graft.functions.Native.zvalue(bits, col("p_size"), col("p_partkey") % 256).as("zval"))
       .orderBy("zval", "p_partkey")
 
   val queries: Map[String, Q] = Map(

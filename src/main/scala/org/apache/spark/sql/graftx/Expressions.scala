@@ -1,0 +1,145 @@
+// Lives under org.apache.spark.sql so the expressions can use the
+// private[sql] catalyst surface (AbstractDataType, ExpressionUtils) the
+// builtin expressions themselves use - the standard packaging for
+// Spark-native extension expressions. Public entry: graft.functions.Native.
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{Block, CodegenContext, EmptyBlock, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot vector paths (SURVEY.md §4.3;
+  * preference order: builtin > custom Expression with doGenCode > UDF).
+  *
+  * [[CosineSim]] replaces the composed higher-order-function form
+  * (`aggregate(zip_with(...)) / (sqrt(aggregate(...)) * sqrt(...))`) —
+  * five lambda traversals and temporary arrays per row — with one fused
+  * loop over the raw float ArrayData, generated inline by `doGenCode` so
+  * it stays inside whole-stage codegen. Semantics are bit-identical to
+  * the HOF form and the DuckDB oracle: floats widen to double, products
+  * and squares accumulate in array order. (Null elements are not
+  * expected — embeddings are dense vectors.)
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $x.getFloat($i);
+         |  double $yi = (double) $y.getFloat($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** Morton (Z-order) interleave of the low `bits` bits of each LongType
+  * child — the clustering key of OPTIMIZE ZORDER (ref: dbc cmd16/17) as
+  * ONE expression generating one loop, instead of the `2*bits*n`-node
+  * composed Column tree that [[ZOrder.zvalue]] builds. Identical bit
+  * math (cross-checked in StoreSpec). */
+case class ZValue(children: Seq[Expression], bits: Int)
+    extends Expression with ExpectsInputTypes {
+
+  require(children.nonEmpty && children.size * bits <= 62,
+    s"z-value overflow: ${children.size} cols x $bits bits")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq.fill(children.size)(LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "zvalue"
+
+  private def n = children.size
+
+  override def eval(input: InternalRow): Any = {
+    var z = 0L
+    var ci = 0
+    while (ci < n) {
+      val v = children(ci).eval(input)
+      if (v == null) return null
+      val long = v.asInstanceOf[Long]
+      var b = 0
+      while (b < bits) {
+        z |= ((long >> b) & 1L) << (b * n + (n - 1 - ci))
+        b += 1
+      }
+      ci += 1
+    }
+    z
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val z = ctx.freshName("z")
+    val childBlocks = evals.foldLeft(EmptyBlock: Block) { (acc, e) => code"$acc\n${e.code}" }
+    val interleave = evals.zipWithIndex.map { case (e, ci) =>
+      val b = ctx.freshName("b")
+      s"""if (${e.isNull}) { ${ev.isNull} = true; } else {
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    $z |= ((${e.value} >> $b) & 1L) << ($b * $n + ${n - 1 - ci});
+         |  }
+         |}""".stripMargin
+    }.mkString("\n")
+    ev.copy(code =
+      code"""
+        $childBlocks
+        boolean ${ev.isNull} = false;
+        long $z = 0L;
+        $interleave
+        long ${ev.value} = $z;
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZValue = copy(children = newChildren)
+}
+
+/** Column bridge used by graft.functions.Native. */
+object GraftNative {
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def zvalue(bits: Int, cols: Column*): Column =
+    ExpressionUtils.column(ZValue(
+      cols.map(c => Cast(ExpressionUtils.expression(c), LongType)).toIndexedSeq, bits))
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.{Native, ZOrder}
+
+/** Parity of the native Catalyst expressions with their composed
+  * reference forms, plus SQL registration via GraftExtensions. */
+class NativeExprSpec extends SparkSuite {
+
+  test("CosineSim equals the HOF zip_with/aggregate form bit-for-bit") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val both = e.crossJoin(broadcast(q)).select(
+      col("vec_id"),
+      Native.cosineSim(col("embedding"), col("qv")).as("native"),
+      (hofDot(col("embedding"), col("qv")) /
+        (sqrt(hofDot(col("embedding"), col("embedding"))) *
+         sqrt(hofDot(col("qv"), col("qv"))))).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("ZValue equals the composed Column bit-op form") {
+    val p = Tables.load(spark, sf, "part")
+    val both = p.select(
+      Native.zvalue(8, col("p_size"), col("p_partkey") % 256).as("native"),
+      ZOrder.zvalue(8, col("p_size"), col("p_partkey") % 256).as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() === 0)
+  }
+
+  test("SQL registration: cosine_sim and zvalue callable from SQL text") {
+    Tables.load(spark, sf, "embeddings").createOrReplaceTempView("emb_v")
+    val self = spark.sql(
+      "SELECT vec_id, cosine_sim(embedding, embedding) AS c FROM emb_v ORDER BY vec_id LIMIT 5")
+      .collect()
+    assert(self.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-6),
+      "self-cosine of unit vectors = 1")
+    val z = spark.sql("SELECT zvalue(4, 3, 5) AS z").head().getLong(0)
+    val want = (0 until 4).map { b =>
+      (((3L >> b) & 1L) << (2 * b + 1)) | (((5L >> b) & 1L) << (2 * b))
+    }.reduce(_ | _)
+    assert(z === want)
+  }
+
+  test("native expressions survive codegen path (wholeStage on)") {
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      val e = Tables.load(spark, sf, "embeddings")
+      val n = e.select(Native.cosineSim(col("embedding"), col("embedding")).as("c"))
+        .filter(abs(col("c") - 1.0) < 1e-6).count()
+      assert(n === e.count())
+      val zc = Tables.load(spark, sf, "part")
+        .select(Native.zvalue(8, col("p_size"), col("p_partkey") % 256).as("z"))
+        .agg(countDistinct(col("z"))).head().getLong(0)
+      assert(zc > 1)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+}

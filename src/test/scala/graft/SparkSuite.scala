@@ -8,6 +8,7 @@ object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = graft.engine.GraftSession.tuned(SparkSession.builder()
       .master("local[4]")
+      .withExtensions(new graft.engine.GraftExtensions)
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false"))
