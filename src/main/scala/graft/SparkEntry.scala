@@ -24,7 +24,8 @@ object SparkEntry {
     ops.MaintenanceQueries.queries ++
     ops.StreamingQueries.queries ++
     ops.LlmPipeline.queries ++
-    ops.Extras.queries
+    ops.Extras.queries ++
+    sources.Formats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
     ops.MaintenanceQueries.oracles ++
     ops.StreamingQueries.oracles ++
     ops.LlmPipeline.oracles ++
-    ops.Extras.oracles
+    ops.Extras.oracles ++
+    sources.Formats.oracles
 }

@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.ZOrder
 
-/** Lakehouse table-maintenance seam (SURVEY.md §3.4, §7.3).
+/** Lakehouse table-maintenance seam (SURVEY.md §3.4, §7.3; design
+  * follows "Delta Lake: High-Performance ACID Table Storage over Cloud
+  * Object Stores", VLDB 2020 — PAPERS.md).
   *
   * The reference's storage layer is Delta (MERGE / OPTIMIZE / ZORDER /
   * auto-optimized writes — dbc cmd2, cmd13-17). This environment ships no

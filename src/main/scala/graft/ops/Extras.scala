@@ -71,7 +71,23 @@ object Extras {
       .orderBy("op")
   }
 
+  /** Two-phase salted aggregation: the skew-immune form of a groupBy on a
+    * heavily-skewed key (3-value l_returnflag at 100 TB = 3 reducers doing
+    * all the work). Phase 1 aggregates on (key, salt) — 16-way fan-out of
+    * every hot key; phase 2 re-aggregates the 16 partials per key. Result
+    * is identical to the direct groupBy (the oracle is exactly that). */
+  private val aggSaltedSkew: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(16)))
+      .groupBy("l_returnflag", "salt")
+      .agg(count(lit(1)).as("pn"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("pq"))
+      .groupBy("l_returnflag")
+      .agg(sum(col("pn")).as("n"), sum(col("pq")).cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
+    "agg_salted_skew" -> aggSaltedSkew,
     "schema_drift" -> schemaDrift,
     "win_range_frame" -> winRangeFrame,
     "agg_cube" -> aggCube,
@@ -80,6 +96,8 @@ object Extras {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_salted_skew" ->
+      "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "schema_drift" -> {
       val values = Tables.meta("events").cols
         .map(c => s"('graft','events','${c.name}','${c.sparkType}','')").mkString(",")

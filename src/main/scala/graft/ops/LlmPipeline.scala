@@ -12,6 +12,11 @@ import graft.engine.Tables
   * similarity search (brute-force + LSH-bucketed ANN), and text analysis
   * (language-ID, quality scoring, token counting, fingerprinting).
   *
+  * Similarity-search structure follows the distributed top-k literature
+  * (REPOSE, ICDE 2021; incremental top-k, EDBT 2020 — PAPERS.md); the
+  * lexicon/token text-analysis pattern follows "Large Scale Sentiment
+  * Analysis on Twitter with Spark", EDBT 2016.
+  *
   * Scale design: every candidate-generation step is a hash-partitioned
   * groupBy/join on a bucketing key (hash, LSH band, simhash band, label)
   * — never an unbucketed cross join — so the 100 TB form is the same plan

@@ -25,7 +25,10 @@ import graft.engine.Tables.{Col, TableMeta}
   * value)` produces every per-column value-frequency in one shuffle.
   * Partial aggregation (map-side combine) collapses heavy hitters before
   * the exchange, and AQE coalesces the post-shuffle partitions, so the plan
-  * scales linearly with input bytes on a 1000-executor cluster.
+  * scales linearly with input bytes on a 1000-executor cluster. The
+  * columnar one-column-at-a-time access pattern is the Dremel model
+  * (VLDB 2020 retrospective — PAPERS.md); Spark's vectorized parquet
+  * reader provides it natively.
   */
 object Profiler {
 

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.SparkEntry.Q
+import graft.engine.Tables
+
+/** Source/sink format surface beyond parquet: CSV and JSON with explicit
+  * schemas (schema inference is a full extra pass at 100 TB — the engine
+  * always supplies the schema), exercised as lossless round-trips whose
+  * oracle is the ORIGINAL table: if the text format drops precision the
+  * hash compare fails. Doubles survive because Spark writes shortest
+  * round-trip representations; timestamps are written/read as ISO-8601
+  * with explicit format.
+  */
+object Formats {
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      .csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      .csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      .json(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      .json(path)
+
+  /** customer → CSV → back; oracle = the original table. */
+  private val csvRoundtrip: Q = (s, dir) => {
+    val src = Tables.load(s, dir, "customer")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/customer"
+    writeCsv(src, tmp)
+    readCsv(s, tmp, src.schema).orderBy("c_custkey")
+  }
+
+  /** orders (incl. timestamp_ntz) → JSON lines → back; oracle = original. */
+  private val jsonRoundtrip: Q = (s, dir) => {
+    val src = Tables.load(s, dir, "orders")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString + "/orders"
+    writeJson(src, tmp)
+    readJson(s, tmp, src.schema).orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "source_csv_roundtrip" -> csvRoundtrip,
+    "source_json_roundtrip" -> jsonRoundtrip
+  )
+
+  val oracles: Map[String, String] = Map(
+    "source_csv_roundtrip" -> "SELECT * FROM customer ORDER BY c_custkey",
+    "source_json_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey"
+  )
+}
