@@ -47,7 +47,7 @@ object Extras {
     * dbc cmd8/9): overwrite the SchemaInformation meta-table into a store
     * and read it back. Rows-only check (side-effecting). */
   private val sinkRoundtrip: Q = (s, dir) => {
-    val root = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val root = sys.props("java.io.tmpdir") + "/graft-scratch/sink"
     val store = new ParquetStore(root)
     store.overwrite(Profiler.schemaInformation(s, dir), "SchemaInformation")
     store.read(s, "SchemaInformation").orderBy("tableName", "columnName")
@@ -59,7 +59,7 @@ object Extras {
     * Rows-only check (file counts are env-dependent at the margins). */
   private val maintenanceOptimize: Q = (s, dir) => {
     import s.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft-opt").toString
+    val root = sys.props("java.io.tmpdir") + "/graft-scratch/opt"
     val store = new ParquetStore(root)
     store.overwrite(Tables.load(s, dir, "part").repartition(8), "part")
     val c = store.compact(s, "part", targetBytes = 1073741824L)

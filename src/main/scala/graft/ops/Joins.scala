@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.SparkEntry.Q
@@ -123,7 +124,52 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** As-of join, window form: union the two sides tagged by kind, sort
+    * per key by time, and carry the latest right-side value forward with
+    * last(ignoreNulls) — each event row then holds the as-of match.
+    * One hash shuffle on the key + one per-key sort; NO join
+    * amplification: where the join+max form materializes |events_k| x
+    * |orders_k| rows per key before aggregating, this form touches
+    * |events_k| + |orders_k| rows. The right plan when per-key history is
+    * large or skewed (SURVEY §2.3 join_asof, window trick). */
+  def asOfJoinWindow(left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      carry: String): DataFrame = {
+    val carryType = right.schema(carry).dataType
+    val lNorm = left.select(
+      col(leftKey).cast("bigint").as("__k"),
+      col(leftTime).cast("timestamp").as("__t"),
+      lit(null).cast(carryType).as("__carry"),
+      lit(true).as("__isLeft"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__row"))
+    val rowType = lNorm.schema("__row").dataType
+    val rNorm = right.select(
+      col(rightKey).cast("bigint").as("__k"),
+      col(rightTime).cast("timestamp").as("__t"),
+      col(carry).as("__carry"),
+      lit(false).as("__isLeft"),
+      lit(null).cast(rowType).as("__row"))
+    // right rows sort before left rows at equal timestamps (at-or-before)
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__isLeft").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lNorm.union(rNorm)
+      .withColumn("__asof", last(when(!col("__isLeft"), col("__carry")), ignoreNulls = true).over(w))
+      .filter(col("__isLeft"))
+      .select((left.columns.map(c => col(s"__row.$c").as(c)) :+ col("__asof")).toIndexedSeq: _*)
+  }
+
+  /** join_asof via the window form — same oracle as join_asof. */
+  private val joinAsofWindow: Q = (s, dir) => {
+    val e = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"))
+    asOfJoinWindow(e, "user_id", "ts", o, "o_custkey", "o_orderdate", "o_orderdate")
+      .select(col("event_id"), col("user_id"), col("__asof").cast("date").as("asof_date"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_asof_window" -> joinAsofWindow,
     "merge_upsert" -> mergeUpsertQ,
     "join_broadcast_equi" -> joinBroadcastEqui,
     "join_shuffle_hash" -> joinShuffleHash,
@@ -153,6 +199,8 @@ object Joins {
     "join_theta_range" ->
       "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM part JOIN (VALUES (0,10,'S'),(11,25,'M'),(26,50,'L')) AS b(lo, hi, bucket) ON p_size >= lo AND p_size <= hi GROUP BY bucket ORDER BY bucket",
     "join_asof" ->
+      "SELECT e.event_id, e.user_id, CAST((SELECT MAX(o.o_orderdate) FROM orders o WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS DATE) AS asof_date FROM events e ORDER BY e.event_id",
+    "join_asof_window" ->
       "SELECT e.event_id, e.user_id, CAST((SELECT MAX(o.o_orderdate) FROM orders o WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS DATE) AS asof_date FROM events e ORDER BY e.event_id"
   )
 }

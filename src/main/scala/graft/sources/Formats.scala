@@ -42,7 +42,7 @@ object Formats {
   /** customer → CSV → back; oracle = the original table. */
   private val csvRoundtrip: Q = (s, dir) => {
     val src = Tables.load(s, dir, "customer")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/customer"
+    val tmp = sys.props("java.io.tmpdir") + "/graft-scratch/csv/customer"
     writeCsv(src, tmp)
     readCsv(s, tmp, src.schema).orderBy("c_custkey")
   }
@@ -50,7 +50,7 @@ object Formats {
   /** orders (incl. timestamp_ntz) → JSON lines → back; oracle = original. */
   private val jsonRoundtrip: Q = (s, dir) => {
     val src = Tables.load(s, dir, "orders")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString + "/orders"
+    val tmp = sys.props("java.io.tmpdir") + "/graft-scratch/json/orders"
     writeJson(src, tmp)
     readJson(s, tmp, src.schema).orderBy("o_orderkey")
   }
