@@ -135,6 +135,18 @@ class ParquetStore(root: String) extends TableStore {
       s"zorder(${zorderBy.mkString(",")})")
   }
 
+  /** Per-file min/max of a column across the table's parquet files — the
+    * statistics data skipping reads. Exposed so callers (and tests) can
+    * observe clustering quality: after [[cluster]], each file covers a
+    * narrow slice of every z-ordered dimension. */
+  def fileRanges(spark: SparkSession, name: String, column: String): Seq[(Double, Double)] =
+    listFiles(name).map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(org.apache.spark.sql.functions.min(col(column).cast("double")),
+          org.apache.spark.sql.functions.max(col(column).cast("double"))).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+
   private def rewrite(spark: SparkSession, df: DataFrame, name: String): Unit = {
     val tmp = path(name + "__staged")
     df.write.mode(SaveMode.Overwrite).parquet(tmp)

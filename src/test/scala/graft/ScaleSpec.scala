@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Bucketing, ParquetStore, Tables}
+
+/** Scale-mechanism proofs: the physical properties the 100 TB design
+  * relies on, observed on real files/plans (SCALING.md). */
+class ScaleSpec extends SparkSuite {
+
+  test("z-order clustering narrows per-file min/max ranges (data skipping)") {
+    val dir = Files.createTempDirectory("graft-scale").toString
+    val store = new ParquetStore(dir)
+    // unclustered: 4 round-robin files, each spanning ~the full p_size domain
+    store.overwrite(Tables.load(spark, sf, "part").repartition(4), "p")
+    val before = store.fileRanges(spark, "p", "p_size")
+    val globalSpan = before.map(_._2).max - before.map(_._1).min
+    val avgBefore = before.map { case (lo, hi) => hi - lo }.sum / before.size
+    store.cluster(spark, "p", Seq("p_size", "p_partkey"), bits = 8)
+    val after = store.fileRanges(spark, "p", "p_size")
+    val avgAfter = after.map { case (lo, hi) => hi - lo }.sum / after.size
+    // round-robin files span nearly the whole domain; clustered files must
+    // cover materially narrower slices - that narrowing IS what parquet
+    // row-group stats skip on
+    assert(avgBefore > 0.8 * globalSpan, s"unclustered spans: $before")
+    assert(avgAfter < 0.6 * globalSpan, s"clustered spans: $after (global $globalSpan)")
+  }
+
+  test("bucketed join on co-bucketed tables plans without a shuffle") {
+    // disable broadcast so the planner must pick the shuffle-family join -
+    // bucketing then removes both exchanges (at 100 TB neither side
+    // broadcasts anyway)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      bucketedJoinBody()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private def bucketedJoinBody(): Unit = {
+    Bucketing.writeBucketed(
+      Tables.load(spark, sf, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity")), "li_b", "l_orderkey", 8)
+    Bucketing.writeBucketed(
+      Tables.load(spark, sf, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+      "ord_b", "l_orderkey", 8)
+    val joined = Bucketing.bucketedJoin(spark, "li_b", "ord_b", "l_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n${plan.take(1500)}")
+    // and it still computes the right thing
+    val n = joined.count()
+    val expected = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(n === expected)
+  }
+
+  test("broadcast threshold honors the reference's 20 MiB setting") {
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") === "20971520")
+    assert(spark.conf.get("spark.sql.join.prefersortmergejoin") === "false")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+  }
+}

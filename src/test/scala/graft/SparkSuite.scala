@@ -11,7 +11,8 @@ object SparkTestSession {
       .withExtensions(new graft.engine.GraftExtensions)
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", sys.props("java.io.tmpdir") + "/graft-warehouse"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
