@@ -16,10 +16,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.engine.GraftSession.local("graft-bench")
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def one(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => () }
+      catch { case _: Throwable => failed += name }
       (System.nanoTime() - t0) / 1e9
     }
     val cold = names.map(n => n -> one(n)).toMap
@@ -27,7 +28,8 @@ object Bench {
     val qs = names.map(n => s""""$n":${warm(n)}""").mkString("{", ",", "}")
     val total = warm.values.sum
     val coldTotal = cold.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

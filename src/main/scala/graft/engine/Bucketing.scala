@@ -20,11 +20,7 @@ object Bucketing {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new java.io.File(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath + "/" + table)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete(); ()
-    }
-    if (loc.exists) rm(loc)
+    if (loc.exists) Fs.deleteRec(loc)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)

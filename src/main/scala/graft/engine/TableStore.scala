@@ -35,14 +35,36 @@ case class FileStats(num: Long, size: Long)
 case class OptimizeMetrics(numFilesAdded: Long, numFilesRemoved: Long,
     filesAdded: FileStats, filesRemoved: FileStats, strategyName: String)
 
+/** Shared filesystem helpers. */
+object Fs {
+  def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(deleteRec)
+    f.delete(); ()
+  }
+}
+
+/** The MERGE kernel shared by the store and the query surface: full-outer
+  * equi-join on the key + row-wise source-wins projection. True
+  * `WHEN MATCHED UPDATE SET *` semantics — a matched source row replaces
+  * the target row ENTIRELY, including NULLing columns the source has as
+  * NULL (a per-column coalesce would silently keep stale target values). */
+object Merge {
+  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    val t = target.withColumn("__t_exists", lit(true))
+    val srf = source.withColumn("__s_exists", lit(true))
+    val cond = keys.map(k => t(k) <=> srf(k)).reduce(_ && _)
+    val cols = target.columns.map { c =>
+      when(srf("__s_exists").isNotNull, srf(c)).otherwise(t(c)).as(c)
+    }
+    t.join(srf, cond, "full_outer").select(cols.toIndexedSeq: _*)
+  }
+}
+
 /** Parquet-backed store rooted at a directory; table = subdirectory. */
 class ParquetStore(root: String) extends TableStore {
   private def path(name: String) = s"$root/$name"
 
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles.foreach(deleteRec)
-    f.delete(); ()
-  }
+  private def deleteRec(f: java.io.File): Unit = Fs.deleteRec(f)
 
   private def listFiles(name: String): Seq[java.io.File] = {
     val d = new java.io.File(path(name))
@@ -59,12 +81,8 @@ class ParquetStore(root: String) extends TableStore {
   override def upsert(spark: SparkSession, name: String, source: DataFrame,
       keys: Seq[String]): Unit = {
     val dir = new java.io.File(path(name))
-    val merged = if (!dir.exists) source else {
-      val target = read(spark, name)
-      val cond = keys.map(k => target(k) <=> source(k)).reduce(_ && _)
-      val cols = target.columns.map(c => coalesce(source(c), target(c)).as(c))
-      target.join(source, cond, "full_outer").select(cols.toIndexedSeq: _*)
-    }
+    val merged = if (!dir.exists) source
+      else Merge.upsert(read(spark, name), source, keys)
     // parquet has no transaction log: stage the merge, then swap — the
     // single-writer stand-in for Delta's commit (SURVEY §3.4)
     val tmp = path(name + "__staged")
@@ -103,6 +121,9 @@ class ParquetStore(root: String) extends TableStore {
       bits: Int = 12): OptimizeMetrics = {
     val before = listFiles(name)
     val df = read(spark, name)
+    if (df.isEmpty)
+      return OptimizeMetrics(0, 0, FileStats(0, 0), FileStats(0, 0),
+        s"zorder(${zorderBy.mkString(",")})")
     // Normalize each clustering column to [0, 2^bits) by min-max scaling
     // its order-preserving numeric image (one tiny agg job to fetch
     // min/max), then range-partition on the interleaved z-value and sort
@@ -117,7 +138,9 @@ class ParquetStore(root: String) extends TableStore {
     val normCols = zorderBy.indices.map(i => s"__z$i")
     var tmp = df
     for (i <- zorderBy.indices) {
-      val (mn, mx) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+      // all-NULL clustering column -> neutral constant 0 bucket
+      val (mn, mx) = if (mm.isNullAt(2 * i)) (0.0, 0.0)
+        else (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
       val span = if (mx > mn) mx - mn else 1.0
       tmp = tmp.withColumn(normCols(i),
         ((imgCols(i) - mn) / span * ((1 << bits) - 1)).cast("bigint"))
@@ -140,11 +163,11 @@ class ParquetStore(root: String) extends TableStore {
     * observe clustering quality: after [[cluster]], each file covers a
     * narrow slice of every z-ordered dimension. */
   def fileRanges(spark: SparkSession, name: String, column: String): Seq[(Double, Double)] =
-    listFiles(name).map { f =>
+    listFiles(name).flatMap { f =>
       val r = spark.read.parquet(f.getAbsolutePath)
         .agg(org.apache.spark.sql.functions.min(col(column).cast("double")),
           org.apache.spark.sql.functions.max(col(column).cast("double"))).head()
-      (r.getDouble(0), r.getDouble(1))
+      if (r.isNullAt(0)) None else Some((r.getDouble(0), r.getDouble(1)))
     }
 
   private def rewrite(spark: SparkSession, df: DataFrame, name: String): Unit = {

@@ -22,18 +22,13 @@ object Joins {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Generic upsert = full-outer equi-join + column-wise coalesce(source,
-    * target) — `WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *`
-    * (ref: dbc cmd13/14). At scale both sides shuffle on the key; with a
-    * small source AQE turns this into a broadcast. */
-  def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
-    val cond = keys.map(k => target(k) <=> source(k)).reduce(_ && _)
-    val joined = target.as("t").join(source.as("s"), cond, "full_outer")
-    val cols = target.columns.map { c =>
-      coalesce(source(c), target(c)).as(c)
-    }
-    joined.select(cols.toIndexedSeq: _*)
-  }
+  /** Upsert = full-outer equi-join + row-wise source-wins projection —
+    * `WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *` (ref: dbc
+    * cmd13/14; kernel in [[graft.engine.Merge]] — a matched source row
+    * replaces the target row entirely, NULLs included). At scale both
+    * sides shuffle on the key; a small source broadcasts under AQE. */
+  def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame =
+    graft.engine.Merge.upsert(target, source, keys)
 
   /** merge_upsert query: upsert an updated slice of customer into a base
     * slice, keyed on c_custkey (ref semantics: dbc cmd13). */
@@ -136,15 +131,16 @@ object Joins {
       right: DataFrame, rightKey: String, rightTime: String,
       carry: String): DataFrame = {
     val carryType = right.schema(carry).dataType
+    val keyType = left.schema(leftKey).dataType
     val lNorm = left.select(
-      col(leftKey).cast("bigint").as("__k"),
+      col(leftKey).as("__k"),
       col(leftTime).cast("timestamp").as("__t"),
       lit(null).cast(carryType).as("__carry"),
       lit(true).as("__isLeft"),
       struct(left.columns.map(col).toIndexedSeq: _*).as("__row"))
     val rowType = lNorm.schema("__row").dataType
     val rNorm = right.select(
-      col(rightKey).cast("bigint").as("__k"),
+      col(rightKey).cast(keyType).as("__k"),
       col(rightTime).cast("timestamp").as("__t"),
       col(carry).as("__carry"),
       lit(false).as("__isLeft"),
@@ -184,7 +180,9 @@ object Joins {
     "merge_upsert" ->
       """WITH base AS (SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 3 = 0),
          |upd AS (SELECT c_custkey, UPPER(c_name) AS c_name, 'UPDATED' AS c_mktsegment FROM customer WHERE c_custkey % 2 = 0)
-         |SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey, COALESCE(u.c_name, b.c_name) AS c_name, COALESCE(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+         |SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+         |CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE b.c_name END AS c_name,
+         |CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment
          |FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey ORDER BY c_custkey""".stripMargin,
     "join_broadcast_equi" ->
       "SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand",

@@ -45,15 +45,17 @@ object LlmPipeline {
     * lowest doc_id per hash (the reference for all dedup ops: one
     * hash-partitioned shuffle; at 100 TB the hash groupBy is the only
     * exchange and never materializes document text twice). */
-  private val dedupExact: Q = (s, dir) => {
+  /** Reusable kernel over any documents-shaped frame. */
+  def dedupExactDF(d: DataFrame): DataFrame = {
     val w = Window.partitionBy("h").orderBy(asc("doc_id"))
-    docs(s, dir)
-      .withColumn("h", sha2(lower(trim(col("text"))), 256))
+    d.withColumn("h", sha2(lower(trim(col("text"))), 256))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("h"))
       .orderBy("doc_id")
   }
+
+  private val dedupExact: Q = (s, dir) => dedupExactDF(docs(s, dir))
 
   /** MinHash + LSH near-dup candidates: 3-word shingles → K=32 minhash
     * signature (xxhash64 permutations) → 8 bands of 4 → band-bucket
@@ -95,7 +97,6 @@ object LlmPipeline {
         size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b))
           .cast("double") / k)
       .select("i", "j", "est_sim")
-      .distinct()
       .orderBy("i", "j")
   }
 
@@ -191,7 +192,7 @@ object LlmPipeline {
       .limit(10)
   }
 
-  /** LSH-bucketed ANN: 12 random-hyperplane sign bits (hash-derived ±1
+  /** LSH-bucketed ANN: p random-hyperplane sign bits (hash-derived ±1
     * plane weights, deterministic) → bucket; search only the query's
     * bucket. The scale path for sim_topk: bucketing is a narrow map +
     * one groupBy; recall measured against brute force in SimSearchSpec.

@@ -52,12 +52,13 @@ class LlmPipelineSpec extends SparkSuite {
     assert(hamming(sh(0L), sh(250L)) > 8, "unrelated hamming")
   }
 
-  test("dedup_exact drops exact duplicates only") {
-    val withDup = planted
-    val q = LlmPipeline.queries("dedup_exact")
-    // run against base fixture: no dups -> identity
-    val kept = q(spark, sf).count()
-    assert(kept === base.count())
+  test("dedup_exact drops the planted exact duplicate, keeps the near-dup") {
+    val kept = LlmPipeline.dedupExactDF(planted)
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(90002L), "exact duplicate of doc 1 must be dropped")
+    assert(kept.contains(1L), "lowest doc_id survives")
+    assert(kept.contains(90001L), "near-duplicate (one word changed) is NOT exact -> kept")
+    assert(kept.size === planted.count() - 1)
   }
 
   test("lsh buckets partition all vectors; same vector -> same bucket") {

@@ -92,13 +92,20 @@ def main():
         else:
             print(f"PASS {name} ({len(spark_rows)} rows)")
             n_pass += 1
-    # queries without oracles: rows-only check
-    for d in sorted(glob.glob(f"{out_dir}/*/")):
-        name = os.path.basename(d.rstrip("/"))
+    # queries without oracles: rows-only check. A registered query with no
+    # output at all (crashed in Verify) is a FAILURE, not a silent skip.
+    manifest_path = f"{out_dir}/queries.json"
+    manifest = json.load(open(manifest_path)) if os.path.exists(manifest_path) else []
+    seen_dirs = {os.path.basename(d.rstrip("/")) for d in glob.glob(f"{out_dir}/*/")}
+    for name in sorted(set(manifest) | seen_dirs):
         if name in oracle or (only and name not in only):
             continue
-        files = sorted(glob.glob(f"{d}/*.parquet"))
-        nrows = sum(pq.read_table(f).num_rows for f in files) if files else -1
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: registered query produced no output")
+            n_fail += 1; failed.append(name)
+            continue
+        nrows = sum(pq.read_table(f).num_rows for f in files)
         print(f"ROWS {name}: {nrows}")
     print(f"\n{n_pass} pass, {n_fail} fail" + (f": {failed}" if failed else ""))
     sys.exit(1 if n_fail else 0)
