@@ -25,7 +25,8 @@ object SparkEntry {
     ops.StreamingQueries.queries ++
     ops.LlmPipeline.queries ++
     ops.Extras.queries ++
-    sources.Formats.queries
+    sources.Formats.queries ++
+    ops.Ivf.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
     ops.StreamingQueries.oracles ++
     ops.LlmPipeline.oracles ++
     ops.Extras.oracles ++
-    sources.Formats.oracles
+    sources.Formats.oracles ++
+    ops.Ivf.oracles
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.ops.{Ivf, LlmPipeline}
+
+/** IVF quantizer behavior: determinism, total assignment, and measured
+  * recall against the brute-force baseline. */
+class IvfSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private lazy val e = Tables.load(spark, sf, "embeddings")
+    .select(col("vec_id"), col("embedding"))
+
+  test("training is deterministic and assignment is total") {
+    val c1 = Ivf.train(e, k = 8, iters = 2).map { case (i, v) => (i, v.toSeq) }
+    val c2 = Ivf.train(e, k = 8, iters = 2).map { case (i, v) => (i, v.toSeq) }
+    assert(c1.toSeq === c2.toSeq, "same data, same centroids")
+    val cdf = c1.map { case (i, v) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+    val assigned = Ivf.assign(e, cdf)
+    assert(assigned.count() === e.count(), "every vector lands in exactly one cell")
+    assert(assigned.select("cell").distinct().count() > 1, "multiple cells used")
+  }
+
+  test("sim_ivf returns candidates from probed cells, ranked by cosine") {
+    val got = Ivf.queries("sim_ivf")(spark, sf).collect()
+    assert(got.length === 10)
+    assert(!got.map(_.getLong(0)).contains(0L), "query vector excluded")
+    val sims = got.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "descending")
+    // measured recall@10 vs brute force (informational; random unit
+    // vectors cluster weakly, so only sanity-bounded)
+    val brute = LlmPipeline.queries("sim_topk")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val recall = got.map(_.getLong(0)).count(brute.contains) / 10.0
+    info(s"IVF recall@10 vs brute force: $recall (nprobe=4/16 cells)")
+    assert(recall >= 0.0)
+  }
+}
