@@ -32,7 +32,10 @@ object GraftSession {
   /** Local session sized by env (SPARK_GRAFT_CPUS), UTC, quiet UI —
     * the shape Verify/Bench/tests run under. */
   def local(appName: String): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to every core (the driver contract runs local[32]); the
+    // env var still overrides for constrained runs
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(4, Runtime.getRuntime.availableProcessors).toString)
     val s = tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)

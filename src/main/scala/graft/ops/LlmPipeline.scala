@@ -100,6 +100,48 @@ object LlmPipeline {
       .orderBy("i", "j")
   }
 
+  /** Cross-engine 60-bit hash: top 15 hex digits of md5, as a bigint —
+    * computable identically in DuckDB, unlike xxhash64. */
+  private def h15(p: Int, sh: Column): Column =
+    conv(substring(md5(concat(lit(p.toString), lit("#"), sh).cast("binary")), 1, 15), 16, 10)
+      .cast("bigint")
+
+  /** MinHash+LSH with a portable hash: the ENTIRE pipeline — shingling,
+    * 32 permutation min-hashes, 8-band bucketing, candidate join,
+    * signature-agreement estimate — is differentially verified against
+    * DuckDB (the xxhash64 variant above is the production-speed form;
+    * this one proves the algorithm end to end). */
+  private val dedupMinhashMd5: Q = (s, dir) => {
+    val k = 32; val bands = 8; val r = k / bands
+    val d = docs(s, dir).filter(col("doc_id") < 2000)
+    val toks = tokens(col("text"))
+    val shingles = array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+    val sg = d.select(col("doc_id"), explode(shingles).as("sh"))
+    val mins = (0 until k).map(p => min(h15(p, col("sh"))).as(s"m$p"))
+    val sig = sg.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        md5(concat_ws(",", (0 until r).map(j => col(s"m${b * r + j}").cast("string")): _*)
+          .cast("binary"))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+    val sigLong = sig.select(col("doc_id"),
+      posexplode(array((0 until k).map(p => col(s"m$p")): _*)))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "m")
+    pairs
+      .join(sigLong.as("sa"), col("sa.doc_id") === col("i"))
+      .join(sigLong.as("sb"), col("sb.doc_id") === col("j") && col("sa.p") === col("sb.p"))
+      .groupBy("i", "j")
+      .agg((sum(when(col("sa.m") === col("sb.m"), 1L).otherwise(0L)).cast("double") / k)
+        .as("est_sim"))
+      .orderBy("i", "j")
+  }
+
   /** SimHash dedup: 64-bit signature from token hashes (sum of ±1 per bit
     * over tokens), candidates from 16-bit band buckets, confirmed by
     * Hamming distance ≤ 12. One shuffle for signatures (groupBy doc), one
@@ -313,6 +355,7 @@ object LlmPipeline {
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_minhash_md5" -> dedupMinhashMd5,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embed_cosine" -> dedupEmbedCosine,
@@ -333,6 +376,26 @@ object LlmPipeline {
         |SELECT doc_id, sha256(lower(trim(text))) AS h,
         |ROW_NUMBER() OVER (PARTITION BY sha256(lower(trim(text))) ORDER BY doc_id) AS rn
         |FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_md5" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x->x<>'') AS toks FROM documents WHERE doc_id < 2000),
+        |sg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(len(toks)-2,1)), i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])))) AS sh FROM d),
+        |perms AS (SELECT unnest(range(0, 32)) AS p),
+        |sig AS (SELECT doc_id, p, MIN(CAST(concat('0x', substr(md5(concat(CAST(p AS VARCHAR), '#', sh)),1,15)) AS BIGINT)) AS m FROM sg CROSS JOIN perms GROUP BY doc_id, p),
+        |bands AS (SELECT doc_id, CAST(p // 4 AS INT) AS band, md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY p)) AS bandHash FROM sig GROUP BY doc_id, p // 4),
+        |pairs AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j FROM bands a JOIN bands b ON a.band = b.band AND a.bandHash = b.bandHash AND a.doc_id < b.doc_id)
+        |SELECT i, j, CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_sim
+        |FROM pairs JOIN sig sa ON sa.doc_id = i JOIN sig sb ON sb.doc_id = j AND sb.p = sa.p
+        |GROUP BY i, j ORDER BY i, j""".stripMargin,
+    "dedup_minhash_md5" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x->x<>'') AS toks FROM documents WHERE doc_id < 2000),
+        |sg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(len(toks)-2,1)), i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])))) AS sh FROM d),
+        |perms AS (SELECT unnest(range(0, 32)) AS p),
+        |sig AS (SELECT doc_id, p, MIN(CAST(concat('0x', substr(md5(concat(CAST(p AS VARCHAR), '#', sh)),1,15)) AS BIGINT)) AS m FROM sg CROSS JOIN perms GROUP BY doc_id, p),
+        |bands AS (SELECT doc_id, CAST(p // 4 AS INT) AS band, md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY p)) AS bandHash FROM sig GROUP BY doc_id, p // 4),
+        |pairs AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j FROM bands a JOIN bands b ON a.band = b.band AND a.bandHash = b.bandHash AND a.doc_id < b.doc_id)
+        |SELECT i, j, CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_sim
+        |FROM pairs JOIN sig sa ON sa.doc_id = i JOIN sig sb ON sb.doc_id = j AND sb.p = sa.p
+        |GROUP BY i, j ORDER BY i, j""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, source, list_distinct($duckTokens) AS toks FROM documents WHERE doc_id < 2000),
          |sizes AS (SELECT doc_id, len(toks) AS sz FROM d),
