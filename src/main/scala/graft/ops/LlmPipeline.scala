@@ -298,6 +298,20 @@ object LlmPipeline {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy("token")
 
+  /** Corpus bigram frequencies — the n-gram half of text analysis
+    * (SURVEY §2.10): sliding window over the token array, one explode +
+    * one groupBy. */
+  private val textBigrams: Q = (s, dir) => {
+    val toks = tokens(col("text"))
+    val bigrams = transform(sequence(lit(0), greatest(size(toks) - 2, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+    docs(s, dir)
+      .select(explode(bigrams).as("bigram"))
+      .filter(instr(col("bigram"), " ") > 0)
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy("bigram")
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio →
     * composite score. Exact double arithmetic end to end. */
   private val textQuality: Q = (s, dir) => {
@@ -363,6 +377,7 @@ object LlmPipeline {
     "sim_ann_lsh" -> simAnnLsh,
     "text_tokens" -> textTokens,
     "text_termfreq" -> textTermfreq,
+    "text_bigrams" -> textBigrams,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
@@ -427,6 +442,8 @@ object LlmPipeline {
       s"""SELECT doc_id, CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_ws, CAST(len($duckTokens) AS BIGINT) AS n_re, CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_bpe_est FROM documents ORDER BY doc_id""",
     "text_termfreq" ->
       s"""SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT unnest($duckTokens) AS token FROM documents) GROUP BY token ORDER BY token""",
+    "text_bigrams" ->
+      s"""SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT unnest(list_transform(range(0, greatest(len(toks)-1,1)), i -> concat_ws(' ', toks[i+1], toks[i+2]))) AS bigram FROM (SELECT $duckTokens AS toks FROM documents)) WHERE strpos(bigram, ' ') > 0 GROUP BY bigram ORDER BY bigram""",
     "text_quality" ->
       s"""SELECT doc_id,
          |CAST(LENGTH(text) AS BIGINT) AS n_chars,

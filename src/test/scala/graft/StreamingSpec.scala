@@ -96,6 +96,22 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sliding stream (complete mode) equals batch equivalent") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = Streaming.slidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("slide").outputMode("complete").start()
+    try {
+      input.addData(fixtureEvents)
+      q.processAllAvailable()
+      val streamed = spark.table("slide")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = StreamingQueries.queries("stream_sliding")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("stateful per-user counts equal batch groupBy at stream end") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[EventRow]
