@@ -159,6 +159,31 @@ object Profiler {
     s"""SELECT * FROM (VALUES ${values.mkString(",")}) AS t(databaseName, tableName, columnName, dataType, comments) ORDER BY tableName, columnName"""
   }
 
+  /** Compact per-column profile derived from the histogram in the same
+    * single-shuffle pass: distinct-value count, total rows, null count,
+    * and the modal (most frequent) value's count — the summary a profiler
+    * UI shows per column (ref purpose: notebooks/readme.md:20). */
+  def profileSummary(spark: SparkSession, dir: String,
+      tables: Seq[TableMeta] = Tables.all): DataFrame = {
+    val melted = tables.map(melt(spark, dir, _)).reduce(_ union _)
+    melted
+      .groupBy("tableName", "columnName", "value")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("tableName", "columnName")
+      .agg(
+        count(lit(1)).as("ndv"),
+        sum(col("cnt")).as("n_rows"),
+        sum(when(col("value").isNull, col("cnt")).otherwise(0L)).as("n_null"),
+        max(col("cnt")).as("modal_freq"))
+      .orderBy("tableName", "columnName")
+  }
+
+  def profileSummaryOracle(tables: Seq[TableMeta] = Tables.all): String = {
+    val parts = for (t <- tables; c <- t.atomicCols) yield
+      s"""SELECT '${t.name}' AS tableName, '${c.name}' AS columnName, CAST(COUNT(*) AS BIGINT) AS ndv, CAST(SUM(cnt) AS BIGINT) AS n_rows, CAST(SUM(CASE WHEN value IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_null, CAST(MAX(cnt) AS BIGINT) AS modal_freq FROM (SELECT value, COUNT(*) AS cnt FROM (SELECT ${duckFmtValue(c)} AS value FROM ${t.name}) GROUP BY value)"""
+    parts.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY tableName, columnName")
+  }
+
   /** Numeric column statistics — the "data profile" purpose implied by the
     * reference README (SURVEY.md §2.4 `agg_stats`). Exact decimal sums keep
     * the oracle hash-stable; avg is derived from the exact sum. */

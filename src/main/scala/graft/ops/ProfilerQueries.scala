@@ -8,6 +8,7 @@ object ProfilerQueries {
     "profile_histogram" -> ((s, dir) => Profiler.profileHistogram(s, dir)),
     "profile_histogram_asbuilt" -> ((s, dir) => Profiler.profileHistogramAsBuilt(s, dir)),
     "schema_information" -> ((s, dir) => Profiler.schemaInformation(s, dir)),
+    "profile_summary" -> ((s, dir) => Profiler.profileSummary(s, dir)),
     "agg_stats" -> ((s, dir) => Profiler.columnStats(s, dir))
   )
 
@@ -15,6 +16,7 @@ object ProfilerQueries {
     "profile_histogram" -> Profiler.profileHistogramOracle(),
     "profile_histogram_asbuilt" -> Profiler.profileHistogramAsBuiltOracle(),
     "schema_information" -> Profiler.schemaInformationOracle(),
+    "profile_summary" -> Profiler.profileSummaryOracle(),
     "agg_stats" -> Profiler.columnStatsOracle
   )
 }
