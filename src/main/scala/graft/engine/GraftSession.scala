@@ -36,11 +36,16 @@ object GraftSession {
     // env var still overrides for constrained runs
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(4, Runtime.getRuntime.availableProcessors).toString)
+    // Shuffle partitions default to cores but are independently
+    // overridable: with AQE coalescing, a smaller initial count measured
+    // faster AND stabler on small-SF local runs (less per-partition
+    // scheduling overhead), while a cluster run wants the core count.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val s = tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       // One-shot local harness: every query runs exactly once in a fresh
       // JVM, so whole-stage codegen pays JIT compilation + interpreted
       // warmup it never amortizes (measured: 114 s -> 59 s total across
