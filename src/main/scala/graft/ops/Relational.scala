@@ -296,6 +296,29 @@ object Relational {
       when(col("c_nationkey") % 2 === 0, col("c_name")).as("maybe_name"))
     .orderBy("c_custkey")
 
+  /** Bitwise function family over integer keys (SURVEY §2.8 extension). */
+  private val fnBitwise: Q = (s, dir) =>
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      (col("p_partkey").bitwiseAND(lit(255L))).as("andv"),
+      (col("p_partkey").bitwiseOR(lit(4096L))).as("orv"),
+      (col("p_partkey").bitwiseXOR(col("p_size").cast("bigint"))).as("xorv"),
+      shiftleft(col("p_size"), 3).cast("bigint").as("shl"),
+      shiftright(col("p_partkey"), 2).as("shr"))
+    .orderBy("p_partkey")
+
+  /** Exact percentiles (interpolated): median and p90 per group — both
+    * engines interpolate linearly over the same sorted values, so the
+    * doubles match exactly (SURVEY §2.4 agg_stats extension). */
+  private val aggPercentiles: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   // ---- registration ----------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -330,7 +353,9 @@ object Relational {
     "fn_math" -> fnMath,
     "fn_array" -> fnArray,
     "fn_map_json" -> fnMapJson,
-    "fn_conditional" -> fnConditional
+    "fn_conditional" -> fnConditional,
+    "fn_bitwise" -> fnBitwise,
+    "agg_percentiles" -> aggPercentiles
   )
 
   private def tablesValues: String =
@@ -402,6 +427,10 @@ object Relational {
     "fn_map_json" ->
       "SELECT event_id, json_extract_string(props, '$.k') AS k_str, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num, 'k' AS first_key FROM events ORDER BY event_id",
     "fn_conditional" ->
-      "SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bucket, COALESCE(NULLIF(c_mktsegment, 'FURNITURE'), 'OTHER') AS seg, CASE WHEN c_nationkey % 2 = 0 THEN c_name END AS maybe_name FROM customer ORDER BY c_custkey"
+      "SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bucket, COALESCE(NULLIF(c_mktsegment, 'FURNITURE'), 'OTHER') AS seg, CASE WHEN c_nationkey % 2 = 0 THEN c_name END AS maybe_name FROM customer ORDER BY c_custkey",
+    "fn_bitwise" ->
+      "SELECT p_partkey, p_partkey & 255 AS andv, p_partkey | 4096 AS orv, xor(p_partkey, CAST(p_size AS BIGINT)) AS xorv, CAST(p_size << 3 AS BIGINT) AS shl, p_partkey >> 2 AS shr FROM part ORDER BY p_partkey",
+    "agg_percentiles" ->
+      "SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, quantile_cont(l_quantity, 0.9) AS p90_qty, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
   )
 }
