@@ -188,6 +188,17 @@ object Relational {
       .union(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
       .orderBy("k")
 
+  private val setopIntersectAll: Q = (s, dir) =>
+    t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      .intersectAll(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  private val setopExceptAll: Q = (s, dir) =>
+    t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      .exceptAll(t(s, dir, "customer").filter(col("c_custkey") < 5)
+        .select(col("c_nationkey").as("k")))
+      .orderBy("k")
+
   private val setopIntersect: Q = (s, dir) =>
     t(s, dir, "customer").select(col("c_nationkey").as("k"))
       .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
@@ -345,6 +356,8 @@ object Relational {
     "setop_union_distinct" -> setopUnionDistinct,
     "setop_union_all" -> setopUnionAll,
     "setop_intersect" -> setopIntersect,
+    "setop_intersect_all" -> setopIntersectAll,
+    "setop_except_all" -> setopExceptAll,
     "setop_except" -> setopExcept,
     "fn_string_core" -> fnStringCore,
     "fn_current_database" -> fnCurrentDatabase,
@@ -411,6 +424,10 @@ object Relational {
       "SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey FROM supplier ORDER BY k",
     "setop_intersect" ->
       "SELECT DISTINCT c_nationkey AS k FROM customer INTERSECT SELECT DISTINCT s_nationkey FROM supplier ORDER BY k",
+    "setop_intersect_all" ->
+      "SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY k",
+    "setop_except_all" ->
+      "SELECT s_nationkey AS k FROM supplier EXCEPT ALL SELECT c_nationkey FROM customer WHERE c_custkey < 5 ORDER BY k",
     "setop_except" ->
       "SELECT DISTINCT c_nationkey AS k FROM customer EXCEPT SELECT DISTINCT s_nationkey FROM supplier ORDER BY k",
     "fn_string_core" ->

@@ -68,7 +68,19 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Distribution family: percent_rank / cume_dist — exact rationals,
+    * identical formulas in both engines (SURVEY §2.5 ranking family). */
+  private val winDistribution: Q = (s, dir) => {
+    val w = Window.partitionBy("c_nationkey").orderBy(asc("c_acctbal"), asc("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_distribution" -> winDistribution,
     "win_topk_per_group" -> winTopkPerGroup,
     "win_rank_dense" -> winRankDense,
     "win_analytic" -> winAnalytic,
@@ -76,6 +88,11 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_distribution" ->
+      """SELECT c_custkey, c_nationkey,
+        |PERCENT_RANK() OVER w AS prank,
+        |CUME_DIST() OVER w AS cdist
+        |FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC) ORDER BY c_custkey""".stripMargin,
     "win_topk_per_group" -> {
       val inner = Tables.meta("orders").atomicCols.map { c =>
         s"""SELECT 'orders' AS tableName, '${c.name}' AS columnName, value, CAST(COUNT(*) AS REAL) AS num_records FROM (SELECT ${Profiler.duckFmtValue(c)} AS value FROM orders) GROUP BY value"""
