@@ -330,6 +330,47 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Padding/slicing string family (SURVEY §2.8 extension). */
+  private val fnStringPad: Q = (s, dir) =>
+    t(s, dir, "region").select(
+      col("r_regionkey"),
+      lpad(col("r_name"), 12, ".").as("lp"),
+      rpad(col("r_name"), 12, "_").as("rp"),
+      reverse(col("r_name")).as("rev"),
+      substring(col("r_name"), 1, 3).as("l3"),
+      expr("right(r_name, 3)").as("r3"),
+      translate(col("r_name"), "AEIOU", "aeiou").as("tr"))
+    .orderBy("r_regionkey")
+
+  /** Explicit cross join of two small dims (SURVEY §2.3 completeness). */
+  private val joinCross: Q = (s, dir) =>
+    t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+      .select(col("r_regionkey"), col("n_nationkey"))
+      .orderBy("r_regionkey", "n_nationkey")
+
+  /** Argument-extrema aggregates: the value of one column at another's
+    * max/min — deterministic because the argument key is unique. */
+  private val aggMinmaxBy: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(
+        expr("max_by(o_orderstatus, o_orderkey)").as("latest_status"),
+        expr("min_by(o_orderpriority, o_orderkey)").as("first_priority"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_custkey")
+
+  /** Datetime part extraction over event time (SURVEY §2.8 fn_date ext);
+    * dayofweek aligned across engines (Spark 1=Sunday, DuckDB 0=Sunday). */
+  private val fnDatetimeParts: Q = (s, dir) =>
+    t(s, dir, "events").select(
+      col("event_id"),
+      hour(col("ts")).cast("bigint").as("h"),
+      minute(col("ts")).cast("bigint").as("mi"),
+      second(col("ts")).cast("bigint").as("sec"),
+      dayofweek(col("ts")).cast("bigint").as("dow"),
+      weekofyear(col("ts")).cast("bigint").as("woy"))
+    .orderBy("event_id")
+
   // ---- registration ----------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -368,6 +409,10 @@ object Relational {
     "fn_map_json" -> fnMapJson,
     "fn_conditional" -> fnConditional,
     "fn_bitwise" -> fnBitwise,
+    "fn_string_pad" -> fnStringPad,
+    "join_cross" -> joinCross,
+    "agg_minmax_by" -> aggMinmaxBy,
+    "fn_datetime_parts" -> fnDatetimeParts,
     "agg_percentiles" -> aggPercentiles
   )
 
@@ -445,6 +490,14 @@ object Relational {
       "SELECT event_id, json_extract_string(props, '$.k') AS k_str, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num, 'k' AS first_key FROM events ORDER BY event_id",
     "fn_conditional" ->
       "SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bucket, COALESCE(NULLIF(c_mktsegment, 'FURNITURE'), 'OTHER') AS seg, CASE WHEN c_nationkey % 2 = 0 THEN c_name END AS maybe_name FROM customer ORDER BY c_custkey",
+    "fn_string_pad" ->
+      "SELECT r_regionkey, lpad(r_name, 12, '.') AS lp, rpad(r_name, 12, '_') AS rp, reverse(r_name) AS rev, substring(r_name, 1, 3) AS l3, right(r_name, 3) AS r3, translate(r_name, 'AEIOU', 'aeiou') AS tr FROM region ORDER BY r_regionkey",
+    "join_cross" ->
+      "SELECT r_regionkey, n_nationkey FROM region CROSS JOIN nation ORDER BY r_regionkey, n_nationkey",
+    "agg_minmax_by" ->
+      "SELECT o_custkey, arg_max(o_orderstatus, o_orderkey) AS latest_status, arg_min(o_orderpriority, o_orderkey) AS first_priority, CAST(MAX(o_orderkey) AS BIGINT) AS max_key FROM orders GROUP BY o_custkey ORDER BY o_custkey",
+    "fn_datetime_parts" ->
+      "SELECT event_id, CAST(hour(ts) AS BIGINT) AS h, CAST(minute(ts) AS BIGINT) AS mi, CAST(CAST(second(ts) AS INT) AS BIGINT) AS sec, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, CAST(weekofyear(ts) AS BIGINT) AS woy FROM events ORDER BY event_id",
     "fn_bitwise" ->
       "SELECT p_partkey, p_partkey & 255 AS andv, p_partkey | 4096 AS orv, xor(p_partkey, CAST(p_size AS BIGINT)) AS xorv, CAST(p_size << 3 AS BIGINT) AS shl, p_partkey >> 2 AS shr FROM part ORDER BY p_partkey",
     "agg_percentiles" ->
