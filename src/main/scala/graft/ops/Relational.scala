@@ -371,6 +371,34 @@ object Relational {
       weekofyear(col("ts")).cast("bigint").as("woy"))
     .orderBy("event_id")
 
+  /** Array set algebra over token arrays (SURVEY §2.8 fn_array ext);
+    * outputs sorted for cross-engine order independence. */
+  private val fnArraySetops: Q = (s, dir) => {
+    val a = split(lower(col("c_name")), "0").as("a")
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      sort_array(array_distinct(split(lower(col("c_name")), "0"))).as("dedup"),
+      sort_array(array_union(split(col("c_mktsegment"), "I"), array(lit("x")))).as("uni"),
+      array_join(sort_array(split(col("c_mktsegment"), "I")), "|").as("joined"),
+      flatten(array(split(col("c_mktsegment"), "I"), array(lit("z")))).as("flat"))
+    .orderBy("c_custkey")
+  }
+
+  /** Ordered string aggregation per group (LISTAGG pattern). */
+  private val aggStringagg: Q = (s, dir) =>
+    t(s, dir, "nation")
+      .groupBy("n_regionkey")
+      .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("names"))
+      .orderBy("n_regionkey")
+
+  /** Portable cryptographic hashes (content addressing at any scale). */
+  private val fnHash: Q = (s, dir) =>
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      md5(col("c_name").cast("binary")).as("h_md5"),
+      sha2(col("c_name").cast("binary"), 256).as("h_sha256"))
+    .orderBy("c_custkey")
+
   // ---- registration ----------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -410,6 +438,9 @@ object Relational {
     "fn_conditional" -> fnConditional,
     "fn_bitwise" -> fnBitwise,
     "fn_string_pad" -> fnStringPad,
+    "fn_array_setops" -> fnArraySetops,
+    "agg_stringagg" -> aggStringagg,
+    "fn_hash" -> fnHash,
     "join_cross" -> joinCross,
     "agg_minmax_by" -> aggMinmaxBy,
     "fn_datetime_parts" -> fnDatetimeParts,
@@ -490,6 +521,12 @@ object Relational {
       "SELECT event_id, json_extract_string(props, '$.k') AS k_str, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num, 'k' AS first_key FROM events ORDER BY event_id",
     "fn_conditional" ->
       "SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bucket, COALESCE(NULLIF(c_mktsegment, 'FURNITURE'), 'OTHER') AS seg, CASE WHEN c_nationkey % 2 = 0 THEN c_name END AS maybe_name FROM customer ORDER BY c_custkey",
+    "fn_array_setops" ->
+      "SELECT c_custkey, list_sort(list_distinct(string_split(lower(c_name), '0'))) AS dedup, list_sort(list_distinct(list_concat(string_split(c_mktsegment, 'I'), ['x']))) AS uni, array_to_string(list_sort(string_split(c_mktsegment, 'I')), '|') AS joined, list_concat(string_split(c_mktsegment, 'I'), ['z']) AS flat FROM customer ORDER BY c_custkey",
+    "agg_stringagg" ->
+      "SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+    "fn_hash" ->
+      "SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256 FROM customer ORDER BY c_custkey",
     "fn_string_pad" ->
       "SELECT r_regionkey, lpad(r_name, 12, '.') AS lp, rpad(r_name, 12, '_') AS rp, reverse(r_name) AS rev, substring(r_name, 1, 3) AS l3, right(r_name, 3) AS r3, translate(r_name, 'AEIOU', 'aeiou') AS tr FROM region ORDER BY r_regionkey",
     "join_cross" ->
