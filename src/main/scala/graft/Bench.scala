@@ -17,10 +17,12 @@ object Bench {
     val spark = graft.engine.GraftSession.local("graft-bench")
     val names = SparkEntry.queries.keys.toSeq.sorted
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // a crashed query reports 0 and stays out of the totals — its
+    // time-to-failure would otherwise silently skew value/cold_total
     def one(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => failed += name }
+      catch { case _: Throwable => failed += name; return 0.0 }
       (System.nanoTime() - t0) / 1e9
     }
     val cold = names.map(n => n -> one(n)).toMap

@@ -47,12 +47,15 @@ object Fs {
   * equi-join on the key + row-wise source-wins projection. True
   * `WHEN MATCHED UPDATE SET *` semantics — a matched source row replaces
   * the target row ENTIRELY, including NULLing columns the source has as
-  * NULL (a per-column coalesce would silently keep stale target values). */
+  * NULL (a per-column coalesce would silently keep stale target values).
+  * Keys match with plain equality, mirroring `MERGE ON t.k = s.k`: a NULL
+  * source key never matches a NULL target key and inserts a new row
+  * (pinned by StoreSpec's NULL-key test). */
 object Merge {
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     val t = target.withColumn("__t_exists", lit(true))
     val srf = source.withColumn("__s_exists", lit(true))
-    val cond = keys.map(k => t(k) <=> srf(k)).reduce(_ && _)
+    val cond = keys.map(k => t(k) === srf(k)).reduce(_ && _)
     val cols = target.columns.map { c =>
       when(srf("__s_exists").isNotNull, srf(c)).otherwise(t(c)).as(c)
     }

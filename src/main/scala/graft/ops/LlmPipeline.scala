@@ -234,33 +234,55 @@ object LlmPipeline {
       .limit(10)
   }
 
-  /** LSH-bucketed ANN: p random-hyperplane sign bits (hash-derived ±1
-    * plane weights, deterministic) → bucket; search only the query's
-    * bucket. The scale path for sim_topk: bucketing is a narrow map +
-    * one groupBy; recall measured against brute force in SimSearchSpec.
-    * Rows-only check (xxhash64 planes are engine-specific). */
-  def lshBuckets(e: DataFrame, planes: Int): DataFrame = {
+  /** Random-hyperplane LSH sign-bit buckets: p hash-derived ±1 plane
+    * weights per table (deterministic), `tables` independent tables.
+    * Returns one (vec_id, table, bucket) row per table — multi-table OR
+    * amplification, the standard recall lever for hyperplane LSH (a
+    * single table's recall on near-orthogonal random vectors collapses:
+    * P[同bucket] = (1-θ/π)^p per table, 1-(1-(1-θ/π)^p)^L over L tables).
+    * All L·p plane projections accumulate in ONE groupBy over the
+    * exploded (vec, dim) rows — one shuffle regardless of L. */
+  def lshTables(e: DataFrame, planes: Int, tables: Int): DataFrame = {
     val expanded = e.select(col("vec_id"), posexplode(col("embedding")))
       .withColumnRenamed("pos", "d").withColumnRenamed("col", "x")
-    val planeSums = (0 until planes).map { p =>
-      sum(col("x") * (shiftright(xxhash64(lit(p), col("d")), 1)
-        .bitwiseAND(lit(1L)).cast("double") * 2.0 - 1.0)).as(s"p$p")
+    val planeSums = (0 until tables).flatMap { t =>
+      (0 until planes).map { p =>
+        sum(col("x") * (shiftright(xxhash64(lit(t * 1024 + p), col("d")), 1)
+          .bitwiseAND(lit(1L)).cast("double") * 2.0 - 1.0)).as(s"t${t}p$p")
+      }
     }
     val agged = expanded.groupBy("vec_id").agg(planeSums.head, planeSums.tail: _*)
-    val bucket = (0 until planes).map(p =>
-      shiftleft(when(col(s"p$p") > 0, 1L).otherwise(0L), p)).reduce(_ bitwiseOR _)
-    agged.select(col("vec_id"), bucket.as("bucket"))
+    val buckets = (0 until tables).map { t =>
+      (0 until planes).map(p =>
+        shiftleft(when(col(s"t${t}p$p") > 0, 1L).otherwise(0L), p)).reduce(_ bitwiseOR _)
+    }
+    agged.select(col("vec_id"), posexplode(array(buckets: _*)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
   }
 
+  /** Single-table form kept for bucket-partitioning specs. */
+  def lshBuckets(e: DataFrame, planes: Int): DataFrame =
+    lshTables(e, planes, 1).select(col("vec_id"), col("bucket"))
+
+  /** Multi-table LSH ANN: candidates = union over 8 tables of the query's
+    * 16-bucket cell, ranked by exact cosine. The scale path for sim_topk:
+    * candidate generation is an equi-join on (table, bucket) — at 100 TB
+    * it's one hash-partitioned join keyed by the cell, never a cross
+    * join; p grows with corpus size to hold cell cardinality constant.
+    * Rows-only check (xxhash64 planes are engine-specific); recall vs
+    * brute force pinned in LlmPipelineSpec. */
   private val simAnnLsh: Q = (s, dir) => {
     val e = emb(s, dir)
       .select(col("vec_id"), col("embedding"), col("embedding").as("v"))
-    val buckets = lshBuckets(e.select(col("vec_id"), col("embedding")), 8)
-    val withB = e.join(buckets, "vec_id")
-    val q = withB.filter(col("vec_id") === 0)
-      .select(col("v").as("qv"), col("bucket").as("qbucket"))
-    withB.crossJoin(broadcast(q))
-      .filter(col("bucket") === col("qbucket") && col("vec_id") =!= 0)
+    val buckets = lshTables(e.select(col("vec_id"), col("embedding")), 4, 8)
+    val qCells = buckets.filter(col("vec_id") === 0)
+      .select(col("table").as("qtable"), col("bucket").as("qbucket"))
+    val candIds = buckets.join(broadcast(qCells),
+        col("table") === col("qtable") && col("bucket") === col("qbucket"))
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id").distinct()
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.join(candIds, "vec_id").crossJoin(broadcast(q))
       .select(col("vec_id"), round(cosineCol(col("v"), col("qv")), 6).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(10)
@@ -363,7 +385,20 @@ object LlmPipeline {
       col("doc_id"),
       expr("octet_length(text)").cast("bigint").as("byte_len"),
       md5(col("text").cast("binary")).as("payload_md5"),
-      struct(col("lang").as("lang"), col("source").as("source")).as("meta"))
+      // struct rendered as canonical JSON: the differential gate hashes
+      // scalar cells only (a raw struct crashes its pandas sort)
+      to_json(struct(col("lang").as("lang"), col("source").as("source"))).as("meta"))
+    .orderBy("doc_id")
+
+  /** Decode-stub features with array columns rendered as scalar strings
+    * (floats as round(x,6) fixed-point ints — bit-stable across engines;
+    * rows-only check: the checksum/histogram fold is not SQL-expressible). */
+  private val multimodalDecode: Q = (s, dir) =>
+    Multimodal.extractFeatures(s, dir).select(
+      col("doc_id"), col("n_bytes"), col("checksum"),
+      concat_ws(",", transform(col("features"),
+        x => round(x.cast("double") * 1e6).cast("bigint"))).as("features"),
+      concat_ws(",", col("frames")).as("frames"))
     .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
@@ -382,7 +417,7 @@ object LlmPipeline {
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
     "multimodal_meta" -> multimodalMeta,
-    "multimodal_decode" -> ((s, dir) => Multimodal.extractFeatures(s, dir).orderBy("doc_id"))
+    "multimodal_decode" -> multimodalDecode
   )
 
   val oracles: Map[String, String] = Map(
@@ -391,16 +426,6 @@ object LlmPipeline {
         |SELECT doc_id, sha256(lower(trim(text))) AS h,
         |ROW_NUMBER() OVER (PARTITION BY sha256(lower(trim(text))) ORDER BY doc_id) AS rn
         |FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-    "dedup_minhash_md5" ->
-      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x->x<>'') AS toks FROM documents WHERE doc_id < 2000),
-        |sg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(len(toks)-2,1)), i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])))) AS sh FROM d),
-        |perms AS (SELECT unnest(range(0, 32)) AS p),
-        |sig AS (SELECT doc_id, p, MIN(CAST(concat('0x', substr(md5(concat(CAST(p AS VARCHAR), '#', sh)),1,15)) AS BIGINT)) AS m FROM sg CROSS JOIN perms GROUP BY doc_id, p),
-        |bands AS (SELECT doc_id, CAST(p // 4 AS INT) AS band, md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY p)) AS bandHash FROM sig GROUP BY doc_id, p // 4),
-        |pairs AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j FROM bands a JOIN bands b ON a.band = b.band AND a.bandHash = b.bandHash AND a.doc_id < b.doc_id)
-        |SELECT i, j, CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_sim
-        |FROM pairs JOIN sig sa ON sa.doc_id = i JOIN sig sb ON sb.doc_id = j AND sb.p = sa.p
-        |GROUP BY i, j ORDER BY i, j""".stripMargin,
     "dedup_minhash_md5" ->
       """WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x->x<>'') AS toks FROM documents WHERE doc_id < 2000),
         |sg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(len(toks)-2,1)), i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])))) AS sh FROM d),
@@ -461,6 +486,6 @@ object LlmPipeline {
          |ELSE 'und' END AS lang_pred
          |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, md5(text) AS payload_md5, {'lang': lang, 'source': source} AS meta FROM documents ORDER BY doc_id""".stripMargin
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, md5(text) AS payload_md5, concat('{"lang":"', lang, '","source":"', source, '"}') AS meta FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -113,11 +113,12 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
 
   /** Work-list materialization (ref: `collect_list(tableName)`, dbc cmd7)
-    * — keyed and sort_array'd for deterministic compare (SURVEY §7.3). */
+    * — keyed, sort_array'd, and rendered as a joined string so the
+    * differential gate compares scalars (pandas can't hash array cells). */
   private val aggCollectList: Q = (s, dir) =>
     t(s, dir, "customer")
       .groupBy("c_nationkey")
-      .agg(sort_array(collect_list("c_name")).as("names"))
+      .agg(array_join(sort_array(collect_list("c_name")), ",").as("names"))
       .orderBy("c_nationkey")
 
   /** SQL-`union` set dedup (ref: bare `union` accumulation, dbc cmd12). */
@@ -372,17 +373,16 @@ object Relational {
     .orderBy("event_id")
 
   /** Array set algebra over token arrays (SURVEY §2.8 fn_array ext);
-    * outputs sorted for cross-engine order independence. */
-  private val fnArraySetops: Q = (s, dir) => {
-    val a = split(lower(col("c_name")), "0").as("a")
+    * outputs sorted for cross-engine order independence and rendered as
+    * joined strings (scalar cells keep the differential gate hashable). */
+  private val fnArraySetops: Q = (s, dir) =>
     t(s, dir, "customer").select(
       col("c_custkey"),
-      sort_array(array_distinct(split(lower(col("c_name")), "0"))).as("dedup"),
-      sort_array(array_union(split(col("c_mktsegment"), "I"), array(lit("x")))).as("uni"),
+      array_join(sort_array(array_distinct(split(lower(col("c_name")), "0"))), "|").as("dedup"),
+      array_join(sort_array(array_union(split(col("c_mktsegment"), "I"), array(lit("x")))), "|").as("uni"),
       array_join(sort_array(split(col("c_mktsegment"), "I")), "|").as("joined"),
-      flatten(array(split(col("c_mktsegment"), "I"), array(lit("z")))).as("flat"))
+      array_join(flatten(array(split(col("c_mktsegment"), "I"), array(lit("z")))), "|").as("flat"))
     .orderBy("c_custkey")
-  }
 
   /** Ordered string aggregation per group (LISTAGG pattern). */
   private val aggStringagg: Q = (s, dir) =>
@@ -479,7 +479,7 @@ object Relational {
     "agg_count_star" ->
       "SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1,2 ORDER BY 1,2",
     "agg_collect_list" ->
-      "SELECT c_nationkey, list_sort(list(c_name)) AS names FROM customer GROUP BY c_nationkey ORDER BY c_nationkey",
+      "SELECT c_nationkey, array_to_string(list_sort(list(c_name)), ',') AS names FROM customer GROUP BY c_nationkey ORDER BY c_nationkey",
     "agg_distinct" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY 1,2",
     "agg_distinct_count" ->
@@ -522,7 +522,7 @@ object Relational {
     "fn_conditional" ->
       "SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bucket, COALESCE(NULLIF(c_mktsegment, 'FURNITURE'), 'OTHER') AS seg, CASE WHEN c_nationkey % 2 = 0 THEN c_name END AS maybe_name FROM customer ORDER BY c_custkey",
     "fn_array_setops" ->
-      "SELECT c_custkey, list_sort(list_distinct(string_split(lower(c_name), '0'))) AS dedup, list_sort(list_distinct(list_concat(string_split(c_mktsegment, 'I'), ['x']))) AS uni, array_to_string(list_sort(string_split(c_mktsegment, 'I')), '|') AS joined, list_concat(string_split(c_mktsegment, 'I'), ['z']) AS flat FROM customer ORDER BY c_custkey",
+      "SELECT c_custkey, array_to_string(list_sort(list_distinct(string_split(lower(c_name), '0'))), '|') AS dedup, array_to_string(list_sort(list_distinct(list_concat(string_split(c_mktsegment, 'I'), ['x']))), '|') AS uni, array_to_string(list_sort(string_split(c_mktsegment, 'I')), '|') AS joined, array_to_string(list_concat(string_split(c_mktsegment, 'I'), ['z']), '|') AS flat FROM customer ORDER BY c_custkey",
     "agg_stringagg" ->
       "SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
     "fn_hash" ->

@@ -36,6 +36,9 @@ class IvfSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet
     val recall = got.map(_.getLong(0)).count(brute.contains) / 10.0
     info(s"IVF recall@10 vs brute force: $recall (nprobe=4/16 cells)")
-    assert(recall >= 0.0)
+    // deterministic fixture + deterministic quantizer → recall is stable;
+    // measured 0.9 at nprobe=4/16, floor pinned well below to allow
+    // fixture regeneration drift while still catching a broken quantizer
+    assert(recall >= 0.5, s"IVF recall collapsed: $recall")
   }
 }

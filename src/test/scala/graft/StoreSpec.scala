@@ -28,6 +28,19 @@ class StoreSpec extends SparkSuite {
     assert(got === Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
   }
 
+  test("upsert: NULL keys never match (MERGE ON t.k = s.k semantics)") {
+    import spark.implicits._
+    val (store, _) = tmpStore()
+    val base = Seq((Option.empty[Long], "old-null"), (Some(1L), "a")).toDF("k", "v")
+    store.upsert(spark, "t", base, Seq("k"))
+    val src = Seq((Option.empty[Long], "new-null")).toDF("k", "v")
+    store.upsert(spark, "t", src, Seq("k"))
+    // a NULL source key inserts a second NULL-key row, it does NOT update
+    val got = store.read(spark, "t").collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((null, "old-null"), (null, "new-null"), (1L, "a")))
+  }
+
   test("upsert is idempotent (MERGE re-run yields identical table)") {
     import spark.implicits._
     val (store, _) = tmpStore()
