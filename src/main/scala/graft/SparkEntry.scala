@@ -25,6 +25,7 @@ object SparkEntry {
     ops.StreamingQueries.queries ++
     ops.LlmPipeline.queries ++
     ops.Extras.queries ++
+    ops.Analytics.queries ++
     sources.Formats.queries ++
     ops.Ivf.queries
 
@@ -39,6 +40,7 @@ object SparkEntry {
     ops.StreamingQueries.oracles ++
     ops.LlmPipeline.oracles ++
     ops.Extras.oracles ++
+    ops.Analytics.oracles ++
     sources.Formats.oracles ++
     ops.Ivf.oracles
 }
