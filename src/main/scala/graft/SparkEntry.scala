@@ -26,6 +26,7 @@ object SparkEntry {
     ops.LlmPipeline.queries ++
     ops.Extras.queries ++
     ops.Analytics.queries ++
+    ops.Corpus.queries ++
     sources.Formats.queries ++
     ops.Ivf.queries
 
@@ -41,6 +42,7 @@ object SparkEntry {
     ops.LlmPipeline.oracles ++
     ops.Extras.oracles ++
     ops.Analytics.oracles ++
+    ops.Corpus.oracles ++
     sources.Formats.oracles ++
     ops.Ivf.oracles
 }

@@ -102,7 +102,7 @@ object LlmPipeline {
 
   /** Cross-engine 60-bit hash: top 15 hex digits of md5, as a bigint —
     * computable identically in DuckDB, unlike xxhash64. */
-  private def h15(p: Int, sh: Column): Column =
+  def h15(p: Int, sh: Column): Column =
     conv(substring(md5(concat(lit(p.toString), lit("#"), sh).cast("binary")), 1, 15), 16, 10)
       .cast("bigint")
 
@@ -364,16 +364,18 @@ object LlmPipeline {
     .orderBy("doc_id")
   }
 
-  /** Document fingerprint: full-text hash + min-shingle rolling
-    * fingerprint (xxhash64 — engine-specific, rows-only + TextSpec). */
+  /** Document fingerprint: full-text content address (md5) + min-shingle
+    * fingerprint — fully oracle-checked with the portable h15 hash
+    * (production swaps h15 → xxhash64 for speed; identical plan: one
+    * narrow map, no shuffle). */
   private val textFingerprint: Q = (s, dir) => {
     val toks = tokens(col("text"))
     val shingles = transform(sequence(lit(0), greatest(size(toks) - 3, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(3))))
     docs(s, dir).select(
       col("doc_id"),
-      xxhash64(col("text")).as("doc_hash"),
-      array_min(transform(shingles, sh => xxhash64(sh))).as("min_shingle_hash"))
+      md5(col("text").cast("binary")).as("doc_hash"),
+      array_min(transform(shingles, sh => h15(0, sh))).as("min_shingle_hash"))
     .orderBy("doc_id")
   }
 
@@ -486,6 +488,12 @@ object LlmPipeline {
          |ELSE 'und' END AS lang_pred
          |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, md5(text) AS payload_md5, concat('{"lang":"', lang, '","source":"', source, '"}') AS meta FROM documents ORDER BY doc_id""".stripMargin
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, md5(text) AS payload_md5, concat('{"lang":"', lang, '","source":"', source, '"}') AS meta FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS doc_hash,
+         |list_min(list_transform(
+         |  list_transform(range(0, greatest(len(toks)-2, 1)), i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])),
+         |  sh -> CAST(concat('0x', substr(md5(concat('0#', sh)), 1, 15)) AS BIGINT))) AS min_shingle_hash
+         |FROM (SELECT doc_id, text, $duckTokens AS toks FROM documents) ORDER BY doc_id""".stripMargin
   )
 }
