@@ -23,11 +23,14 @@ object Extras {
     now.except(before).orderBy("tableName", "columnName")
   }
 
-  /** Numeric RANGE frame: per-customer rolling order value over a key
-    * range (complements the ROWS frame in win_frame_agg). */
+  /** Value-RANGE frame: per-customer trailing-90-day order value, ordered
+    * by order date expressed as days-since-epoch (complements the ROWS
+    * frame in win_frame_agg; a value range over a DENSE axis — a trailing
+    * time window — is RANGE's actual use, unlike a frame over sparse
+    * surrogate keys which degenerates to the current row). */
   private val winRangeFrame: Q = (s, dir) => {
-    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
-      .rangeBetween(-5, 0)
+    val dayNo = datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+    val w = Window.partitionBy("o_custkey").orderBy(dayNo).rangeBetween(-90, 0)
     Tables.load(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"),
         sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("range_sum"),
@@ -107,7 +110,7 @@ object Extras {
       """SELECT o_orderkey, o_custkey,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS range_sum,
         |CAST(COUNT(*) OVER w AS BIGINT) AS range_n
-        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) ORDER BY o_orderkey""".stripMargin,
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) ORDER BY o_orderkey""".stripMargin,
     "agg_cube" ->
       "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"
   )

@@ -51,6 +51,28 @@ object Streaming {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
 
+  /** Stream-stream interval join (stream_join): view→purchase conversion
+    * pairs per user within 30 minutes. Both sides carry watermarks and the
+    * join condition bounds event-time distance, so each side's state is
+    * evictable at the watermark horizon — the only join form that runs
+    * unbounded streams with bounded state. State is hash-partitioned on
+    * user_id. */
+  def viewPurchasePairs(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "30 minutes")
+    views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("interval 30 minutes"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("view_ts"))).as("latency_s"))
+  }
+
   case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
   case class UserState(user_id: Long, n_events: Long, sum_value: Double)

@@ -78,12 +78,32 @@ object StreamingQueries {
         unix_timestamp(max(col("ts"))).as("last_seen"))
       .orderBy("user_id")
 
+  /** Batch twin of the stream-stream interval join: view→purchase pairs
+    * within 30 minutes per user. Equi-join on user_id (one shuffle) with
+    * the time interval as a residual predicate. */
+  private val streamJoin: Q = (s, dir) => {
+    val e = ev(s, dir)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    v.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("interval 30 minutes"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("view_ts"))).as("latency_s"))
+      .orderBy("view_id", "purchase_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> tumbling,
     "stream_sliding" -> sliding,
     "stream_session" -> session,
     "stream_dedup" -> dedup,
-    "stream_stateful_count" -> statefulCount
+    "stream_stateful_count" -> statefulCount,
+    "stream_join" -> streamJoin
   )
 
   val oracles: Map[String, String] = Map(
@@ -111,6 +131,13 @@ object StreamingQueries {
         |SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts ASC) AS rn FROM events
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "stream_stateful_count" ->
-      "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS last_seen FROM events GROUP BY user_id ORDER BY user_id"
+      "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS last_seen FROM events GROUP BY user_id ORDER BY user_id",
+    "stream_join" ->
+      """WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS p_user, ts AS purchase_ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, view_id, purchase_id,
+        |  CAST(FLOOR(epoch(purchase_ts)) - FLOOR(epoch(view_ts)) AS BIGINT) AS latency_s
+        |FROM v JOIN p ON user_id = p_user AND purchase_ts >= view_ts AND purchase_ts <= view_ts + INTERVAL 30 MINUTE
+        |ORDER BY view_id, purchase_id""".stripMargin
   )
 }

@@ -55,13 +55,34 @@ object Formats {
     readJson(s, tmp, src.schema).orderBy("o_orderkey")
   }
 
+  /** Hive-style partitioned parquet: write orders partitioned by order
+    * year, read back one partition. The year filter prunes at PLANNING
+    * time (PartitionFilters, asserted in FormatsSpec) — at 100 TB the
+    * scan touches only the matching directories, the dominant data-
+    * skipping mechanism for time-organized lakes. */
+  private val partitionedPrune: Q = (s, dir) => {
+    val tmp = sys.props("java.io.tmpdir") + "/graft-scratch/part/orders"
+    Tables.load(s, dir, "orders")
+      .withColumn("oyear", year(col("o_orderdate")))
+      .write.mode(SaveMode.Overwrite).partitionBy("oyear").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("oyear") === 1996)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("oyear").cast("bigint").as("oyear"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "source_csv_roundtrip" -> csvRoundtrip,
-    "source_json_roundtrip" -> jsonRoundtrip
+    "source_json_roundtrip" -> jsonRoundtrip,
+    "source_partitioned" -> partitionedPrune
   )
 
   val oracles: Map[String, String] = Map(
     "source_csv_roundtrip" -> "SELECT * FROM customer ORDER BY c_custkey",
-    "source_json_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey"
+    "source_json_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    "source_partitioned" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(YEAR(o_orderdate) AS BIGINT) AS oyear
+        |FROM orders WHERE YEAR(o_orderdate) = 1996 ORDER BY o_orderkey""".stripMargin
   )
 }

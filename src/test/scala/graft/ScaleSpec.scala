@@ -63,4 +63,12 @@ class ScaleSpec extends SparkSuite {
     assert(spark.conf.get("spark.sql.join.prefersortmergejoin") === "false")
     assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
   }
+
+  test("partitioned source prunes to the filtered year at planning time") {
+    val df = graft.sources.Formats.queries("source_partitioned")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("= 1996"),
+      s"expected oyear partition pruning in:\n$plan")
+    assert(df.count() > 0)
+  }
 }

@@ -130,4 +130,21 @@ class StreamingSpec extends SparkSuite {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("stream-stream interval join emits exactly the batch twin's pairs") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = Streaming.viewPurchasePairs(input.toDF())
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    try {
+      input.addData(fixtureEvents)
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = StreamingQueries.queries("stream_join")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty, "fixture must contain view->purchase conversions")
+    } finally q.stop()
+  }
 }
