@@ -56,14 +56,18 @@ object Profiler {
     * scan of the table, no shuffle. Carries ONLY (tableName, columnName,
     * value): constants (databaseName) and column-determined attributes
     * (dataType) are re-attached after aggregation, keeping per-melted-row
-    * bytes minimal through the one shuffle that matters. */
+    * bytes minimal through the one shuffle that matters.
+    *
+    * Lowered through `unpivot` (Catalyst Expand: one projection per
+    * column, no per-row array/struct materialization) rather than
+    * explode(array(struct(...))) — measured ~2x cheaper at sf0.1 for the
+    * whole-database histogram. */
   def melt(spark: SparkSession, dir: String, t: TableMeta): DataFrame = {
     val df = Tables.balanced(spark, Tables.load(spark, dir, t.name))
-    val kvs = t.atomicCols.map { c =>
-      struct(lit(c.name).as("columnName"), fmtValue(c).as("value"))
-    }
-    df.select(explode(array(kvs: _*)).as("kv"))
-      .select(lit(t.name).as("tableName"), col("kv.*"))
+    df.select(t.atomicCols.map(c => fmtValue(c).as(c.name)): _*)
+      .unpivot(Array.empty[Column], t.atomicCols.map(c => col(c.name)).toArray,
+        "columnName", "value")
+      .select(lit(t.name).as("tableName"), col("columnName"), col("value"))
   }
 
   /** 51-row (table, column) -> dataType lookup, broadcast-joined onto
@@ -113,12 +117,11 @@ object Profiler {
       tables: Seq[TableMeta] = Tables.all): DataFrame = {
     val perTable = tables.map { t =>
       val df = Tables.balanced(spark, Tables.load(spark, dir, t.name))
-      val kvs = t.atomicCols.map { c =>
-        // group key is the raw value; emitted value is the column name
-        struct(lit(c.name).as("columnName"), col(c.name).cast("string").as("groupKey"))
-      }
-      df.select(explode(array(kvs: _*)).as("kv"))
-        .select(lit(t.name).as("tableName"), col("kv.*"))
+      // group key is the raw value; emitted value is the column name
+      df.select(t.atomicCols.map(c => col(c.name).cast("string").as(c.name)): _*)
+        .unpivot(Array.empty[Column], t.atomicCols.map(c => col(c.name)).toArray,
+          "columnName", "groupKey")
+        .select(lit(t.name).as("tableName"), col("columnName"), col("groupKey"))
     }
     perTable.reduce(_ union _)
       .groupBy("tableName", "columnName", "groupKey")
