@@ -145,7 +145,7 @@ object Analytics {
         val slope = cov_n / varx_n
         Seq(
           round(cov_n / (sqrt(varx_n) * sqrt(vary_n)), 6).as("corr_xy"),
-          round(cov_n / (n * (n - 1)), 6).as("covar_samp_xy"),
+          round(cov_n / (n.cast("double") * (n - 1)), 6).as("covar_samp_xy"),
           round(slope, 6).as("slope"),
           round(sy / n - slope * (sx / n), 6).as("intercept"))
       }: _*)
@@ -265,7 +265,7 @@ object Analytics {
         |  ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
         |    (SQRT(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
         |     SQRT(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_xy,
-        |  ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (n * (n - 1)), 6) AS covar_samp_xy,
+        |  ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * (n - 1)), 6) AS covar_samp_xy,
         |  ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
         |    (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
         |  ROUND(CAST(sy AS DOUBLE) / n -

@@ -50,7 +50,7 @@ object Extras {
     * dbc cmd8/9): overwrite the SchemaInformation meta-table into a store
     * and read it back. Rows-only check (side-effecting). */
   private val sinkRoundtrip: Q = (s, dir) => {
-    val root = sys.props("java.io.tmpdir") + "/graft-scratch/sink"
+    val root = sys.props("java.io.tmpdir") + s"/graft-scratch-${s.sparkContext.applicationId}/sink"
     val store = new ParquetStore(root)
     store.overwrite(Profiler.schemaInformation(s, dir), "SchemaInformation")
     store.read(s, "SchemaInformation").orderBy("tableName", "columnName")
@@ -62,7 +62,7 @@ object Extras {
     * Rows-only check (file counts are env-dependent at the margins). */
   private val maintenanceOptimize: Q = (s, dir) => {
     import s.implicits._
-    val root = sys.props("java.io.tmpdir") + "/graft-scratch/opt"
+    val root = sys.props("java.io.tmpdir") + s"/graft-scratch-${s.sparkContext.applicationId}/opt"
     val store = new ParquetStore(root)
     store.overwrite(Tables.load(s, dir, "part").repartition(8), "part")
     val c = store.compact(s, "part", targetBytes = 1073741824L)

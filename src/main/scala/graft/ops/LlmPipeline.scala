@@ -488,7 +488,7 @@ object LlmPipeline {
          |ELSE 'und' END AS lang_pred
          |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, md5(text) AS payload_md5, concat('{"lang":"', lang, '","source":"', source, '"}') AS meta FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, md5(text) AS payload_md5, CAST(to_json(struct_pack(lang := lang, source := source)) AS VARCHAR) AS meta FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS doc_hash,
          |list_min(list_transform(

@@ -17,6 +17,12 @@ import graft.engine.Tables
   */
 object Formats {
 
+  /** Per-run-unique scratch root: suffixed with the Spark application id so
+    * concurrent runs (bench + correctness gate) never interleave the same
+    * Overwrite-then-read path. */
+  private def scratch(s: SparkSession, sub: String): String =
+    sys.props("java.io.tmpdir") + s"/graft-scratch-${s.sparkContext.applicationId}/$sub"
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("header", "true")
@@ -42,7 +48,7 @@ object Formats {
   /** customer → CSV → back; oracle = the original table. */
   private val csvRoundtrip: Q = (s, dir) => {
     val src = Tables.load(s, dir, "customer")
-    val tmp = sys.props("java.io.tmpdir") + "/graft-scratch/csv/customer"
+    val tmp = scratch(s, "csv/customer")
     writeCsv(src, tmp)
     readCsv(s, tmp, src.schema).orderBy("c_custkey")
   }
@@ -50,7 +56,7 @@ object Formats {
   /** orders (incl. timestamp_ntz) → JSON lines → back; oracle = original. */
   private val jsonRoundtrip: Q = (s, dir) => {
     val src = Tables.load(s, dir, "orders")
-    val tmp = sys.props("java.io.tmpdir") + "/graft-scratch/json/orders"
+    val tmp = scratch(s, "json/orders")
     writeJson(src, tmp)
     readJson(s, tmp, src.schema).orderBy("o_orderkey")
   }
@@ -61,7 +67,7 @@ object Formats {
     * scan touches only the matching directories, the dominant data-
     * skipping mechanism for time-organized lakes. */
   private val partitionedPrune: Q = (s, dir) => {
-    val tmp = sys.props("java.io.tmpdir") + "/graft-scratch/part/orders"
+    val tmp = scratch(s, "part/orders")
     Tables.load(s, dir, "orders")
       .withColumn("oyear", year(col("o_orderdate")))
       .write.mode(SaveMode.Overwrite).partitionBy("oyear").parquet(tmp)

@@ -40,6 +40,30 @@ class ProfilerSpec extends SparkSuite {
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
 
+  test("melt retains NULL cells (pins Dataset.unpivot include-nulls behavior)") {
+    // SQL UNPIVOT drops NULL cells by default; the profiler relies on
+    // Dataset.unpivot KEEPING them (n_null / NULL histogram rows). Fixtures
+    // have no NULLs, so pin the behavior on a doctored copy of nation.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nulls").toString
+    Tables.load(spark, sf, "nation")
+      .withColumn("n_name", when(col("n_nationkey") % 5 === 0, lit(null: String))
+        .otherwise(col("n_name")))
+      .write.mode("overwrite").parquet(s"$tmp/nation.parquet")
+    val expectNulls = Tables.load(spark, tmp, "nation")
+      .filter(col("n_name").isNull).count()
+    assert(expectNulls > 0)
+
+    val hist = Profiler.profileHistogram(spark, tmp, Seq(Tables.meta("nation")))
+    val nullRow = hist.filter(col("columnName") === "n_name" && col("value").isNull)
+      .collect()
+    assert(nullRow.length === 1)
+    assert(nullRow(0).getAs[Float]("num_records") === expectNulls.toFloat)
+
+    val summary = Profiler.profileSummary(spark, tmp, Seq(Tables.meta("nation")))
+      .filter(col("columnName") === "n_name").collect()
+    assert(summary(0).getAs[Long]("n_null") === expectNulls)
+  }
+
   test("schemaInformation matches declared metadata (SchemaInformation contract)") {
     val got = Profiler.schemaInformation(spark, sf).collect()
       .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
