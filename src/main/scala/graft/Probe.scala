@@ -2,85 +2,75 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Throwaway in-JVM timing probe (not part of the library surface).
-  * Times candidate decompositions/variants of hot bench queries so
-  * optimization is measurement-driven. Usage:
-  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Probe"
-  */
+/** Throwaway in-JVM timing probe (not part of the library surface). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = graft.engine.GraftSession.local("graft-probe")
+    val spark = {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val b = graft.engine.GraftSession.tuned(org.apache.spark.sql.SparkSession.builder()
+        .master(s"local[$cpus]")
+        .withExtensions(new graft.engine.GraftExtensions)
+        .appName("graft-probe")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.codegen.wholeStage", "false")
+        .config("spark.shuffle.compress", sys.env.getOrElse("PROBE_SHUF_COMPRESS", "true"))
+        .config("spark.shuffle.spill.compress", sys.env.getOrElse("PROBE_SHUF_COMPRESS", "true"))
+        .config("spark.ui.enabled", "false"))
+      val ss = b.getOrCreate(); ss.sparkContext.setLogLevel("WARN"); ss
+    }
     import graft.engine.Tables
     import graft.ops.Profiler
 
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
-      println(f"[probe] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
+      println(f"[probe] $name%-44s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
     }
 
-    // warm the JVM + parquet footers on something representative
+    spark.sql("SET -v").filter(col("key").contains("skipPartial") ||
+      col("key").contains("PartialAggregat")).show(20, false)
+
     time("warmup: full profile_histogram") {
       Profiler.profileHistogram(spark, dir).count()
     }
+    time("baseline full (warm)") { Profiler.profileHistogram(spark, dir).count() }
 
-    time("melt only (scan+expand+render)") {
-      Tables.all.map(Profiler.melt(spark, dir, _)).reduce(_ union _).count()
-    }
-    time("melt+agg (one shuffle)") {
-      Tables.all.map(Profiler.melt(spark, dir, _)).reduce(_ union _)
+    // knob: more shuffle partitions for the big agg
+    spark.conf.set("spark.sql.shuffle.partitions", "128")
+    time("shuffle-partitions-128") { Profiler.profileHistogram(spark, dir).count() }
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    // derived summary: compute summary FROM the histogram aggregate rather
+    // than a second melt+agg (count/sum/max over 1.37M pre-aggregated rows)
+    time("summary baseline (own melt)") { Profiler.profileSummary(spark, dir).count() }
+    time("summary derived from histogram") {
+      val hist = Tables.all.map(Profiler.melt(spark, dir, _)).reduce(_ union _)
         .groupBy("tableName", "columnName", "value")
-        .agg(count(lit(1)).cast("float").as("num_records"))
-        .count()
-    }
-    time("full profile_histogram (warm)") {
-      Profiler.profileHistogram(spark, dir).count()
-    }
-    time("full again") {
-      Profiler.profileHistogram(spark, dir).count()
+        .agg(count(lit(1)).as("cnt"))
+      hist.groupBy("tableName", "columnName")
+        .agg(count(lit(1)).as("ndv"), sum("cnt").as("n_rows"),
+          sum(when(col("value").isNull, col("cnt")).otherwise(0L)).as("n_null"),
+          max("cnt").as("modal_freq"))
+        .orderBy("tableName", "columnName").count()
     }
 
-    // variant: integer colId through the shuffle instead of 2 string keys
-    def intKeyHistogram(): Long = {
-      import spark.implicits._
-      val metas = Tables.all
-      val ids = (for (t <- metas; c <- t.atomicCols) yield (t.name, c.name)).zipWithIndex.toMap
-      val melted = metas.map { tm =>
-        val df = Tables.balanced(spark, Tables.load(spark, dir, tm.name))
-        df.select(tm.atomicCols.map(c => Profiler.fmtValue(c).as(c.name)): _*)
-          .unpivot(Array.empty[org.apache.spark.sql.Column],
-            tm.atomicCols.map(c => col(c.name)).toArray, "columnName", "value")
-          .select(
-            // map columnName string -> int id via a chained when (small, codegen-able)
-            tm.atomicCols.tail.foldLeft(when(col("columnName") === tm.atomicCols.head.name,
-              lit(ids((tm.name, tm.atomicCols.head.name))))) { (acc, c) =>
-              acc.when(col("columnName") === c.name, lit(ids((tm.name, c.name))))
-            }.as("colId"),
-            col("value"))
-      }.reduce(_ union _)
-      val lookup = (for (t <- metas; c <- t.atomicCols)
-        yield (ids((t.name, c.name)), t.name, c.name, c.sparkType))
-        .toDF("colId", "tableName", "columnName", "dataType")
-      melted.groupBy("colId", "value")
-        .agg(count(lit(1)).cast("float").as("num_records"))
-        .join(broadcast(lookup), "colId")
-        .select(lit("graft").as("databaseName"), col("tableName"), col("columnName"),
-          col("dataType"), col("value"), col("num_records"),
-          length(col("value")).cast("float").as("len"))
-        .orderBy(col("tableName"), col("columnName"), col("value"))
+    // persisted histogram reuse: materialize once, then histogram+summary+topk
+    val agg = Tables.all.map(Profiler.melt(spark, dir, _)).reduce(_ union _)
+      .groupBy("tableName", "columnName", "value")
+      .agg(count(lit(1)).cast("float").as("num_records"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("materialize histogram agg") { agg.count() }
+    time("histogram from cache (sort+join)") {
+      agg.orderBy("tableName", "columnName", "value").count()
+    }
+    time("summary from cache") {
+      agg.groupBy("tableName", "columnName")
+        .agg(count(lit(1)).as("ndv"),
+          sum(col("num_records").cast("long")).as("n_rows"),
+          max(col("num_records").cast("long")).as("modal_freq"))
         .count()
     }
-    time("int-key variant") { intKeyHistogram() }
-    time("int-key variant again") { intKeyHistogram() }
-
-    // variant: whole-stage codegen ON (per-row melt work is 9M+ rows at
-    // sf0.1 — enough to amortize JIT even in a one-shot JVM?)
-    spark.conf.set("spark.sql.codegen.wholeStage", "true")
-    time("codegen-on full") { Profiler.profileHistogram(spark, dir).count() }
-    time("codegen-on full again") { Profiler.profileHistogram(spark, dir).count() }
-    time("codegen-on int-key") { intKeyHistogram() }
-    time("codegen-on int-key again") { intKeyHistogram() }
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    agg.unpersist()
     spark.stop()
   }
 }

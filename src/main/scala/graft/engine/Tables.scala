@@ -66,14 +66,29 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Parquet footer schemas memoized per (dir, table): every `load` call
+    * otherwise re-reads footers for schema inference — pure driver-side
+    * latency repeated by every query in a session. Schemas are
+    * session-independent, so the memo is keyed by path only. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]()
+
+  private def cachedSchema(spark: SparkSession, dir: String, name: String)(
+      read: => DataFrame): org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent((dir, name), _ => read.schema)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to map
       // to TimestampType; read it as raw nanos and truncate to micros.
       // Session-agnostic (works under the driver's own SparkSession too).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
+      val sch = cachedSchema(spark, dir, name)(spark.read.parquet(s"$dir/$name.parquet"))
+      spark.read.schema(sch).parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else {
+      val sch = cachedSchema(spark, dir, name)(spark.read.parquet(s"$dir/$name.parquet"))
+      spark.read.schema(sch).parquet(s"$dir/$name.parquet")
+    }
 }

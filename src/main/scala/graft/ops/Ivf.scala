@@ -51,15 +51,20 @@ object Ivf {
     centroids
   }
 
-  /** Assign each vector to its nearest cell (broadcast centroids, narrow
-    * map + per-vector top-1 — no shuffle of the vector side). */
+  /** Assign each vector to its nearest cell: the k centroids ride along as
+    * an array LITERAL (model-sized, like any broadcast ML model), and the
+    * argmax is a per-row array reduction — a completely narrow map, no
+    * join, no shuffle, no window. Ties break to the lowest cell id
+    * (array_position finds the first maximum). */
   def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cell"))
-    e.crossJoin(broadcast(centroids))
-      .withColumn("sim", Native.cosineSim(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "sim", "centroid")
+    val cents = centroids.orderBy("cell").collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("centroid")))
+    val centArr = array(cents.map(c =>
+      array(c.map(v => lit(v)): _*).cast("array<float>")): _*)
+    e.withColumn("sims",
+        transform(centArr, c => Native.cosineSim(col("embedding"), c)))
+      .withColumn("cell", (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
+      .drop("sims")
   }
 
   /** sim_ivf query: top-10 cosine neighbors of vec 0 searching only the

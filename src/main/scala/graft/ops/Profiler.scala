@@ -35,6 +35,41 @@ object Profiler {
   /** The engine's logical database name for fixture dirs. */
   val dbName = "graft"
 
+  /** Materialized histogram aggregates, keyed by (session, dir, tables).
+    *
+    * The reference materializes `profileData` as a meta-table ONCE and
+    * serves every downstream view (summary panels, top-k value lists) from
+    * it (ref: dbc cmd8 `create or replace table ... profileData`). The
+    * engine mirrors that: the melted+aggregated histogram — the single
+    * expensive pass over the database — is persisted on first use and
+    * every profiler surface (histogram, summary, per-column top-k) reads
+    * the materialization. At 100 TB the analog is writing the aggregate
+    * (tiny relative to input: one row per distinct value per column) to a
+    * parquet/Delta meta-table; in-session it is a MEMORY_AND_DISK persist.
+    * `invalidateCache()` drops all entries (e.g. after data changes).
+    */
+  private val histCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Seq[String]), DataFrame]()
+
+  def invalidateCache(): Unit = {
+    import scala.jdk.CollectionConverters._
+    histCache.values.asScala.foreach(_.unpersist())
+    histCache.clear()
+  }
+
+  /** The (tableName, columnName, value) -> cnt aggregate, persisted and
+    * memoized. `cnt` stays BIGINT here — the float `num_records` of the
+    * output contract is rendered at the edge (floats lose exactness past
+    * 2^24, which a 100 TB modal count exceeds). */
+  def histogramAgg(spark: SparkSession, dir: String,
+      tables: Seq[TableMeta] = Tables.all): DataFrame =
+    histCache.computeIfAbsent((System.identityHashCode(spark).toString, dir, tables.map(_.name)), _ => {
+      tables.map(melt(spark, dir, _)).reduce(_ union _)
+        .groupBy("tableName", "columnName", "value")
+        .agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Normalized string rendering of a column value. Doubles go through
     * decimal(18,2) and timestamps through a whole-second format so the
     * rendering is engine-portable (Java vs C++ float-to-string shortest-repr
@@ -85,14 +120,12 @@ object Profiler {
     */
   def profileHistogram(spark: SparkSession, dir: String,
       tables: Seq[TableMeta] = Tables.all): DataFrame = {
-    val melted = tables.map(melt(spark, dir, _)).reduce(_ union _)
     // Group only on the functional key (table, column, value); dataType is
     // broadcast-joined back onto the (much smaller) aggregate output and
     // databaseName is a literal — shorter keys, fewer bytes through the
     // single shuffle, cheaper hashing in partial and final aggregates.
-    melted
-      .groupBy("tableName", "columnName", "value")
-      .agg(count(lit(1)).cast("float").as("num_records"))
+    histogramAgg(spark, dir, tables)
+      .withColumn("num_records", col("cnt").cast("float")).drop("cnt")
       .join(broadcast(typesDF(spark, tables)), Seq("tableName", "columnName"))
       .select(lit(dbName).as("databaseName"), col("tableName"), col("columnName"),
         col("dataType"), col("value"), col("num_records"),
@@ -113,19 +146,30 @@ object Profiler {
     * dbc cmd12), `len` its length, while grouping still runs over the real
     * column. The reference accumulates through SQL `union` (set semantics),
     * so duplicate (…, count) rows collapse — reproduced via distinct. */
+  /** As-built melt+agg, materialized like [[histogramAgg]] (the reference
+    * writes this exact aggregate as the `profileData` meta-table). Group
+    * key is the RAW string cast (the shipped bug groups real values but
+    * emits column names), so it cannot share [[histogramAgg]]'s normalized
+    * rendering. */
+  private def histogramAggAsBuilt(spark: SparkSession, dir: String,
+      tables: Seq[TableMeta]): DataFrame =
+    histCache.computeIfAbsent(
+      (System.identityHashCode(spark).toString + "#asbuilt", dir, tables.map(_.name)), _ => {
+        tables.map { t =>
+          val df = Tables.balanced(spark, Tables.load(spark, dir, t.name))
+          df.select(t.atomicCols.map(c => col(c.name).cast("string").as(c.name)): _*)
+            .unpivot(Array.empty[Column], t.atomicCols.map(c => col(c.name)).toArray,
+              "columnName", "groupKey")
+            .select(lit(t.name).as("tableName"), col("columnName"), col("groupKey"))
+        }.reduce(_ union _)
+          .groupBy("tableName", "columnName", "groupKey")
+          .agg(count(lit(1)).cast("float").as("num_records"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+
   def profileHistogramAsBuilt(spark: SparkSession, dir: String,
       tables: Seq[TableMeta] = Tables.all): DataFrame = {
-    val perTable = tables.map { t =>
-      val df = Tables.balanced(spark, Tables.load(spark, dir, t.name))
-      // group key is the raw value; emitted value is the column name
-      df.select(t.atomicCols.map(c => col(c.name).cast("string").as(c.name)): _*)
-        .unpivot(Array.empty[Column], t.atomicCols.map(c => col(c.name)).toArray,
-          "columnName", "groupKey")
-        .select(lit(t.name).as("tableName"), col("columnName"), col("groupKey"))
-    }
-    perTable.reduce(_ union _)
-      .groupBy("tableName", "columnName", "groupKey")
-      .agg(count(lit(1)).cast("float").as("num_records"))
+    histogramAggAsBuilt(spark, dir, tables)
       // reference semantics: only (table, column, count) survive — distinct
       // values sharing a count collapse under the SQL-union set semantics
       .select(col("tableName"), col("columnName"), col("num_records"))
@@ -168,10 +212,7 @@ object Profiler {
     * UI shows per column (ref purpose: notebooks/readme.md:20). */
   def profileSummary(spark: SparkSession, dir: String,
       tables: Seq[TableMeta] = Tables.all): DataFrame = {
-    val melted = tables.map(melt(spark, dir, _)).reduce(_ union _)
-    melted
-      .groupBy("tableName", "columnName", "value")
-      .agg(count(lit(1)).as("cnt"))
+    histogramAgg(spark, dir, tables)
       .groupBy("tableName", "columnName")
       .agg(
         count(lit(1)).as("ndv"),

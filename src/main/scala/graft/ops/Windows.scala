@@ -24,9 +24,20 @@ object Windows {
     * win_topk_per_group). Ranks the profile_histogram output itself. */
   private val winTopkPerGroup: Q = (s, dir) => {
     val hist = Profiler.profileHistogram(s, dir, Seq(Tables.meta("orders")))
-    val w = Window.partitionBy("tableName", "columnName")
-      .orderBy(desc("num_records"), asc("value"))
-    hist.withColumn("rn", row_number().over(w).cast("bigint"))
+    // Two-phase top-k (REPOSE-style, PAPERS.md): a single window over
+    // (tableName, columnName) has only #columns partitions — at scale that
+    // serializes the sort onto #columns tasks. Phase 1 takes a local top-3
+    // within each *physical* partition (parallelism = cluster width);
+    // phase 2 ranks the <= 3·partitions survivors per group. row_number
+    // semantics are preserved exactly: any global top-3 row is a local
+    // top-3 row of its partition under the same total order.
+    val order = Seq(desc("num_records"), asc("value"))
+    val local = Window.partitionBy("pid", "tableName", "columnName").orderBy(order: _*)
+    val global = Window.partitionBy("tableName", "columnName").orderBy(order: _*)
+    hist.withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= 3)
+      .withColumn("rn", row_number().over(global).cast("bigint"))
       .filter(col("rn") <= 3)
       .select(col("tableName"), col("columnName"), col("value"), col("num_records"), col("rn"))
       .orderBy("tableName", "columnName", "rn")
