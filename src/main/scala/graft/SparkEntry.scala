@@ -27,6 +27,7 @@ object SparkEntry {
     ops.Extras.queries ++
     ops.Analytics.queries ++
     ops.Corpus.queries ++
+    ops.Wave3.queries ++
     sources.Formats.queries ++
     ops.Ivf.queries
 
@@ -43,6 +44,7 @@ object SparkEntry {
     ops.Extras.oracles ++
     ops.Analytics.oracles ++
     ops.Corpus.oracles ++
+    ops.Wave3.oracles ++
     sources.Formats.oracles ++
     ops.Ivf.oracles
 }

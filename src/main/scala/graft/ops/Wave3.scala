@@ -1,0 +1,333 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry.Q
+import graft.engine.Tables
+
+/** Round-3 operator wave: dedup clustering, stratified corpus sampling,
+  * sequence packing, regexp/date-interval scalar families, IGNORE NULLS
+  * windows, k-NN join, embedding quantization, grouping_id, and the
+  * whole-database per-column top-k — every query oracle-backed.
+  *
+  * Training-pipeline framing: near-dup PAIRS (dedup_minhash/jaccard) are
+  * only half of dedup — production keeps ONE doc per connected component,
+  * so `dedup_components` closes the loop; `sample_stratified` is the
+  * corpus-mixing primitive; `corpus_pack` is context-window sequence
+  * packing; `embed_quantize` is the int8 storage form of an embedding
+  * index.
+  */
+object Wave3 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Whitespace/punct token split (identical to LlmPipeline.tokens /
+    * its DuckDB twin, which the text_* oracles already pin). */
+  private def toks(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
+  private val duckToks =
+    "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x->x<>'')"
+
+  // ---- dedup_components: connected components over near-dup pairs ------
+
+  /** Min-label propagation over the ngram-Jaccard near-dup graph: each
+    * doc's component id is the smallest doc_id reachable through dup
+    * pairs — the "keep one per cluster" step that turns pairwise dedup
+    * output into actual drops. Pregel-style: `iters` rounds of
+    * (edge-join → min-aggregate), each one shuffle on the node id; at
+    * 100 TB this is the standard distributed CC (GraphX/Pregel shape) and
+    * converges in O(cluster diameter) rounds — near-dup clusters are
+    * shallow (dup families, not long chains), so a fixed small round
+    * count suffices and is verified against the oracle's true transitive
+    * closure (recursive CTE). */
+  private val dedupComponents: Q = (s, dir) => {
+    val pairs = LlmPipeline.queries("dedup_ngram_jaccard")(s, dir).select("i", "j")
+    val edges = pairs.union(pairs.select(col("j"), col("i")))
+      .toDF("src", "dst").persist()
+    var lbl = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+    for (_ <- 0 until 6) {
+      val prop = edges.as("e").join(lbl.as("l"), col("e.src") === col("l.v"))
+        .select(col("e.dst").as("v"), col("l.lbl").as("lbl"))
+      lbl = lbl.union(prop).groupBy("v").agg(min("lbl").as("lbl"))
+    }
+    val out = lbl.select(col("v").as("doc_id"), col("lbl").as("component"))
+      .orderBy("doc_id")
+    out
+  }
+
+  private def dedupComponentsOracle: String = {
+    val jacc = LlmPipeline.oracles("dedup_ngram_jaccard")
+    s"""WITH RECURSIVE pairs AS ($jacc),
+       |edges AS (SELECT i AS src, j AS dst FROM pairs UNION ALL SELECT j, i FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS v FROM edges),
+       |reach(v, r) AS (
+       |  SELECT v, v FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.v)
+       |SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- sample_stratified: per-stratum deterministic rates --------------
+
+  /** Corpus-mixing sampler: per-language sampling rates (en is
+    * down-sampled to 10%, everything else kept at 50%) via the same
+    * content-hash residue as sample_hash — deterministic, engine- and
+    * layout-independent, a narrow map evaluated at the scan. */
+  private val sampleStratified: Q = (s, dir) => {
+    val h = pmod(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
+      16, 10).cast("bigint"), lit(100))
+    t(s, dir, "documents")
+      .withColumn("bucket", h)
+      .filter(col("bucket") < when(col("lang") === "en", 10).otherwise(50))
+      .select("doc_id", "lang", "source", "bucket")
+      .orderBy("doc_id")
+  }
+
+  private val sampleStratifiedOracle =
+    """SELECT doc_id, lang, source, bucket FROM (
+      |  SELECT doc_id, lang, source,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS bucket
+      |  FROM documents)
+      |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END ORDER BY doc_id""".stripMargin
+
+  // ---- corpus_pack: context-window sequence packing --------------------
+
+  /** Sequence packing: documents are packed in doc_id order into
+    * 512-token context windows per (lang, source) stream — pack id is the
+    * running token count divided by the window size (contiguous packing;
+    * a doc spanning a boundary starts its pack at its first token). The
+    * running sum is one partitioned window — per-stream, so packing
+    * parallelizes across strata at 100 TB instead of serializing on a
+    * global order. */
+  private val corpusPack: Q = (s, dir) => {
+    val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(toks(col("text"))).cast("bigint").as("n_tok"))
+      .withColumn("cum_tok", sum("n_tok").over(w))
+      .withColumn("pack_id", floor((col("cum_tok") - col("n_tok")) / 512).cast("bigint"))
+      .orderBy("doc_id")
+  }
+
+  private val corpusPackOracle =
+    s"""SELECT doc_id, lang, source, n_tok,
+       |  SUM(n_tok) OVER w AS cum_tok,
+       |  CAST(FLOOR((SUM(n_tok) OVER w - n_tok) / 512) AS BIGINT) AS pack_id
+       |FROM (SELECT doc_id, lang, source, CAST(len($duckToks) AS BIGINT) AS n_tok FROM documents)
+       |WINDOW w AS (PARTITION BY lang, source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- fn_regexp: extract / replace / extract_all ----------------------
+
+  /** Regexp scalar family (both engines on RE2-safe patterns: plain
+    * character classes, no lookaround/backrefs). */
+  private val fnRegexp: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "([0-9]+)", 1).as("first_num"),
+        regexp_replace(col("text"), "[0-9]+", "#").as("no_digits"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("bigint").as("n_nums"))
+      .orderBy("doc_id")
+
+  private val fnRegexpOracle =
+    """SELECT doc_id,
+      |  regexp_extract(text, '([0-9]+)', 1) AS first_num,
+      |  regexp_replace(text, '[0-9]+', '#', 'g') AS no_digits,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_nums
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- fn_interval: calendar arithmetic --------------------------------
+
+  /** Date/interval arithmetic family: add_months (end-of-month clamped on
+    * both engines), last_day, month/week truncation, day diff from a
+    * fixed epoch. */
+  private val fnInterval: Q = (s, dir) => {
+    val d = to_date(col("o_orderdate"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        d.as("d"),
+        add_months(d, 3).as("plus3m"),
+        last_day(d).as("eom"),
+        trunc(d, "month").as("som"),
+        trunc(d, "week").as("sow"),
+        datediff(d, lit("1995-01-01")).cast("bigint").as("days_since"))
+      .orderBy("o_orderkey")
+  }
+
+  private val fnIntervalOracle =
+    """SELECT o_orderkey, d,
+      |  CAST(d + INTERVAL 3 MONTH AS DATE) AS plus3m,
+      |  last_day(d) AS eom,
+      |  date_trunc('month', d) AS som,
+      |  date_trunc('week', d) AS sow,
+      |  CAST(date_diff('day', DATE '1995-01-01', d) AS BIGINT) AS days_since
+      |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- win_ignore_nulls: gap-bridging analytics ------------------------
+
+  /** IGNORE NULLS window analytics: carry the previous / latest non-null
+    * observation across gaps (the last-observation-carried-forward
+    * primitive for sparse sensor streams). */
+  private val winIgnoreNulls: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("v", when(col("event_type") === "click", col("value")))
+      .select(col("event_id"), col("user_id"), col("v"),
+        lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_click"),
+        last(col("v"), ignoreNulls = true).over(wRows).as("latest_click"))
+      .orderBy("event_id")
+  }
+
+  private val winIgnoreNullsOracle =
+    """SELECT event_id, user_id, v,
+      |  lag(v IGNORE NULLS) OVER w AS prev_click,
+      |  last_value(v IGNORE NULLS) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS latest_click
+      |FROM (SELECT event_id, user_id, ts,
+      |        CASE WHEN event_type = 'click' THEN value END AS v
+      |      FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |ORDER BY event_id""".stripMargin
+
+  // ---- sim_knn_join: top-k neighbors for a query SET -------------------
+
+  /** k-NN JOIN: top-3 cosine neighbors for EACH of the 10 query vectors
+    * (vec_id < 10) — the batch form of sim_topk. Queries are broadcast
+    * (model-sized side), the corpus never shuffles, and the per-query
+    * top-k is two-phase (local top-3 per physical partition, then global
+    * rank) so ranking parallelism is cluster-width, not #queries. */
+  private val simKnnJoin: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.functions.Native.cosineSim(col("v"), col("qv")), 6).as("cos"))
+    val order = Seq(desc("cos"), asc("vec_id"))
+    val local = Window.partitionBy("pid", "qid").orderBy(order: _*)
+    val global = Window.partitionBy("qid").orderBy(order: _*)
+    scored.withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= 3)
+      .withColumn("rn", row_number().over(global).cast("bigint")).filter(col("rn") <= 3)
+      .select("qid", "vec_id", "cos", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  private val simKnnJoinOracle =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT qid, vec_id,
+      |    ROUND(list_aggregate(list_transform(list_zip(v, qv), x -> x[1] * x[2]), 'sum')
+      |      / (SQRT(list_aggregate(list_transform(v, x -> x*x), 'sum')) * SQRT(list_aggregate(list_transform(qv, x -> x*x), 'sum'))), 6) AS cos
+      |  FROM e CROSS JOIN q WHERE vec_id <> qid)
+      |SELECT qid, vec_id, cos, rn FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rn FROM scored)
+      |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
+  // ---- embed_quantize: L2-normalize + int8 -----------------------------
+
+  /** Embedding storage quantization: L2 norm (exact sequential double
+    * fold, same order both engines) and the int8 code array
+    * floor(x/norm*127 + 0.5) — explicit floor(+0.5) instead of round()
+    * because engines disagree on negative-half rounding modes. */
+  private val embedQuantize: Q = (s, dir) =>
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        sqrt(aggregate(col("embedding"), lit(0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("norm"))
+      .join(t(s, dir, "embeddings"), Seq("vec_id"))
+      .select(col("vec_id"), round(col("norm"), 6).as("l2_norm"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") / col("norm") * 127 + 0.5).cast("int")).as("q"))
+      .orderBy("vec_id")
+
+  private val embedQuantizeOracle =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, SQRT(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS norm FROM e)
+      |SELECT e.vec_id, ROUND(n.norm, 6) AS l2_norm,
+      |  list_transform(e.v, x -> CAST(FLOOR(x / n.norm * 127 + 0.5) AS INT)) AS q
+      |FROM e JOIN n ON e.vec_id = n.vec_id ORDER BY e.vec_id""".stripMargin
+
+  // ---- agg_grouping_id -------------------------------------------------
+
+  /** GROUPING SETS with grouping_id disambiguation (real NULLs vs
+    * rollup NULLs). */
+  private val aggGroupingId: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""SELECT o_orderstatus, o_orderpriority,
+              CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+              COUNT(*) AS n
+             FROM orders
+             GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+             ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+  }
+
+  private val aggGroupingIdOracle =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // ---- profile_topk_all: top-3 values for EVERY column -----------------
+
+  /** Whole-database per-column top-3 — the profiler UX panel over all 51
+    * columns, served from the materialized histogram (one read, no
+    * re-scan of any base table) with the two-phase top-k. */
+  private val profileTopkAll: Q = (s, dir) => {
+    val hist = Profiler.profileHistogram(s, dir)
+    val order = Seq(desc("num_records"), asc("value"))
+    val local = Window.partitionBy("pid", "tableName", "columnName").orderBy(order: _*)
+    val global = Window.partitionBy("tableName", "columnName").orderBy(order: _*)
+    hist.withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= 3)
+      .withColumn("rn", row_number().over(global).cast("bigint")).filter(col("rn") <= 3)
+      .select(col("tableName"), col("columnName"), col("value"), col("num_records"), col("rn"))
+      .orderBy("tableName", "columnName", "rn")
+  }
+
+  private def profileTopkAllOracle: String = {
+    val inner = (for (tm <- Tables.all; c <- tm.atomicCols) yield
+      s"""SELECT '${tm.name}' AS tableName, '${c.name}' AS columnName, value, CAST(COUNT(*) AS REAL) AS num_records FROM (SELECT ${Profiler.duckFmtValue(c)} AS value FROM ${tm.name}) GROUP BY value"""
+      ).mkString(" UNION ALL ")
+    s"""SELECT tableName, columnName, value, num_records, rn FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY tableName, columnName ORDER BY num_records DESC, value ASC NULLS FIRST) AS BIGINT) AS rn
+       |  FROM ($inner))
+       |WHERE rn <= 3 ORDER BY tableName, columnName, rn""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_components" -> dedupComponents,
+    "sample_stratified" -> sampleStratified,
+    "corpus_pack" -> corpusPack,
+    "fn_regexp" -> fnRegexp,
+    "fn_interval" -> fnInterval,
+    "win_ignore_nulls" -> winIgnoreNulls,
+    "sim_knn_join" -> simKnnJoin,
+    "embed_quantize" -> embedQuantize,
+    "agg_grouping_id" -> aggGroupingId,
+    "profile_topk_all" -> profileTopkAll
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_components" -> dedupComponentsOracle,
+    "sample_stratified" -> sampleStratifiedOracle,
+    "corpus_pack" -> corpusPackOracle,
+    "fn_regexp" -> fnRegexpOracle,
+    "fn_interval" -> fnIntervalOracle,
+    "win_ignore_nulls" -> winIgnoreNullsOracle,
+    "sim_knn_join" -> simKnnJoinOracle,
+    "embed_quantize" -> embedQuantizeOracle,
+    "agg_grouping_id" -> aggGroupingIdOracle,
+    "profile_topk_all" -> profileTopkAllOracle
+  )
+}

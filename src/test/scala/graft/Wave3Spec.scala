@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Wave3
+
+/** Properties of the round-3 wave beyond the DuckDB differential gate. */
+class Wave3Spec extends SparkSuite {
+
+  test("dedup_components has converged (labels are a fixed point)") {
+    val comp = Wave3.queries("dedup_components")(spark, sf)
+      .withColumnRenamed("component", "lbl").persist()
+    // one more propagation round changes nothing: every neighbor pair
+    // already shares a component label
+    val pairs = graft.ops.LlmPipeline.queries("dedup_ngram_jaccard")(spark, sf)
+      .select("i", "j")
+    val mismatched = pairs
+      .join(comp.withColumnRenamed("doc_id", "i").withColumnRenamed("lbl", "li"), "i")
+      .join(comp.withColumnRenamed("doc_id", "j").withColumnRenamed("lbl", "lj"), "j")
+      .filter(col("li") =!= col("lj"))
+      .count()
+    assert(mismatched === 0)
+    // every component is labeled by its own minimum member
+    val badRoot = comp.groupBy("lbl").agg(min("doc_id").as("mn"))
+      .filter(col("lbl") =!= col("mn")).count()
+    assert(badRoot === 0)
+  }
+
+  test("embed_quantize codes are int8-range and norms positive") {
+    val q = Wave3.queries("embed_quantize")(spark, sf).persist()
+    assert(q.filter(col("l2_norm") <= 0).count() === 0)
+    val outOfRange = q
+      .select(explode(col("q")).as("c"))
+      .filter(col("c") > 127 || col("c") < -127)
+      .count()
+    assert(outOfRange === 0)
+  }
+
+  test("corpus_pack: pack ids are monotone and start at 0 per stratum") {
+    val p = Wave3.queries("corpus_pack")(spark, sf).persist()
+    val firsts = p.groupBy("lang", "source").agg(min("pack_id").as("mn"))
+      .filter(col("mn") =!= 0).count()
+    assert(firsts === 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    val nonMonotone = p.withColumn("prev", lag("pack_id", 1).over(w))
+      .filter(col("prev").isNotNull && col("pack_id") < col("prev")).count()
+    assert(nonMonotone === 0)
+  }
+
+  test("sim_knn_join agrees with per-query brute force") {
+    val knn = Wave3.queries("sim_knn_join")(spark, sf)
+      .filter(col("qid") === 3).select("vec_id").collect().map(_.getLong(0)).toSeq
+    val e = graft.engine.Tables.load(spark, sf, "embeddings")
+    val qv = e.filter(col("vec_id") === 3).select(col("embedding").as("qv"))
+    val brute = e.crossJoin(qv).filter(col("vec_id") =!= 3)
+      .select(col("vec_id"),
+        round(graft.functions.Native.cosineSim(col("embedding"), col("qv")), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id")).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(knn === brute)
+  }
+}
