@@ -47,16 +47,33 @@ object Wave3 {
     val pairs = LlmPipeline.queries("dedup_ngram_jaccard")(s, dir).select("i", "j")
     val edges = pairs.union(pairs.select(col("j"), col("i")))
       .toDF("src", "dst").persist()
+    // Pregel supersteps: every round's state is localCheckpoint'ed —
+    // materialized to executor blocks with the LINEAGE TRUNCATED. A lazy
+    // loop stacks all rounds into one deep plan that re-runs pair
+    // generation per round (measured 36 s at sf0.1); persist+unpersist is
+    // no better because Spark's non-cascading unpersist (SPARK-24596)
+    // marks the dependent round's cache for rebuild, which recomputes the
+    // full lineage anyway (measured 55 s). Checkpointed rounds are
+    // independent of each other and of the edge cache. Convergence is
+    // checked per round (labels stop changing in O(cluster diameter)
+    // rounds — near-dup clusters are shallow), with a safety cap.
     var lbl = edges.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v"))
-    for (_ <- 0 until 6) {
+      .withColumn("lbl", col("v")).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 12) {
       val prop = edges.as("e").join(lbl.as("l"), col("e.src") === col("l.v"))
         .select(col("e.dst").as("v"), col("l.lbl").as("lbl"))
-      lbl = lbl.union(prop).groupBy("v").agg(min("lbl").as("lbl"))
+      val next = lbl.union(prop).groupBy("v").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      converged = next.as("n").join(lbl.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+      lbl = next
+      rounds += 1
     }
-    val out = lbl.select(col("v").as("doc_id"), col("lbl").as("component"))
+    edges.unpersist()
+    lbl.select(col("v").as("doc_id"), col("lbl").as("component"))
       .orderBy("doc_id")
-    out
   }
 
   private def dedupComponentsOracle: String = {
