@@ -73,6 +73,19 @@ object Streaming {
         (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("view_ts"))).as("latency_s"))
   }
 
+  /** Stream-static enrichment join (stream_static_join): each micro-batch
+    * joins against the static dimension — Spark re-plans the static side
+    * per batch, the dim is broadcast (model-sized), and NO state is kept:
+    * the canonical "enrich a 100 TB/day event stream with a dimension
+    * table" shape. Aggregation after enrichment keys state by the
+    * (segment, type) pair — bounded cardinality. */
+  def staticEnrich(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(broadcast(customers),
+        events("user_id") === customers("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
   case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
   case class UserState(user_id: Long, n_events: Long, sum_value: Double)

@@ -322,7 +322,69 @@ object Wave3 {
        |WHERE rn <= 3 ORDER BY tableName, columnName, rn""".stripMargin
   }
 
+  // ---- stream_static_join: micro-batch dimension enrichment ------------
+
+  /** Batch twin of [[Streaming.staticEnrich]] (StreamingSpec drives the
+    * readStream form and asserts equivalence). */
+  private val streamStaticJoin: Q = (s, dir) =>
+    Streaming.staticEnrich(t(s, dir, "events"), t(s, dir, "customer"))
+      .orderBy("c_mktsegment", "event_type")
+
+  private val streamStaticJoinOracle =
+    """SELECT c_mktsegment, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment, event_type ORDER BY c_mktsegment, event_type""".stripMargin
+
+  // ---- fn_json_path: JSON path extraction ------------------------------
+
+  /** JSON path extraction from the props column (get_json_object — the
+    * per-field probe, complementing fn_map_json's full from_json parse). */
+  private val fnJsonPath: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k_num"),
+        get_json_object(col("props"), "$.missing").as("absent"))
+      .orderBy("event_id")
+
+  private val fnJsonPathOracle =
+    """SELECT event_id,
+      |  props->>'$.k' AS k_str,
+      |  CAST(props->>'$.k' AS BIGINT) AS k_num,
+      |  props->>'$.missing' AS absent
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---- join_lateral: correlated top-1 subquery -------------------------
+
+  /** LATERAL join: each customer's single highest-value order — the
+    * correlated top-1 probe. Catalyst decorrelates the LIMIT 1 subquery
+    * into a ranked join (no per-row re-execution); the same query text
+    * runs on both engines. */
+  private val joinLateral: Q = (s, dir) => {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
+  private val joinLateralOracle =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+      |ORDER BY c.c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "stream_static_join" -> streamStaticJoin,
+    "fn_json_path" -> fnJsonPath,
+    "join_lateral" -> joinLateral,
     "dedup_components" -> dedupComponents,
     "sample_stratified" -> sampleStratified,
     "corpus_pack" -> corpusPack,
@@ -336,6 +398,9 @@ object Wave3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_static_join" -> streamStaticJoinOracle,
+    "fn_json_path" -> fnJsonPathOracle,
+    "join_lateral" -> joinLateralOracle,
     "dedup_components" -> dedupComponentsOracle,
     "sample_stratified" -> sampleStratifiedOracle,
     "corpus_pack" -> corpusPackOracle,

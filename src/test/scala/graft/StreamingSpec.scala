@@ -41,6 +41,23 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join (complete mode) equals batch equivalent") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val dim = Tables.load(spark, sf, "customer")
+    val q = Streaming.staticEnrich(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich").outputMode("complete").start()
+    try {
+      input.addData(fixtureEvents)
+      q.processAllAvailable()
+      val streamed = spark.table("enrich")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = Streaming.staticEnrich(Tables.load(spark, sf, "events"), dim)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("watermark drops events later than 10 minutes behind max event time") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[EventRow]
