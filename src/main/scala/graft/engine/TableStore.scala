@@ -27,6 +27,11 @@ trait TableStore {
   def compact(spark: SparkSession, name: String, targetBytes: Long): OptimizeMetrics
   /** Multi-dimensional clustering (ref: OPTIMIZE ZORDER, dbc cmd16/17). */
   def cluster(spark: SparkSession, name: String, zorderBy: Seq[String], bits: Int): OptimizeMetrics
+  /** VACUUM analog: reclaim staging leftovers older than the retention
+    * horizon (Delta's VACUUM default is 7 days; crash-abandoned staged
+    * writes are the parquet store's only orphan class). Returns the number
+    * of reclaimed directories. */
+  def vacuum(retainMs: Long): Long
 }
 
 /** Shape-parity with the reference's OPTIMIZE result metrics struct
@@ -172,6 +177,16 @@ class ParquetStore(root: String) extends TableStore {
           org.apache.spark.sql.functions.max(col(column).cast("double"))).head()
       if (r.isNullAt(0)) None else Some((r.getDouble(0), r.getDouble(1)))
     }
+
+  override def vacuum(retainMs: Long): Long = {
+    val rootDir = new java.io.File(root)
+    if (!rootDir.exists) return 0L
+    val cutoff = System.currentTimeMillis() - retainMs
+    val stale = rootDir.listFiles.toSeq.filter(d =>
+      d.isDirectory && d.getName.endsWith("__staged") && d.lastModified < cutoff)
+    stale.foreach(deleteRec)
+    stale.size.toLong
+  }
 
   private def rewrite(spark: SparkSession, df: DataFrame, name: String): Unit = {
     val tmp = path(name + "__staged")

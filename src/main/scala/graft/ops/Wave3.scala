@@ -381,7 +381,50 @@ object Wave3 {
       |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
       |ORDER BY c.c_custkey""".stripMargin
 
+  // ---- flagship_star_join: the 3-table analytics shape -----------------
+
+  /** TPC-H Q3-shaped star join: segment-filtered customers (broadcast —
+    * dims are model-sized next to the fact), date-filtered orders joined
+    * to lineitem on the shuffle key, one partial-aggregated groupBy, and
+    * TakeOrderedAndProject for the top 10 — the canonical "100 TB fact,
+    * small dims" plan. Revenue is decimal×decimal so the sum is exact on
+    * both engines. */
+  private val flagshipStarJoin: Q = (s, dir) => {
+    val cutoff = "1995-03-15"
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t(s, dir, "orders")
+      .filter(to_date(col("o_orderdate")) < lit(cutoff))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = t(s, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) > lit(cutoff))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .as("rev"))
+    ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("odate"),
+        col("o_orderpriority"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderkey"))
+      .limit(10)
+  }
+
+  private val flagshipStarJoinOracle =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+      |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+      |GROUP BY o_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "flagship_star_join" -> flagshipStarJoin,
     "stream_static_join" -> streamStaticJoin,
     "fn_json_path" -> fnJsonPath,
     "join_lateral" -> joinLateral,
@@ -398,6 +441,7 @@ object Wave3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "flagship_star_join" -> flagshipStarJoinOracle,
     "stream_static_join" -> streamStaticJoinOracle,
     "fn_json_path" -> fnJsonPathOracle,
     "join_lateral" -> joinLateralOracle,

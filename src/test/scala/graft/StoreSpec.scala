@@ -100,4 +100,21 @@ class StoreSpec extends SparkSuite {
       .select(col("p_partkey"), ZOrder.zvalue(8, col("p_size"), col("p_partkey") % 256).as("z"))
     assert(df.select(countDistinct(col("z"))).head().getLong(0) > 1)
   }
+
+  test("vacuum reclaims abandoned staged dirs but respects retention") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vacuum").toString
+    val store = new graft.engine.ParquetStore(root)
+    import spark.implicits._
+    store.overwrite(Seq((1L, "a")).toDF("k", "v"), "t")
+    // simulate a crash-abandoned staged write
+    val staged = new java.io.File(root + "/t__staged")
+    staged.mkdirs()
+    new java.io.File(staged, "part-0.parquet").createNewFile()
+    assert(store.vacuum(retainMs = 3600000L) === 0L)   // too young: retained
+    assert(staged.exists)
+    assert(store.vacuum(retainMs = 0L) === 1L)          // past horizon: gone
+    assert(!staged.exists)
+    // the live table is untouched
+    assert(store.read(spark, "t").count() === 1L)
+  }
 }

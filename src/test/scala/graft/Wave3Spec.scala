@@ -60,4 +60,12 @@ class Wave3Spec extends SparkSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(knn === brute)
   }
+
+  test("flagship_star_join plans broadcast dims + TakeOrderedAndProject") {
+    val df = Wave3.queries("flagship_star_join")(spark, sf)
+    df.count() // let AQE finalize
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
 }
