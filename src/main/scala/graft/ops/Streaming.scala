@@ -90,6 +90,49 @@ object Streaming {
       event_type: String, value: Double, props: String)
   case class UserState(user_id: Long, n_events: Long, sum_value: Double)
 
+  case class SessionState(events: Long, start: Long, last: Long)
+  case class ClosedSession(user_id: Long, session_start: Long,
+      session_end: Long, n_events: Long)
+
+  /** Custom sessionization via flatMapGroupsWithState: emits one row per
+    * CLOSED session (30-minute inactivity gap), holding only
+    * (count, start, last) per live user in state — the arbitrary-state
+    * form that session_window cannot express (e.g. per-session emission
+    * with custom close rules). Event-time timeout closes idle sessions
+    * as the watermark passes; state per user is O(1). */
+  def closedSessions(events: Dataset[EventRow]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed the gap: close and emit the session
+            val st = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, st.start, st.last, st.events))
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+            var closed = List.empty[ClosedSession]
+            var st = state.getOption.getOrElse(SessionState(0L, 0L, 0L))
+            for (r <- sorted) {
+              val t = r.ts.getTime
+              if (st.events == 0L) st = SessionState(1L, t, t)
+              else if (t - st.last > gapMs) {
+                closed ::= ClosedSession(uid, st.start, st.last, st.events)
+                st = SessionState(1L, t, t)
+              } else st = SessionState(st.events + 1, st.start, t)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.last + gapMs)
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user totals
     * (stream_stateful_count). */
   def statefulUserCounts(events: Dataset[EventRow]): Dataset[UserState] = {

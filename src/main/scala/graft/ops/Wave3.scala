@@ -423,8 +423,41 @@ object Wave3 {
       |GROUP BY o_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
 
+  // ---- join_salted_skew: hot-key join decomposition --------------------
+
+  /** Salted join on a pathologically skewed key (l_returnflag: 3 values →
+    * 3 reducers own 100 TB in a plain shuffle join). The small side is
+    * replicated across 16 salt values; the fact side derives its salt
+    * from a row hash, so each hot key fans out over 16 reducers. The
+    * final aggregate is salt-free — results identical to the unsalted
+    * join (which is exactly what the oracle runs). AQE's skew-join
+    * split handles moderate skew automatically; explicit salting is the
+    * deterministic form for known-degenerate keys. */
+  private val joinSaltedSkew: Q = (s, dir) => {
+    import s.implicits._
+    val salts = 16
+    val dim = Seq(("A", "accepted"), ("N", "new"), ("R", "returned"))
+      .toDF("flag", "meaning")
+      .crossJoin(s.range(salts).select(col("id").cast("int").as("salt")))
+    val fact = t(s, dir, "lineitem")
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)).cast("int"))
+    fact.join(dim, fact("l_returnflag") === dim("flag") && fact("salt") === dim("salt"))
+      .groupBy("meaning")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("meaning")
+  }
+
+  private val joinSaltedSkewOracle =
+    """SELECT meaning, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN (VALUES ('A','accepted'),('N','new'),('R','returned')) AS d(flag, meaning)
+      |  ON l_returnflag = flag
+      |GROUP BY meaning ORDER BY meaning""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "flagship_star_join" -> flagshipStarJoin,
+    "join_salted_skew" -> joinSaltedSkew,
     "stream_static_join" -> streamStaticJoin,
     "fn_json_path" -> fnJsonPath,
     "join_lateral" -> joinLateral,
@@ -442,6 +475,7 @@ object Wave3 {
 
   val oracles: Map[String, String] = Map(
     "flagship_star_join" -> flagshipStarJoinOracle,
+    "join_salted_skew" -> joinSaltedSkewOracle,
     "stream_static_join" -> streamStaticJoinOracle,
     "fn_json_path" -> fnJsonPathOracle,
     "join_lateral" -> joinLateralOracle,

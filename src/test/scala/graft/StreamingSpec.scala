@@ -164,4 +164,32 @@ class StreamingSpec extends SparkSuite {
       assert(batch.nonEmpty, "fixture must contain view->purchase conversions")
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState emits closed sessions on gap and on timeout") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = Streaming.closedSessions(input.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 40-min gap
+      // and a third event -> the first session closes on the gap
+      input.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      input.addData(ev(3, "2024-01-01 10:45:00"))
+      q.processAllAvailable()
+      val afterGap = spark.table("sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(afterGap === Set((1L, 2L)))   // first session: 2 events
+      // advance the watermark far past the last event: timeout fires and
+      // the open session (1 event) is emitted
+      input.addData(ev(99, "2024-01-01 13:00:00", user = 7L))
+      q.processAllAvailable()
+      input.addData(ev(100, "2024-01-01 15:00:00", user = 7L))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .filter(col("user_id") === 1L)
+        .collect().map(_.getLong(3)).toSeq.sorted
+      assert(sessions === Seq(1L, 2L))
+    } finally q.stop()
+  }
 }
