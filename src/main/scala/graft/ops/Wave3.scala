@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -455,8 +455,83 @@ object Wave3 {
       |  ON l_returnflag = flag
       |GROUP BY meaning ORDER BY meaning""".stripMargin
 
+  // ---- agg_time_rollup: calendar-hierarchy rollup ----------------------
+
+  /** ROLLUP over a derived time hierarchy (year → quarter → month):
+    * subtotals at every calendar grain in one pass — grouping columns are
+    * computed at the scan, so the rollup is still a single Expand +
+    * aggregate, no self-joins. */
+  private val aggTimeRollup: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select(year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        col("o_totalprice"))
+      .rollup("y", "q", "m")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(asc_nulls_first("y"), asc_nulls_first("q"), asc_nulls_first("m"))
+
+  private val aggTimeRollupOracle =
+    """SELECT y, q, m, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM (SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(quarter(o_orderdate) AS INT) AS q,
+      |             CAST(month(o_orderdate) AS INT) AS m, o_totalprice FROM orders)
+      |GROUP BY ROLLUP (y, q, m)
+      |ORDER BY y NULLS FIRST, q NULLS FIRST, m NULLS FIRST""".stripMargin
+
+  // ---- fn_explode_outer: null-preserving generators --------------------
+
+  /** explode_outer: rows with EMPTY token arrays survive with a NULL
+    * element (plain explode silently drops them — fatal when the melted
+    * row must keep 1:1 provenance with its document). */
+  private val fnExplodeOuter: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode_outer(filter(toks(col("text")), x => length(x) >= 12)).as("longtok"))
+      .orderBy(asc("doc_id"), asc_nulls_first("longtok"))
+
+  private val fnExplodeOuterOracle =
+    s"""SELECT doc_id, u.longtok FROM
+       |  (SELECT doc_id, list_filter($duckToks, x -> length(x) >= 12) AS lt FROM documents) d
+       |LEFT JOIN LATERAL (SELECT unnest(d.lt) AS longtok) u ON TRUE
+       |ORDER BY doc_id, longtok NULLS FIRST""".stripMargin
+
+  // ---- sink_dynamic_partition: partition-scoped overwrite --------------
+
+  /** Dynamic partition overwrite: rewrite ONLY the partitions present in
+    * the incoming batch (partitionOverwriteMode=dynamic), leaving sibling
+    * partitions untouched — the idempotent daily-reload write mode of a
+    * partitioned lake. The oracle reconstructs the expected post-state:
+    * 1996 rows discounted, every other year original. */
+  private val sinkDynamicPartition: Q = (s, dir) => {
+    val tmp = sys.props("java.io.tmpdir") +
+      s"/graft-scratch-${s.sparkContext.applicationId}/dynpart/orders"
+    val base = t(s, dir, "orders").withColumn("oyear", year(col("o_orderdate")))
+    base.write.mode(SaveMode.Overwrite).partitionBy("oyear").parquet(tmp)
+    // overwrite JUST the 1996 partition with adjusted prices (an exact
+    // IEEE add — round(x*0.9, 2) differs between engines on .x05 halves)
+    base.filter(col("oyear") === 1996)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("oyear").parquet(tmp)
+    s.read.parquet(tmp)
+      .select(col("o_orderkey"), col("o_totalprice"), col("oyear").cast("bigint").as("oyear"))
+      .orderBy("o_orderkey")
+  }
+
+  private val sinkDynamicPartitionOracle =
+    """SELECT o_orderkey,
+      |  CASE WHEN year(o_orderdate) = 1996 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+      |  CAST(year(o_orderdate) AS BIGINT) AS oyear
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "flagship_star_join" -> flagshipStarJoin,
+    "agg_time_rollup" -> aggTimeRollup,
+    "fn_explode_outer" -> fnExplodeOuter,
+    "sink_dynamic_partition" -> sinkDynamicPartition,
     "join_salted_skew" -> joinSaltedSkew,
     "stream_static_join" -> streamStaticJoin,
     "fn_json_path" -> fnJsonPath,
@@ -475,6 +550,9 @@ object Wave3 {
 
   val oracles: Map[String, String] = Map(
     "flagship_star_join" -> flagshipStarJoinOracle,
+    "agg_time_rollup" -> aggTimeRollupOracle,
+    "fn_explode_outer" -> fnExplodeOuterOracle,
+    "sink_dynamic_partition" -> sinkDynamicPartitionOracle,
     "join_salted_skew" -> joinSaltedSkewOracle,
     "stream_static_join" -> streamStaticJoinOracle,
     "fn_json_path" -> fnJsonPathOracle,
