@@ -1,0 +1,34 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped materialization of expensive shared intermediates.
+  *
+  * The reference's pattern: expensive derived relations (profileData,
+  * SchemaInformation) are written ONCE as meta-tables and every
+  * downstream query reads the materialization (ref: dbc cmd8/cmd9). The
+  * in-session form is a persisted DataFrame memoized by (session, key);
+  * at 100 TB the same seam writes a parquet/Delta meta-table instead —
+  * output sizes here (per-column NDV aggregates, near-dup candidate
+  * pairs) are orders of magnitude below input bytes.
+  *
+  * `invalidate()` drops everything (e.g. after upserts change a table).
+  */
+object Materialize {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  /** Get-or-build: `build` runs once per (session, key); the result is
+    * persisted MEMORY_AND_DISK and shared by every later caller. */
+  def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    cache.computeIfAbsent((System.identityHashCode(spark).toString, key),
+      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+
+  def invalidate(): Unit = {
+    import scala.jdk.CollectionConverters._
+    cache.values.asScala.foreach(_.unpersist())
+    cache.clear()
+  }
+}

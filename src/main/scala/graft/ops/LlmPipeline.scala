@@ -197,26 +197,31 @@ object LlmPipeline {
     * blocks — blocked token join, exact set arithmetic, oracle-checked.
     * Blocking keys bound the join fan-out; at 100 TB the block key is
     * the shuffle partition key. */
-  private val dedupNgramJaccard: Q = (s, dir) => {
-    val d = docs(s, dir).filter(col("doc_id") < 2000)
-      .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(tokens(col("text"))).as("toks"))
-    val sizes = d.select(col("doc_id"), size(col("toks")).as("sz"))
-    val tok = d.select(col("doc_id"), col("lang"), col("source"), explode(col("toks")).as("w"))
-    val inter = tok.as("a").join(tok.as("b"),
-        col("a.w") === col("b.w") && col("a.lang") === col("b.lang") &&
-          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("sz", "szi"), "i")
-      .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("sz", "szj"), "j")
-      .withColumn("jacc", col("inter").cast("double") /
-        (col("szi") + col("szj") - col("inter")).cast("double"))
-      .filter(col("jacc") >= 0.8)
-      .select("i", "j", "jacc")
-      .orderBy("i", "j")
-  }
+  private val dedupNgramJaccard: Q = (s, dir) =>
+    // The confirmed-pair table is a materialized intermediate (the dedup
+    // analog of the profiler's profileData meta-table): downstream
+    // consumers — dedup_components clustering, repeated audits — read it
+    // without re-running the blocked token join. At 100 TB this is the
+    // written candidates/pairs table every production dedup run keeps.
+    graft.engine.Materialize(s, s"jaccard-pairs:$dir") {
+      val d = docs(s, dir).filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("lang"), col("source"),
+          array_distinct(tokens(col("text"))).as("toks"))
+      val sizes = d.select(col("doc_id"), size(col("toks")).as("sz"))
+      val tok = d.select(col("doc_id"), col("lang"), col("source"), explode(col("toks")).as("w"))
+      val inter = tok.as("a").join(tok.as("b"),
+          col("a.w") === col("b.w") && col("a.lang") === col("b.lang") &&
+            col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("sz", "szi"), "i")
+        .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("sz", "szj"), "j")
+        .withColumn("jacc", col("inter").cast("double") /
+          (col("szi") + col("szj") - col("inter")).cast("double"))
+        .filter(col("jacc") >= 0.8)
+        .select("i", "j", "jacc")
+    }.orderBy("i", "j")
 
   /** Embedding-cosine near-dup pairs, blocked by label (the 100 TB form
     * replaces the label block with LSH buckets — see sim_ann_lsh). Exact

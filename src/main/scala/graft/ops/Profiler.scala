@@ -48,14 +48,7 @@ object Profiler {
     * parquet/Delta meta-table; in-session it is a MEMORY_AND_DISK persist.
     * `invalidateCache()` drops all entries (e.g. after data changes).
     */
-  private val histCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Seq[String]), DataFrame]()
-
-  def invalidateCache(): Unit = {
-    import scala.jdk.CollectionConverters._
-    histCache.values.asScala.foreach(_.unpersist())
-    histCache.clear()
-  }
+  def invalidateCache(): Unit = graft.engine.Materialize.invalidate()
 
   /** The (tableName, columnName, value) -> cnt aggregate, persisted and
     * memoized. `cnt` stays BIGINT here — the float `num_records` of the
@@ -63,12 +56,11 @@ object Profiler {
     * 2^24, which a 100 TB modal count exceeds). */
   def histogramAgg(spark: SparkSession, dir: String,
       tables: Seq[TableMeta] = Tables.all): DataFrame =
-    histCache.computeIfAbsent((System.identityHashCode(spark).toString, dir, tables.map(_.name)), _ => {
+    graft.engine.Materialize(spark, s"hist:$dir:${tables.map(_.name).mkString(",")}") {
       tables.map(melt(spark, dir, _)).reduce(_ union _)
         .groupBy("tableName", "columnName", "value")
         .agg(count(lit(1)).as("cnt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** Normalized string rendering of a column value. Doubles go through
     * decimal(18,2) and timestamps through a whole-second format so the
@@ -153,19 +145,18 @@ object Profiler {
     * rendering. */
   private def histogramAggAsBuilt(spark: SparkSession, dir: String,
       tables: Seq[TableMeta]): DataFrame =
-    histCache.computeIfAbsent(
-      (System.identityHashCode(spark).toString + "#asbuilt", dir, tables.map(_.name)), _ => {
-        tables.map { t =>
-          val df = Tables.balanced(spark, Tables.load(spark, dir, t.name))
-          df.select(t.atomicCols.map(c => col(c.name).cast("string").as(c.name)): _*)
-            .unpivot(Array.empty[Column], t.atomicCols.map(c => col(c.name)).toArray,
-              "columnName", "groupKey")
-            .select(lit(t.name).as("tableName"), col("columnName"), col("groupKey"))
-        }.reduce(_ union _)
-          .groupBy("tableName", "columnName", "groupKey")
-          .agg(count(lit(1)).cast("float").as("num_records"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
+    graft.engine.Materialize(spark,
+      s"hist-asbuilt:$dir:${tables.map(_.name).mkString(",")}") {
+      tables.map { t =>
+        val df = Tables.balanced(spark, Tables.load(spark, dir, t.name))
+        df.select(t.atomicCols.map(c => col(c.name).cast("string").as(c.name)): _*)
+          .unpivot(Array.empty[Column], t.atomicCols.map(c => col(c.name)).toArray,
+            "columnName", "groupKey")
+          .select(lit(t.name).as("tableName"), col("columnName"), col("groupKey"))
+      }.reduce(_ union _)
+        .groupBy("tableName", "columnName", "groupKey")
+        .agg(count(lit(1)).cast("float").as("num_records"))
+    }
 
   def profileHistogramAsBuilt(spark: SparkSession, dir: String,
       tables: Seq[TableMeta] = Tables.all): DataFrame = {
@@ -234,17 +225,27 @@ object Profiler {
   def columnStats(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     val numCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val kvs = numCols.map { c =>
-      struct(lit(c).as("columnName"), col(c).cast("decimal(18,2)").as("v"))
+    // Single pass, no row explosion: all per-column aggregates are computed
+    // side by side in ONE global aggregate (the input is scanned once and
+    // never multiplied ×columns through a shuffle), then the one result
+    // row is unpacked into the per-column shape — the melt happens on 1
+    // row, not 100 TB of them.
+    val aggs = numCols.flatMap { c =>
+      val v = col(c).cast("decimal(18,2)")
+      Seq(
+        count(v).as(s"${c}_n"),
+        sum(when(v.isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        min(v).cast("double").as(s"${c}_min"),
+        max(v).cast("double").as(s"${c}_max"),
+        sum(v).cast("double").as(s"${c}_sum"))
     }
-    li.select(explode(array(kvs: _*)).as("kv")).select(col("kv.*"))
-      .groupBy("columnName")
-      .agg(
-        count(col("v")).as("n_nonnull"),
-        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
-        min(col("v")).cast("double").as("min_v"),
-        max(col("v")).cast("double").as("max_v"),
-        sum(col("v")).cast("double").as("sum_v"))
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val rows = numCols.map { c =>
+      struct(lit(c).as("columnName"), col(s"${c}_n").as("n_nonnull"),
+        col(s"${c}_nulls").as("n_null"), col(s"${c}_min").as("min_v"),
+        col(s"${c}_max").as("max_v"), col(s"${c}_sum").as("sum_v"))
+    }
+    one.select(explode(array(rows: _*)).as("kv")).select(col("kv.*"))
       .withColumn("avg_v", col("sum_v") / col("n_nonnull"))
       .orderBy("columnName")
   }

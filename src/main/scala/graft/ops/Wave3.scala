@@ -57,19 +57,24 @@ object Wave3 {
     // independent of each other and of the edge cache. Convergence is
     // checked per round (labels stop changing in O(cluster diameter)
     // rounds — near-dup clusters are shallow), with a safety cap.
+    def hop(l: DataFrame): DataFrame = {
+      val prop = edges.as("e").join(l.as("l"), col("e.src") === col("l.v"))
+        .select(col("e.dst").as("v"), col("l.lbl").as("lbl"))
+      l.union(prop).groupBy("v").agg(min("lbl").as("lbl"))
+    }
     var lbl = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint()
     var converged = false
-    var rounds = 0
-    while (!converged && rounds < 12) {
-      val prop = edges.as("e").join(lbl.as("l"), col("e.src") === col("l.v"))
-        .select(col("e.dst").as("v"), col("l.lbl").as("lbl"))
-      val next = lbl.union(prop).groupBy("v").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
+    var supersteps = 0
+    while (!converged && supersteps < 6) {
+      // two propagation hops per materialized superstep: per-round fixed
+      // cost (checkpoint + convergence check) is the dominant term on
+      // shallow graphs, and chaining two hops in one plan halves it
+      val next = hop(hop(lbl)).localCheckpoint()
       converged = next.as("n").join(lbl.as("o"), col("n.v") === col("o.v"))
         .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
       lbl = next
-      rounds += 1
+      supersteps += 1
     }
     edges.unpersist()
     lbl.select(col("v").as("doc_id"), col("lbl").as("component"))
