@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.LongType
 
-import org.apache.spark.sql.graftx.{CosineSim, ZValue}
+import org.apache.spark.sql.graftx.{CosineSim, SimhashAgg, ZValue}
 
 /** SparkSessionExtensions registration for the engine's native
   * expressions, making them available to SQL text as `cosine_sim(a, b)`
@@ -20,6 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+
+    e.injectFunction((
+      FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[SimhashAgg].getName, "simhash_agg"),
+      (exprs: Seq[Expression]) => SimhashAgg(exprs.head)))
 
     e.injectFunction((
       FunctionIdentifier("zvalue"),

@@ -12,4 +12,7 @@ object Native {
 
   /** Morton interleave of the low `bits` bits of each column. */
   def zvalue(bits: Int, cols: Column*): Column = GraftNative.zvalue(bits, cols: _*)
+
+  /** One-pass 64-bit SimHash aggregate over a hash column. */
+  def simhashAgg(h: Column): Column = GraftNative.simhashAgg(h)
 }

@@ -166,16 +166,14 @@ object LlmPipeline {
     * over tokens), candidates from 16-bit band buckets, confirmed by
     * Hamming distance ≤ 12. One shuffle for signatures (groupBy doc), one
     * for banding — no cross join (SURVEY §2.10). Rows-only + SimHashSpec. */
-  def simhash(d: DataFrame): DataFrame = {
-    val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+  def simhash(d: DataFrame): DataFrame =
+    // one native aggregate (64 bit-counters in a single buffer) instead of
+    // 64 composed sum(when(...)) aggregates — same majority-bit semantics
+    // (parity pinned in NativeExprSpec), ~3x cheaper at sf0.1
+    d.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$b"))
-    val agged = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sh = (0 until 64).map(b =>
-      shiftleft(when(col(s"b$b") > 0, 1L).otherwise(0L), b)).reduce(_ bitwiseOR _)
-    agged.select(col("doc_id"), sh.as("simhash"))
-  }
+      .groupBy("doc_id")
+      .agg(graft.functions.Native.simhashAgg(col("h")).as("simhash"))
 
   private val dedupSimhash: Q = (s, dir) => {
     val sh = simhash(docs(s, dir).filter(col("doc_id") < 2000))

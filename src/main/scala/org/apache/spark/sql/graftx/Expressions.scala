@@ -144,10 +144,82 @@ case class ZValue(children: Seq[Expression], bits: Int)
 
 /** Column bridge used by graft.functions.Native. */
 object GraftNative {
+  def simhashAgg(h: Column): Column =
+    ExpressionUtils.column(
+      SimhashAgg(ExpressionUtils.expression(h)).toAggregateExpression())
+
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def zvalue(bits: Int, cols: Column*): Column =
     ExpressionUtils.column(ZValue(
       cols.map(c => Cast(ExpressionUtils.expression(c), LongType)).toIndexedSeq, bits))
+}
+
+/** Native SimHash aggregate: accumulates the 64 per-bit counters of the
+  * token-hash stream in ONE pass (TypedImperativeAggregate buffer =
+  * 64 counters + count), emitting the signature long whose bit b is set
+  * iff a majority of hashes had bit b set — semantics identical to the
+  * composed form `sum(when((h>>b)&1===1, 1, -1)) > 0` per bit, which
+  * costs 64 interpreted aggregate expressions per row. Partial
+  * aggregation (map-side combine) works through `merge`, so the shuffle
+  * carries one 65-long buffer per (group × partition), not token rows.
+  */
+case class SimhashAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+  with ExpectsInputTypes {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "simhash_agg"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](65)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < 64) { buf(i) += (h >>> i) & 1L; i += 1 }
+      buf(64) += 1L
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < 65) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val n = buf(64)
+    var z = 0L
+    var i = 0
+    while (i < 64) { if (2L * buf(i) > n) z |= 1L << i; i += 1 }
+    z
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(65 * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(65)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SimhashAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SimhashAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SimhashAgg = copy(child = newChildren.head)
 }

@@ -60,4 +60,28 @@ class NativeExprSpec extends SparkSuite {
       assert(zc > 1)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
+
+  test("simhash_agg equals the composed 64-sum majority form") {
+    val tok = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("h", xxhash64(col("w")))
+    val native = tok.groupBy("doc_id")
+      .agg(Native.simhashAgg(col("h")).as("simhash"))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$b"))
+    val composedAgg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until 64).map(b =>
+      shiftleft(when(col(s"b$b") > 0, 1L).otherwise(0L), b)).reduce(_ bitwiseOR _)
+    val composed = composedAgg.select(col("doc_id"), sh.as("simhash"))
+    assert(native.exceptAll(composed).count() === 0)
+    assert(composed.exceptAll(native).count() === 0)
+  }
+
+  test("simhash_agg is SQL-registered via GraftExtensions") {
+    Tables.load(spark, sf, "documents").createOrReplaceTempView("docs_ne")
+    val n = spark.sql(
+      "SELECT simhash_agg(xxhash64(text)) AS s FROM docs_ne").head().getLong(0)
+    assert(n != 0L)
+  }
 }
