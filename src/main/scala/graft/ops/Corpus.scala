@@ -117,12 +117,11 @@ object Corpus {
     val tok = docs(s, dir).filter(col("doc_id") < 2000)
       .select(col("doc_id"), explode(LlmPipeline.tokens(col("text"))).as("w"))
       .withColumn("h", LlmPipeline.h15(0, col("w")))
-    val bitSums = (0 until BITS).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$b"))
-    val agged = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until BITS).map(b =>
-      shiftleft(when(col(s"b$b") > 0, 1L).otherwise(0L), b)).reduce(_ bitwiseOR _)
-    val sh = agged.select(col("doc_id"), sig.as("simhash"))
+    // native one-pass aggregate (NativeExprSpec pins parity with the
+    // composed 64-sum form); h has only its low 60 bits set, so the
+    // signature's bits 60-63 count zero ones and stay 0 in both forms
+    val sh = tok.groupBy("doc_id")
+      .agg(graft.functions.Native.simhashAgg(col("h")).as("simhash"))
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until BANDS).map(b =>
         shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*)))
