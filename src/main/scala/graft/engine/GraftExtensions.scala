@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.LongType
 
-import org.apache.spark.sql.graftx.{CosineSim, SimhashAgg, ZValue}
+import org.apache.spark.sql.graftx.{CosineSim, SimhashAgg, VecSumAgg, ZValue}
 
 /** SparkSessionExtensions registration for the engine's native
   * expressions, making them available to SQL text as `cosine_sim(a, b)`
@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[SimhashAgg].getName, "simhash_agg"),
       (exprs: Seq[Expression]) => SimhashAgg(exprs.head)))
+
+    e.injectFunction((
+      FunctionIdentifier("vec_sum_agg"),
+      new ExpressionInfo(classOf[VecSumAgg].getName, "vec_sum_agg"),
+      (exprs: Seq[Expression]) => VecSumAgg(exprs.head)))
 
     e.injectFunction((
       FunctionIdentifier("zvalue"),

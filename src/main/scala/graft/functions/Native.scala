@@ -15,4 +15,7 @@ object Native {
 
   /** One-pass 64-bit SimHash aggregate over a hash column. */
   def simhashAgg(h: Column): Column = GraftNative.simhashAgg(h)
+
+  /** Element-wise sum of array<float> vectors (centroid substrate). */
+  def vecSumAgg(v: Column): Column = GraftNative.vecSumAgg(v)
 }

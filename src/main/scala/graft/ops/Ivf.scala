@@ -15,12 +15,13 @@ import graft.functions.Native
   * top-k structure per REPOSE, ICDE 2021 — PAPERS.md).
   *
   * Training is Lloyd iterations expressed as DataFrame ops: assignment is
-  * a broadcast of k centroids (model-sized, like any ML model — k*dim
-  * doubles on the driver is the standard contract, NOT a data collect);
-  * the update step is posexplode → groupBy(cell, dim) → avg — one shuffle
-  * per iteration, linear in rows. At 100 TB: training runs on a sample,
-  * assignment is one narrow map per vector, and each query touches
-  * nprobe/k of the corpus.
+  * k centroid literals (model-sized, like any ML model — k*dim doubles on
+  * the driver is the standard contract, NOT a data collect) evaluated as
+  * a narrow per-row argmax; the update step is one native element-wise
+  * vector-sum aggregate per cell (VecSumAgg) — one k-group shuffle per
+  * iteration, no ×dim row multiplication. At 100 TB: training runs on a
+  * sample, assignment is one narrow map per vector, and each query
+  * touches nprobe/k of the corpus.
   */
 object Ivf {
 
@@ -36,16 +37,19 @@ object Ivf {
     for (_ <- 0 until iters) {
       val cdf = centroids.toSeq.toDF("cell", "centroid")
       val assigned = assign(e, cdf)
+      // update step: ONE element-wise vector-sum aggregate per cell (native
+      // VecSumAgg buffer = dim doubles) — no posexplode row multiplication
+      // (×dim) through the shuffle; the model-sized result collects to the
+      // driver like any trained model
       centroids = assigned
-        .select(col("cell"), posexplode(col("embedding")))
-        .groupBy("cell", "pos")
-        .agg(avg(col("col").cast("double")).as("m"))
         .groupBy("cell")
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
+        .agg(Native.vecSumAgg(col("embedding")).as("vsum"),
+          count(lit(1)).as("n"))
         .collect()
         .map { r =>
+          val n = r.getLong(r.fieldIndex("n")).toDouble
           (r.getInt(0),
-            r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1).toFloat).toArray)
+            r.getSeq[Double](r.fieldIndex("vsum")).map(x => (x / n).toFloat).toArray)
         }
     }
     centroids
@@ -59,12 +63,18 @@ object Ivf {
   def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids.orderBy("cell").collect()
       .map(r => r.getSeq[Float](r.fieldIndex("centroid")))
-    val centArr = array(cents.map(c =>
-      array(c.map(v => lit(v)): _*).cast("array<float>")): _*)
-    e.withColumn("sims",
-        transform(centArr, c => Native.cosineSim(col("embedding"), c)))
-      .withColumn("cell", (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
-      .drop("sims")
+    // k direct native-cosine columns + greatest/first-match argmax: the
+    // HOF form (transform over an array literal) pays lambda-interpreter
+    // overhead per element; flat expressions evaluate the same k fused
+    // loops with none of it. First matching `when` = lowest cell id on
+    // ties, same as array_position-of-max.
+    val sims = cents.map(c =>
+      Native.cosineSim(col("embedding"), array(c.map(v => lit(v)): _*).cast("array<float>")))
+    val mx = greatest(sims: _*)
+    val cell = sims.zipWithIndex.tail.foldLeft(when(sims.head === mx, 0)) {
+      case (acc, (s, i)) => acc.when(s === mx, i)
+    }
+    e.withColumn("cell", cell.cast("int"))
   }
 
   /** sim_ivf query: top-10 cosine neighbors of vec 0 searching only the
@@ -72,7 +82,7 @@ object Ivf {
     * (k-means is engine-specific); recall vs brute force in IvfSpec. */
   private val simIvf: Q = (s, dir) => {
     import s.implicits._
-    val e = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val e = LlmPipeline.emb(s, dir).select(col("vec_id"), col("embedding"))
     val centroids = train(e, k = 16, iters = 2)
     val cdf = centroids.toSeq.toDF("cell", "centroid")
     val assigned = assign(e, cdf)

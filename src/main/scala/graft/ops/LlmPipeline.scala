@@ -28,8 +28,14 @@ object LlmPipeline {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.balanced(s, Tables.load(s, dir, "documents"))
-  private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
+  /** The embedding table, memory-resident per session: every similarity
+    * surface (brute top-k, LSH, kNN join, cosine dedup, IVF) re-reads the
+    * same vectors — a vector index keeps them resident by design
+    * (array<float> parquet decode is the dominant per-read cost). */
+  private[ops] def emb(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Materialize(s, s"embeddings:$dir") {
+      Tables.load(s, dir, "embeddings")
+    }
 
   /** Shared tokenizer: lowercase, split on non-alphanumerics, drop empties.
     * Mirrored in DuckDB as list_filter(string_split_regex(...)). */

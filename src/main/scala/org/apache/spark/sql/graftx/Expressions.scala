@@ -148,6 +148,10 @@ object GraftNative {
     ExpressionUtils.column(
       SimhashAgg(ExpressionUtils.expression(h)).toAggregateExpression())
 
+  def vecSumAgg(v: Column): Column =
+    ExpressionUtils.column(
+      VecSumAgg(ExpressionUtils.expression(v)).toAggregateExpression())
+
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
@@ -222,4 +226,68 @@ case class SimhashAgg(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): SimhashAgg = copy(child = newChildren.head)
+}
+
+/** Element-wise vector sum aggregate over array<float> (centroid / mean-
+  * embedding substrate): buffer = one double per dimension, allocated on
+  * first input, partial-merged map-side — replacing posexplode (×dim row
+  * multiplication) + groupBy(cell, pos). Ragged inputs are rejected. */
+case class VecSumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Double]]
+  with ExpectsInputTypes {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_sum_agg"
+
+  override def createAggregationBuffer(): Array[Double] = Array.empty
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val acc = if (buf.isEmpty) new Array[Double](n) else buf
+    require(acc.length == n, s"vec_sum_agg: ragged input ($n vs ${acc.length})")
+    var i = 0
+    while (i < n) { acc(i) += arr.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    require(a.length == b.length, "vec_sum_agg: ragged merge")
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Double]): Any =
+    if (buf.isEmpty) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.length * 8)
+    bb.putInt(buf.length)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bb.getInt)(bb.getDouble)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VecSumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VecSumAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VecSumAgg = copy(child = newChildren.head)
 }
