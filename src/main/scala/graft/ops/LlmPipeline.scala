@@ -128,7 +128,8 @@ object LlmPipeline {
   private val minhashP = (1L << 31) - 1   // Mersenne prime 2^31-1
   private val minhashHBits = 1L << 30     // base-hash width
 
-  private val dedupMinhashMd5: Q = (s, dir) => {
+  private val dedupMinhashMd5: Q = (s, dir) => graft.engine.Materialize(s,
+      s"minhash-md5-pairs:$dir") {
     val k = 32; val bands = 8; val r = k / bands
     val d = docs(s, dir).filter(col("doc_id") < 2000)
     val toks = tokens(col("text"))

@@ -33,30 +33,24 @@ object Wave3 {
 
   // ---- dedup_components: connected components over near-dup pairs ------
 
-  /** Min-label propagation over the ngram-Jaccard near-dup graph: each
-    * doc's component id is the smallest doc_id reachable through dup
-    * pairs — the "keep one per cluster" step that turns pairwise dedup
-    * output into actual drops. Pregel-style: `iters` rounds of
-    * (edge-join → min-aggregate), each one shuffle on the node id; at
-    * 100 TB this is the standard distributed CC (GraphX/Pregel shape) and
-    * converges in O(cluster diameter) rounds — near-dup clusters are
-    * shallow (dup families, not long chains), so a fixed small round
-    * count suffices and is verified against the oracle's true transitive
-    * closure (recursive CTE). */
-  private val dedupComponents: Q = (s, dir) => {
-    val pairs = LlmPipeline.queries("dedup_ngram_jaccard")(s, dir).select("i", "j")
-    val edges = pairs.union(pairs.select(col("j"), col("i")))
+  /** CC kernel: min-label propagation over an undirected pair set — each
+    * node's component id is the smallest id reachable through dup pairs,
+    * the "keep one per cluster" step that turns pairwise dedup output
+    * into actual drops. Converges in O(cluster diameter) supersteps and
+    * is verified against the oracle's true transitive closure.
+    * Pregel supersteps: every round's state is localCheckpoint'ed —
+    * materialized to executor blocks with the LINEAGE TRUNCATED. A lazy
+    * loop stacks all rounds into one deep plan that re-runs pair
+    * generation per round (measured 36 s at sf0.1); persist+unpersist is
+    * no better because Spark's non-cascading unpersist (SPARK-24596)
+    * marks the dependent round's cache for rebuild, which recomputes the
+    * full lineage anyway (measured 55 s). Two propagation hops run per
+    * materialized superstep — per-round fixed cost (checkpoint +
+    * convergence check) dominates on shallow dup graphs. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.toDF("i", "j")
+      .union(pairs.toDF("i", "j").select(col("j"), col("i")))
       .toDF("src", "dst").persist()
-    // Pregel supersteps: every round's state is localCheckpoint'ed —
-    // materialized to executor blocks with the LINEAGE TRUNCATED. A lazy
-    // loop stacks all rounds into one deep plan that re-runs pair
-    // generation per round (measured 36 s at sf0.1); persist+unpersist is
-    // no better because Spark's non-cascading unpersist (SPARK-24596)
-    // marks the dependent round's cache for rebuild, which recomputes the
-    // full lineage anyway (measured 55 s). Checkpointed rounds are
-    // independent of each other and of the edge cache. Convergence is
-    // checked per round (labels stop changing in O(cluster diameter)
-    // rounds — near-dup clusters are shallow), with a safety cap.
     def hop(l: DataFrame): DataFrame = {
       val prop = edges.as("e").join(l.as("l"), col("e.src") === col("l.v"))
         .select(col("e.dst").as("v"), col("l.lbl").as("lbl"))
@@ -67,9 +61,6 @@ object Wave3 {
     var converged = false
     var supersteps = 0
     while (!converged && supersteps < 6) {
-      // two propagation hops per materialized superstep: per-round fixed
-      // cost (checkpoint + convergence check) is the dominant term on
-      // shallow graphs, and chaining two hops in one plan halves it
       val next = hop(hop(lbl)).localCheckpoint()
       converged = next.as("n").join(lbl.as("o"), col("n.v") === col("o.v"))
         .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
@@ -81,9 +72,9 @@ object Wave3 {
       .orderBy("doc_id")
   }
 
-  private def dedupComponentsOracle: String = {
-    val jacc = LlmPipeline.oracles("dedup_ngram_jaccard")
-    s"""WITH RECURSIVE pairs AS ($jacc),
+  /** The recursive-CTE transitive-closure oracle over any pair SQL. */
+  private def componentsOracle(pairsSql: String): String =
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
        |edges AS (SELECT i AS src, j AS dst FROM pairs UNION ALL SELECT j, i FROM pairs),
        |nodes AS (SELECT DISTINCT src AS v FROM edges),
        |reach(v, r) AS (
@@ -91,6 +82,34 @@ object Wave3 {
        |  UNION
        |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.v)
        |SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v ORDER BY doc_id""".stripMargin
+
+  private val dedupComponents: Q = (s, dir) =>
+    connectedComponents(
+      LlmPipeline.queries("dedup_ngram_jaccard")(s, dir).select("i", "j"))
+
+  private def dedupComponentsOracle: String =
+    componentsOracle(LlmPipeline.oracles("dedup_ngram_jaccard"))
+
+  /** Multi-signal dup graph: the union of the Jaccard pair set and the
+    * MinHash/LSH pair set (agreement >= 0.5) clustered together — how a
+    * production pipeline actually decides drops, since no single signal
+    * catches every duplicate family. Each signal's pair table is already
+    * materialized; the union is their read + one CC run. */
+  private val dedupComponentsMulti: Q = (s, dir) => {
+    val jacc = LlmPipeline.queries("dedup_ngram_jaccard")(s, dir).select("i", "j")
+    val mh = LlmPipeline.queries("dedup_minhash_md5")(s, dir)
+      .filter(col("est_sim") >= 0.5).select("i", "j")
+    connectedComponents(jacc.union(mh).distinct())
+  }
+
+  private def dedupComponentsMultiOracle: String = {
+    val jacc = LlmPipeline.oracles("dedup_ngram_jaccard")
+    val mh = LlmPipeline.oracles("dedup_minhash_md5")
+    componentsOracle(
+      s"""SELECT DISTINCT i, j FROM (
+         |  SELECT i, j FROM ($jacc)
+         |  UNION ALL
+         |  SELECT i, j FROM ($mh) WHERE est_sim >= 0.5)""".stripMargin)
   }
 
   // ---- sample_stratified: per-stratum deterministic rates --------------
@@ -542,6 +561,7 @@ object Wave3 {
     "fn_json_path" -> fnJsonPath,
     "join_lateral" -> joinLateral,
     "dedup_components" -> dedupComponents,
+    "dedup_components_multi" -> dedupComponentsMulti,
     "sample_stratified" -> sampleStratified,
     "corpus_pack" -> corpusPack,
     "fn_regexp" -> fnRegexp,
@@ -563,6 +583,7 @@ object Wave3 {
     "fn_json_path" -> fnJsonPathOracle,
     "join_lateral" -> joinLateralOracle,
     "dedup_components" -> dedupComponentsOracle,
+    "dedup_components_multi" -> dedupComponentsMultiOracle,
     "sample_stratified" -> sampleStratifiedOracle,
     "corpus_pack" -> corpusPackOracle,
     "fn_regexp" -> fnRegexpOracle,

@@ -50,3 +50,61 @@ object ZValueProps extends Properties("zvalue") {
       direct == salted
     }
 }
+
+/** Properties of the native aggregate buffers (SimhashAgg / VecSumAgg):
+  * update/merge must form a commutative monoid over any partitioning of
+  * the input — the contract partial aggregation (map-side combine)
+  * depends on. Modeled on the pure buffer ops, mirroring the
+  * TypedImperativeAggregate implementations bit for bit. */
+object NativeAggProps extends Properties("native-agg") {
+
+  // SimhashAgg model
+  private def shUpdate(buf: Array[Long], h: Long): Array[Long] = {
+    var i = 0
+    while (i < 64) { buf(i) += (h >>> i) & 1L; i += 1 }
+    buf(64) += 1L; buf
+  }
+  private def shMerge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < 65) { a(i) += b(i); i += 1 }
+    a
+  }
+  private def shEval(buf: Array[Long]): Long = {
+    var z = 0L; var i = 0
+    while (i < 64) { if (2L * buf(i) > buf(64)) z |= 1L << i; i += 1 }
+    z
+  }
+  private def shOf(hs: Seq[Long]): Array[Long] =
+    hs.foldLeft(new Array[Long](65))(shUpdate)
+
+  property("simhash: any split-merge equals single-pass") =
+    forAll(Gen.listOf(Gen.long), Gen.chooseNum(0, 10)) { (hs, cut0) =>
+      val cut = if (hs.isEmpty) 0 else cut0 % (hs.size + 1)
+      val (l, r) = hs.splitAt(cut)
+      shEval(shMerge(shOf(l), shOf(r))) == shEval(shOf(hs))
+    }
+
+  property("simhash: merge is commutative") =
+    forAll(Gen.listOf(Gen.long), Gen.listOf(Gen.long)) { (a, b) =>
+      shEval(shMerge(shOf(a), shOf(b))) == shEval(shMerge(shOf(b), shOf(a)))
+    }
+
+  // VecSumAgg model
+  private def vsMerge(a: Array[Double], b: Array[Double]): Array[Double] =
+    if (a.isEmpty) b else if (b.isEmpty) a
+    else a.zip(b).map { case (x, y) => x + y }
+
+  property("vecsum: empty buffer is the identity") =
+    forAll(Gen.listOfN(4, Gen.chooseNum(-1e6f, 1e6f))) { v =>
+      val buf = v.map(_.toDouble).toArray
+      vsMerge(buf, Array.empty).sameElements(buf) &&
+        vsMerge(Array.empty, buf).sameElements(buf)
+    }
+
+  property("vecsum: merge of singletons equals elementwise sum") =
+    forAll(Gen.listOfN(4, Gen.chooseNum(-1e3f, 1e3f)),
+      Gen.listOfN(4, Gen.chooseNum(-1e3f, 1e3f))) { (x, y) =>
+      val m = vsMerge(x.map(_.toDouble).toArray, y.map(_.toDouble).toArray)
+      m.zip(x.zip(y)).forall { case (s, (a, b)) => s == a.toDouble + b.toDouble }
+    }
+}
