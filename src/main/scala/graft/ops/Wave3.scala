@@ -83,9 +83,16 @@ object Wave3 {
        |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.v)
        |SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v ORDER BY doc_id""".stripMargin
 
+  /** The Jaccard-graph component table, materialized (the cluster
+    * assignment every downstream drop/keep decision reads). */
+  private def jaccardComponents(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Materialize(s, s"cc-jaccard:$dir") {
+      connectedComponents(
+        LlmPipeline.queries("dedup_ngram_jaccard")(s, dir).select("i", "j"))
+    }
+
   private val dedupComponents: Q = (s, dir) =>
-    connectedComponents(
-      LlmPipeline.queries("dedup_ngram_jaccard")(s, dir).select("i", "j"))
+    jaccardComponents(s, dir).orderBy("doc_id")
 
   private def dedupComponentsOracle: String =
     componentsOracle(LlmPipeline.oracles("dedup_ngram_jaccard"))
@@ -95,12 +102,34 @@ object Wave3 {
     * production pipeline actually decides drops, since no single signal
     * catches every duplicate family. Each signal's pair table is already
     * materialized; the union is their read + one CC run. */
-  private val dedupComponentsMulti: Q = (s, dir) => {
-    val jacc = LlmPipeline.queries("dedup_ngram_jaccard")(s, dir).select("i", "j")
-    val mh = LlmPipeline.queries("dedup_minhash_md5")(s, dir)
-      .filter(col("est_sim") >= 0.5).select("i", "j")
-    connectedComponents(jacc.union(mh).distinct())
+  private val dedupComponentsMulti: Q = (s, dir) =>
+    graft.engine.Materialize(s, s"cc-multi:$dir") {
+      val jacc = LlmPipeline.queries("dedup_ngram_jaccard")(s, dir).select("i", "j")
+      val mh = LlmPipeline.queries("dedup_minhash_md5")(s, dir)
+        .filter(col("est_sim") >= 0.5).select("i", "j")
+      connectedComponents(jacc.union(mh).distinct())
+    }.orderBy("doc_id")
+
+  /** The end of the dedup story: the KEPT corpus. A document is dropped
+    * iff it sits in a dup component under a smaller doc_id; everything
+    * else (component representatives and documents in no dup pair)
+    * survives. One anti-join of the corpus against the materialized
+    * component table. */
+  private val dedupKeep: Q = (s, dir) => {
+    val dropped = jaccardComponents(s, dir)
+      .filter(col("doc_id") =!= col("component"))
+      .select("doc_id")
+    t(s, dir, "documents")
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
   }
+
+  private def dedupKeepOracle: String =
+    s"""WITH comp AS (${dedupComponentsOracle})
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+       |ORDER BY doc_id""".stripMargin
 
   private def dedupComponentsMultiOracle: String = {
     val jacc = LlmPipeline.oracles("dedup_ngram_jaccard")
@@ -562,6 +591,7 @@ object Wave3 {
     "join_lateral" -> joinLateral,
     "dedup_components" -> dedupComponents,
     "dedup_components_multi" -> dedupComponentsMulti,
+    "dedup_keep" -> dedupKeep,
     "sample_stratified" -> sampleStratified,
     "corpus_pack" -> corpusPack,
     "fn_regexp" -> fnRegexp,
@@ -584,6 +614,7 @@ object Wave3 {
     "join_lateral" -> joinLateralOracle,
     "dedup_components" -> dedupComponentsOracle,
     "dedup_components_multi" -> dedupComponentsMultiOracle,
+    "dedup_keep" -> dedupKeepOracle,
     "sample_stratified" -> sampleStratifiedOracle,
     "corpus_pack" -> corpusPackOracle,
     "fn_regexp" -> fnRegexpOracle,
