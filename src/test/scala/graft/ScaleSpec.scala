@@ -71,4 +71,39 @@ class ScaleSpec extends SparkSuite {
       s"expected oyear partition pruning in:\n$plan")
     assert(df.count() > 0)
   }
+
+  test("filters reach the parquet scan (PushedFilters)") {
+    val df = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 30.0 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    // the plan string elides long filter lists; the leading pushed
+    // predicates prove pushdown reached the scan
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity)") &&
+      scan.contains("GreaterThan(l_quantity,30.0)"),
+      s"expected pushed filters in:\n${scan.take(1500)}")
+  }
+
+  test("column pruning: a 2-column projection reads only those columns") {
+    val df = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      s"scan reads more than the projection: $readSchema")
+  }
+
+  test("histogram aggregate is partial (map-side combine) under the exchange") {
+    graft.engine.Materialize.invalidate()   // bypass the cache: plan the real pipeline
+    val df = graft.ops.Profiler.histogramAgg(spark, sf, Seq(Tables.meta("orders")))
+    val plan = df.queryExecution.executedPlan.toString
+    graft.engine.Materialize.invalidate()
+    val firstAgg = plan.indexOf("HashAggregate")
+    val exchange = plan.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange > firstAgg,
+      s"expected partial HashAggregate above Exchange in:\n${plan.take(1500)}")
+    assert(plan.contains("partial_count") || plan.contains("partial count") ||
+      plan.split("HashAggregate").length > 2,
+      s"expected a partial aggregation phase in:\n${plan.take(1500)}")
+  }
 }
