@@ -31,4 +31,18 @@ object Materialize {
     cache.values.asScala.foreach(_.unpersist())
     cache.clear()
   }
+
+  /** Replace one entry with an incrementally-derived successor. The new
+    * value is localCheckpoint'ed BEFORE the old entry is dropped: the
+    * successor is usually derived FROM the old materialization, and
+    * Spark's non-cascading unpersist would otherwise mark the dependent
+    * cache for a full-lineage rebuild (SPARK-24596) — checkpointing
+    * decouples them, so the increment is the only work done. */
+  def replace(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = (System.identityHashCode(spark).toString, key)
+    val next = build.localCheckpoint()
+    val old = cache.put(k, next)
+    if (old != null) old.unpersist()
+    next
+  }
 }

@@ -62,6 +62,25 @@ object Profiler {
         .agg(count(lit(1)).as("cnt"))
     }
 
+  /** Incremental maintenance: after ONE table changes (the reference's
+    * upsert-driven profile refresh), recompute only that table's slice —
+    * the untouched tables' aggregates are carried over from the existing
+    * materialization, so the refresh scans one table, not the database.
+    * At 100 TB this is the difference between a nightly full profile and
+    * a per-commit refresh. */
+  def refreshTable(spark: SparkSession, dir: String, table: String,
+      tables: Seq[TableMeta] = Tables.all): DataFrame = {
+    val key = s"hist:$dir:${tables.map(_.name).mkString(",")}"
+    val existing = histogramAgg(spark, dir, tables)
+    graft.engine.Materialize.replace(spark, key) {
+      existing.filter(col("tableName") =!= table)
+        .union(
+          melt(spark, dir, Tables.meta(table))
+            .groupBy("tableName", "columnName", "value")
+            .agg(count(lit(1)).as("cnt")))
+    }
+  }
+
   /** Normalized string rendering of a column value. Doubles go through
     * decimal(18,2) and timestamps through a whole-second format so the
     * rendering is engine-portable (Java vs C++ float-to-string shortest-repr

@@ -78,4 +78,26 @@ class ProfilerSpec extends SparkSuite {
       assert(fields === t.cols.map(c => (c.name, c.sparkType)), t.name)
     }
   }
+
+  test("refreshTable incrementally updates one table's slice of the histogram") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-refresh").toString
+    val nation = Seq(Tables.meta("nation"))
+    Tables.load(spark, sf, "nation")
+      .write.mode("overwrite").parquet(s"$tmp/nation.parquet")
+    // materialize the initial profile
+    val before = Profiler.profileHistogram(spark, tmp, nation).count()
+    // the table changes: drop region 0's nations (an upsert-shaped delta)
+    Tables.load(spark, sf, "nation").filter(col("n_regionkey") =!= 0)
+      .write.mode("overwrite").parquet(s"$tmp/nation.parquet")
+    Profiler.refreshTable(spark, tmp, "nation", nation)
+    val refreshed = Profiler.profileHistogram(spark, tmp, nation)
+      .collect().map(r => (r.getString(2), r.getString(4), r.getFloat(5))).toSet
+    // ground truth: cold recompute on the new data
+    graft.engine.Materialize.invalidate()
+    val cold = Profiler.profileHistogram(spark, tmp, nation)
+      .collect().map(r => (r.getString(2), r.getString(4), r.getFloat(5))).toSet
+    assert(refreshed === cold)
+    assert(refreshed.size < before)
+    graft.engine.Materialize.invalidate()
+  }
 }
