@@ -141,6 +141,42 @@ object Wave3 {
          |  SELECT i, j FROM ($mh) WHERE est_sim >= 0.5)""".stripMargin)
   }
 
+  // ---- corpus_filter: the composite keep gate --------------------------
+
+  /** The production keep/drop gate: quality score, repetition gates, and
+    * language agreement joined into one decision per document (the
+    * C4/Gopher-style filter stack) — each signal is its own verified
+    * query; the gate is their join plus boolean thresholds, so the 100 TB
+    * plan is three map-side-combined shuffles and one doc_id join. */
+  private val corpusFilter: Q = (s, dir) => {
+    val q = LlmPipeline.queries("text_quality")(s, dir)
+      .select("doc_id", "quality")
+    val r = Corpus.queries("text_repetition")(s, dir)
+      .select("doc_id", "n_tok", "top_token_ratio", "dup_bigram_ratio")
+    val l = LlmPipeline.queries("text_langid")(s, dir)
+      .select(col("doc_id"), (col("lang_pred") === col("lang")).as("lang_ok"))
+    q.join(r, "doc_id").join(l, "doc_id")
+      .select(col("doc_id"), col("quality"), col("top_token_ratio"),
+        col("dup_bigram_ratio"), col("lang_ok"),
+        (col("quality") >= 0.4 && col("n_tok") >= 10 &&
+          col("top_token_ratio") <= 0.2 && col("dup_bigram_ratio") <= 0.3 &&
+          col("lang_ok")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private def corpusFilterOracle: String = {
+    val q = LlmPipeline.oracles("text_quality")
+    val r = Corpus.oracles("text_repetition")
+    val l = LlmPipeline.oracles("text_langid")
+    s"""WITH q AS ($q), r AS ($r), l AS ($l)
+       |SELECT q.doc_id, q.quality, r.top_token_ratio, r.dup_bigram_ratio,
+       |  (l.lang_pred = l.lang) AS lang_ok,
+       |  (q.quality >= 0.4 AND r.n_tok >= 10 AND r.top_token_ratio <= 0.2
+       |   AND r.dup_bigram_ratio <= 0.3 AND l.lang_pred = l.lang) AS keep
+       |FROM q JOIN r ON q.doc_id = r.doc_id JOIN l ON q.doc_id = l.doc_id
+       |ORDER BY q.doc_id""".stripMargin
+  }
+
   // ---- sample_stratified: per-stratum deterministic rates --------------
 
   /** Corpus-mixing sampler: per-language sampling rates (en is
@@ -592,6 +628,7 @@ object Wave3 {
     "dedup_components" -> dedupComponents,
     "dedup_components_multi" -> dedupComponentsMulti,
     "dedup_keep" -> dedupKeep,
+    "corpus_filter" -> corpusFilter,
     "sample_stratified" -> sampleStratified,
     "corpus_pack" -> corpusPack,
     "fn_regexp" -> fnRegexp,
@@ -615,6 +652,7 @@ object Wave3 {
     "dedup_components" -> dedupComponentsOracle,
     "dedup_components_multi" -> dedupComponentsMultiOracle,
     "dedup_keep" -> dedupKeepOracle,
+    "corpus_filter" -> corpusFilterOracle,
     "sample_stratified" -> sampleStratifiedOracle,
     "corpus_pack" -> corpusPackOracle,
     "fn_regexp" -> fnRegexpOracle,
