@@ -544,6 +544,32 @@ object Wave3 {
       |  ON l_returnflag = flag
       |GROUP BY meaning ORDER BY meaning""".stripMargin
 
+  // ---- sink_time_travel: snapshot isolation across commits -------------
+
+  /** Time travel (`VERSION AS OF`): commit two versions of a table, then
+    * read the SUPERSEDED snapshot and diff it against the live one — the
+    * rows the second commit changed, recovered from history. The oracle
+    * derives the same delta from the source table directly, so the
+    * version pointer, snapshot isolation, and the diff all verify. */
+  private val sinkTimeTravel: Q = (s, dir) => {
+    val root = sys.props("java.io.tmpdir") +
+      s"/graft-scratch-${s.sparkContext.applicationId}/timetravel"
+    val store = new graft.engine.VersionedStore(root)
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), year(col("o_orderdate")).as("oyear"))
+    store.write(base, "orders")                                         // v1
+    store.write(base.withColumn("o_totalprice",                          // v2
+      when(col("oyear") === 1996, col("o_totalprice") + lit(1000.0))
+        .otherwise(col("o_totalprice"))), "orders")
+    store.readVersion(s, "orders", 1L)
+      .except(store.readVersion(s, "orders", 2L))
+      .orderBy("o_orderkey")
+  }
+
+  private val sinkTimeTravelOracle =
+    """SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS oyear
+      |FROM orders WHERE year(o_orderdate) = 1996 ORDER BY o_orderkey""".stripMargin
+
   // ---- agg_time_rollup: calendar-hierarchy rollup ----------------------
 
   /** ROLLUP over a derived time hierarchy (year → quarter → month):
@@ -619,6 +645,7 @@ object Wave3 {
   val queries: Map[String, Q] = Map(
     "flagship_star_join" -> flagshipStarJoin,
     "agg_time_rollup" -> aggTimeRollup,
+    "sink_time_travel" -> sinkTimeTravel,
     "fn_explode_outer" -> fnExplodeOuter,
     "sink_dynamic_partition" -> sinkDynamicPartition,
     "join_salted_skew" -> joinSaltedSkew,
@@ -643,6 +670,7 @@ object Wave3 {
   val oracles: Map[String, String] = Map(
     "flagship_star_join" -> flagshipStarJoinOracle,
     "agg_time_rollup" -> aggTimeRollupOracle,
+    "sink_time_travel" -> sinkTimeTravelOracle,
     "fn_explode_outer" -> fnExplodeOuterOracle,
     "sink_dynamic_partition" -> sinkDynamicPartitionOracle,
     "join_salted_skew" -> joinSaltedSkewOracle,

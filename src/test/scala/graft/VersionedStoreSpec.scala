@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Tables, VersionedStore}
+
+/** Time-travel store semantics: snapshot isolation, history, retention. */
+class VersionedStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshStore() = new VersionedStore(
+    java.nio.file.Files.createTempDirectory("graft-versions").toString)
+
+  test("overwrites commit as versions; old snapshots stay readable") {
+    val store = freshStore()
+    val v1 = store.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "t")
+    val v2 = store.write(Seq((1L, "a2")).toDF("k", "v"), "t")
+    assert((v1, v2) === (1L, 2L))
+    assert(store.currentVersion("t") === Some(2L))
+    assert(store.read(spark, "t").count() === 1L)
+    assert(store.readVersion(spark, "t", 1L).count() === 2L)
+    assert(store.history("t") === Seq(1L, 2L))
+  }
+
+  test("upsert merges against the live snapshot into a new version") {
+    val store = freshStore()
+    store.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "t")
+    val v2 = store.upsert(spark, "t",
+      Seq((2L, "B"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    assert(v2 === 2L)
+    val now = store.read(spark, "t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(now === Set((1L, "a"), (2L, "B"), (3L, "c")))
+    // time travel still sees the pre-merge state
+    val was = store.readVersion(spark, "t", 1L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(was === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("vacuumVersions enforces retention but never drops the live version") {
+    val store = freshStore()
+    (1 to 4).foreach(i => store.write(Seq((i.toLong, s"v$i")).toDF("k", "v"), "t"))
+    val dropped = store.vacuumVersions("t", keep = 2)
+    assert(dropped === Seq(1L, 2L))
+    assert(store.history("t") === Seq(3L, 4L))
+    assert(store.read(spark, "t").count() === 1L)
+    intercept[IllegalArgumentException] {
+      store.readVersion(spark, "t", 1L).count()
+    }
+  }
+
+  test("profile meta-table maintained with history (the reference's shape)") {
+    val store = freshStore()
+    store.write(graft.ops.Profiler.schemaInformation(spark, sf,
+      Seq(Tables.meta("region"))), "SchemaInformation")
+    store.upsert(spark, "SchemaInformation",
+      graft.ops.Profiler.schemaInformation(spark, sf,
+        Seq(Tables.meta("region"), Tables.meta("nation"))),
+      Seq("databaseName", "tableName", "columnName"))
+    assert(store.read(spark, "SchemaInformation").count() === 5L)   // 2 + 3 cols
+    assert(store.readVersion(spark, "SchemaInformation", 1L).count() === 2L)
+  }
+}
