@@ -82,6 +82,28 @@ class VersionedStore(root: String) {
     spark.read.parquet(vdir(name, v).getAbsolutePath)
   }
 
+  /** Change data feed between two committed versions (Delta CDF analog):
+    * one row per key whose state changed, labeled insert / update /
+    * delete. A keyed full-outer join of the two snapshots — the scalable
+    * form: one shuffle on the key, no row-set subtraction passes. */
+  def changes(spark: SparkSession, name: String, from: Long, to: Long,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = readVersion(spark, name, from).withColumn("__a", lit(true))
+    val b = readVersion(spark, name, to).withColumn("__b", lit(true))
+    val cond = keys.map(k => a(k) <=> b(k)).reduce(_ && _)
+    val nonKeys = a.columns.filter(c => !keys.contains(c) && c != "__a")
+    val differs = nonKeys.map(c => !(a(c) <=> b(c))).reduceOption(_ || _)
+      .getOrElse(lit(false))
+    a.join(b, cond, "full_outer")
+      .withColumn("change_type",
+        when(b("__b").isNull, "delete")
+          .when(a("__a").isNull, "insert")
+          .when(differs, "update"))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(k => coalesce(a(k), b(k)).as(k)) :+ col("change_type"): _*)
+  }
+
   /** Retention: drop all but the latest `keep` versions (Delta VACUUM for
     * history). The live version is always retained. */
   def vacuumVersions(name: String, keep: Int): Seq[Long] = {

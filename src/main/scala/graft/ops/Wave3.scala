@@ -570,6 +570,39 @@ object Wave3 {
     """SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS oyear
       |FROM orders WHERE year(o_orderdate) = 1996 ORDER BY o_orderkey""".stripMargin
 
+  // ---- sink_cdc: change data feed between versions ---------------------
+
+  /** CDC between two commits: v2 updates 1996 prices, deletes 1998
+    * orders, and inserts one synthetic row — `changes` recovers exactly
+    * that intent (insert/update/delete per key) from the two snapshots.
+    * The oracle re-derives the same change set from the source table. */
+  private val sinkCdc: Q = (s, dir) => {
+    val root = sys.props("java.io.tmpdir") +
+      s"/graft-scratch-${s.sparkContext.applicationId}/cdc"
+    val store = new graft.engine.VersionedStore(root)
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), year(col("o_orderdate")).as("oyear"))
+    store.write(base, "orders")                                          // v1
+    val v2 = base.filter(col("oyear") =!= 1998)
+      .withColumn("o_totalprice",
+        when(col("oyear") === 1996, col("o_totalprice") + lit(1000.0))
+          .otherwise(col("o_totalprice")))
+      .union(s.range(1).select(lit(-1L).as("o_orderkey"),
+        lit(0.0).as("o_totalprice"), lit(2024).as("oyear")))
+    store.write(v2, "orders")
+    store.changes(s, "orders", 1L, 2L, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  private val sinkCdcOracle =
+    """SELECT o_orderkey, change_type FROM (
+      |  SELECT o_orderkey, 'update' AS change_type FROM orders WHERE year(o_orderdate) = 1996
+      |  UNION ALL
+      |  SELECT o_orderkey, 'delete' FROM orders WHERE year(o_orderdate) = 1998
+      |  UNION ALL
+      |  SELECT -1, 'insert')
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---- agg_time_rollup: calendar-hierarchy rollup ----------------------
 
   /** ROLLUP over a derived time hierarchy (year → quarter → month):
@@ -646,6 +679,7 @@ object Wave3 {
     "flagship_star_join" -> flagshipStarJoin,
     "agg_time_rollup" -> aggTimeRollup,
     "sink_time_travel" -> sinkTimeTravel,
+    "sink_cdc" -> sinkCdc,
     "fn_explode_outer" -> fnExplodeOuter,
     "sink_dynamic_partition" -> sinkDynamicPartition,
     "join_salted_skew" -> joinSaltedSkew,
@@ -671,6 +705,7 @@ object Wave3 {
     "flagship_star_join" -> flagshipStarJoinOracle,
     "agg_time_rollup" -> aggTimeRollupOracle,
     "sink_time_travel" -> sinkTimeTravelOracle,
+    "sink_cdc" -> sinkCdcOracle,
     "fn_explode_outer" -> fnExplodeOuterOracle,
     "sink_dynamic_partition" -> sinkDynamicPartitionOracle,
     "join_salted_skew" -> joinSaltedSkewOracle,
