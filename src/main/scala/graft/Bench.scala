@@ -22,7 +22,9 @@ object Bench {
     def one(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => failed += name; return 0.0 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench-fail] $name: ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(400)}")
+        failed += name; return 0.0 }
       (System.nanoTime() - t0) / 1e9
     }
     val cold = names.map(n => n -> one(n)).toMap

@@ -21,10 +21,22 @@ object Materialize {
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
   /** Get-or-build: `build` runs once per (session, key); the result is
-    * persisted MEMORY_AND_DISK and shared by every later caller. */
-  def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((System.identityHashCode(spark).toString, key),
-      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+    * persisted MEMORY_AND_DISK and shared by every later caller.
+    *
+    * NOT computeIfAbsent: a build may itself materialize its inputs
+    * (nested calls on this map), and ConcurrentHashMap throws
+    * "Recursive update" when the nested key hashes into the same bin —
+    * an intermittent landmine that only fires at certain map sizes.
+    * get → build → putIfAbsent allows nesting; a concurrent duplicate
+    * build is possible and harmless (the loser unpersists). */
+  def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = (System.identityHashCode(spark).toString, key)
+    val existing = cache.get(k)
+    if (existing != null) return existing
+    val built = build.persist(StorageLevel.MEMORY_AND_DISK)
+    val prev = cache.putIfAbsent(k, built)
+    if (prev != null) { built.unpersist(); prev } else built
+  }
 
   def invalidate(): Unit = {
     import scala.jdk.CollectionConverters._
