@@ -18,4 +18,8 @@ object Native {
 
   /** Element-wise sum of array<float> vectors (centroid substrate). */
   def vecSumAgg(v: Column): Column = GraftNative.vecSumAgg(v)
+
+  /** Bounded top-k (value, count) aggregate, best-first. */
+  def topKCountAgg(value: Column, cnt: Column, k: Int): Column =
+    GraftNative.topKCountAgg(value, cnt, k)
 }

@@ -389,17 +389,22 @@ object Wave3 {
   /** Whole-database per-column top-3 — the profiler UX panel over all 51
     * columns, served from the materialized histogram (one read, no
     * re-scan of any base table) with the two-phase top-k. */
-  private val profileTopkAll: Q = (s, dir) => {
-    val hist = Profiler.profileHistogram(s, dir)
-    val order = Seq(desc("num_records"), asc("value"))
-    val local = Window.partitionBy("pid", "tableName", "columnName").orderBy(order: _*)
-    val global = Window.partitionBy("tableName", "columnName").orderBy(order: _*)
-    hist.withColumn("pid", spark_partition_id())
-      .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= 3)
-      .withColumn("rn", row_number().over(global).cast("bigint")).filter(col("rn") <= 3)
-      .select(col("tableName"), col("columnName"), col("value"), col("num_records"), col("rn"))
+  private val profileTopkAll: Q = (s, dir) =>
+    // native bounded top-k aggregate: ONE aggregation pass over the
+    // materialized histogram, k entries per (group × partition) through
+    // the shuffle — no window sort at all. Tie order (count desc, value
+    // asc NULLS FIRST, binary collation) matches row_number/the oracle
+    // exactly; histogram (t, c, value) rows are unique so the order is
+    // total.
+    Profiler.histogramAgg(s, dir)
+      .groupBy("tableName", "columnName")
+      .agg(graft.functions.Native.topKCountAgg(col("value"), col("cnt"), 3).as("topk"))
+      .select(col("tableName"), col("columnName"), posexplode(col("topk")))
+      .select(col("tableName"), col("columnName"),
+        col("col.value").as("value"),
+        col("col.cnt").cast("float").as("num_records"),
+        (col("pos") + 1).cast("bigint").as("rn"))
       .orderBy("tableName", "columnName", "rn")
-  }
 
   private def profileTopkAllOracle: String = {
     val inner = (for (tm <- Tables.all; c <- tm.atomicCols) yield

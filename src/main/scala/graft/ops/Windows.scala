@@ -22,26 +22,22 @@ object Windows {
   /** Top-K most frequent values per column of one table — the profiler's
     * "top 10 values" UX over the histogram (SURVEY §2.5
     * win_topk_per_group). Ranks the profile_histogram output itself. */
-  private val winTopkPerGroup: Q = (s, dir) => {
-    val hist = Profiler.profileHistogram(s, dir, Seq(Tables.meta("orders")))
-    // Two-phase top-k (REPOSE-style, PAPERS.md): a single window over
-    // (tableName, columnName) has only #columns partitions — at scale that
-    // serializes the sort onto #columns tasks. Phase 1 takes a local top-3
-    // within each *physical* partition (parallelism = cluster width);
-    // phase 2 ranks the <= 3·partitions survivors per group. row_number
-    // semantics are preserved exactly: any global top-3 row is a local
-    // top-3 row of its partition under the same total order.
-    val order = Seq(desc("num_records"), asc("value"))
-    val local = Window.partitionBy("pid", "tableName", "columnName").orderBy(order: _*)
-    val global = Window.partitionBy("tableName", "columnName").orderBy(order: _*)
-    hist.withColumn("pid", spark_partition_id())
-      .withColumn("lrn", row_number().over(local))
-      .filter(col("lrn") <= 3)
-      .withColumn("rn", row_number().over(global).cast("bigint"))
-      .filter(col("rn") <= 3)
-      .select(col("tableName"), col("columnName"), col("value"), col("num_records"), col("rn"))
+  private val winTopkPerGroup: Q = (s, dir) =>
+    // native bounded top-k aggregate (see Wave3.profile_topk_all): one
+    // aggregation pass, k entries per group-partition through the
+    // shuffle, no window sort — row_number tie semantics preserved
+    // (count desc, value asc NULLS FIRST, binary collation; histogram
+    // rows are unique per group so the order is total). The two-phase
+    // window form of the same idea lives in Wave3.sim_knn_join.
+    Profiler.histogramAgg(s, dir, Seq(Tables.meta("orders")))
+      .groupBy("tableName", "columnName")
+      .agg(graft.functions.Native.topKCountAgg(col("value"), col("cnt"), 3).as("topk"))
+      .select(col("tableName"), col("columnName"), posexplode(col("topk")))
+      .select(col("tableName"), col("columnName"),
+        col("col.value").as("value"),
+        col("col.cnt").cast("float").as("num_records"),
+        (col("pos") + 1).cast("bigint").as("rn"))
       .orderBy("tableName", "columnName", "rn")
-  }
 
   /** Ranking family: rank / dense_rank / ntile (SURVEY §2.5 win_rank_dense). */
   private val winRankDense: Q = (s, dir) => {

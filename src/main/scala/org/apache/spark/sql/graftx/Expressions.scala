@@ -152,6 +152,11 @@ object GraftNative {
     ExpressionUtils.column(
       VecSumAgg(ExpressionUtils.expression(v)).toAggregateExpression())
 
+  def topKCountAgg(value: Column, cnt: Column, k: Int): Column =
+    ExpressionUtils.column(
+      TopKCountAgg(ExpressionUtils.expression(value),
+        ExpressionUtils.expression(cnt), k).toAggregateExpression())
+
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
@@ -290,4 +295,117 @@ case class VecSumAgg(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): VecSumAgg = copy(child = newChildren.head)
+}
+
+/** Bounded top-k (value, count) aggregate: the buffer is a k-bounded
+  * list ordered by (count desc, value asc NULLS FIRST) — the grouped
+  * top-k WITHOUT a window sort: one aggregation pass, partial-merged
+  * map-side, shuffling at most k entries per (group × partition) instead
+  * of every row through a window's sort. Tie ordering compares the raw
+  * UTF-8 bytes unsigned, exactly Spark's string sort order (and DuckDB's
+  * binary collation) — a Java String comparator would diverge on
+  * non-BMP codepoints. Returns array<struct<value, cnt>> best-first.
+  */
+case class TopKCountAgg(
+    value: Expression,
+    cnt: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
+    scala.collection.mutable.ArrayBuffer[(Array[Byte], Long)]]
+  with ExpectsInputTypes {
+
+  type Buf = scala.collection.mutable.ArrayBuffer[(Array[Byte], Long)]
+
+  override def children: Seq[Expression] = Seq(value, cnt)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, LongType)
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("value", StringType, nullable = true)
+    .add("cnt", LongType, nullable = false), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_count_agg"
+
+  /** (count desc, value asc nulls first, unsigned UTF-8 bytes). */
+  private def beats(a: (Array[Byte], Long), b: (Array[Byte], Long)): Boolean = {
+    if (a._2 != b._2) return a._2 > b._2
+    if (a._1 == null) return b._1 != null
+    if (b._1 == null) return false
+    var i = 0
+    val n = math.min(a._1.length, b._1.length)
+    while (i < n) {
+      val x = a._1(i) & 0xFF; val y = b._1(i) & 0xFF
+      if (x != y) return x < y
+      i += 1
+    }
+    a._1.length < b._1.length
+  }
+
+  private def insert(buf: Buf, e: (Array[Byte], Long)): Buf = {
+    // k is tiny (top-k panels): ordered insert + trim
+    var i = 0
+    while (i < buf.length && beats(buf(i), e)) i += 1
+    buf.insert(i, e)
+    if (buf.length > k) buf.remove(k)
+    buf
+  }
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val c = cnt.eval(input)
+    if (c == null) return buf
+    val v = value.eval(input)
+    val bytes = if (v == null) null
+      else v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    insert(buf, (bytes, c.asInstanceOf[Long]))
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    b.foreach(insert(a, _))
+    a
+  }
+
+  override def eval(buf: Buf): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      buf.map { case (bytes, c) =>
+        InternalRow(
+          if (bytes == null) null
+          else org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes),
+          c)
+      }.toArray[Any])
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val total = 4 + buf.map { case (b, _) => 4 + (if (b == null) 0 else b.length) + 8 }.sum
+    val bb = java.nio.ByteBuffer.allocate(total)
+    bb.putInt(buf.length)
+    buf.foreach { case (b, c) =>
+      bb.putInt(if (b == null) -1 else b.length)
+      if (b != null) bb.put(b)
+      bb.putLong(c)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new Buf()
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val b = if (len < 0) null else { val a = new Array[Byte](len); bb.get(a); a }
+      buf += ((b, bb.getLong))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKCountAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKCountAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKCountAgg =
+    copy(value = newChildren(0), cnt = newChildren(1))
 }
