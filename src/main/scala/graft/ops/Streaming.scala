@@ -86,6 +86,22 @@ object Streaming {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
+  /** Streaming MERGE sink: each micro-batch upserts into a versioned
+    * table via foreachBatch — the standard "stream into a lakehouse
+    * table" pattern (per-batch transactional commit; history retained,
+    * so a bad deploy rolls back by version). Returns the started query;
+    * the caller owns its lifecycle. */
+  def upsertSink(events: DataFrame, store: graft.engine.VersionedStore,
+      table: String, keys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          store.upsert(batch.sparkSession, table, batch.toDF(), keys); ()
+        }
+      }
+      .start()
+
   case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
   case class UserState(user_id: Long, n_events: Long, sum_value: Double)

@@ -108,3 +108,52 @@ object NativeAggProps extends Properties("native-agg") {
       m.zip(x.zip(y)).forall { case (s, (a, b)) => s == a.toDouble + b.toDouble }
     }
 }
+
+/** TopKCountAgg model: bounded insert/merge must equal sort-take-k under
+  * the (count desc, value asc nulls-first, unsigned-bytes) order, over
+  * any split of the input — the exactness claim behind replacing the
+  * window sort. */
+object TopKProps extends Properties("topk-agg") {
+
+  private type E = (Option[String], Long)
+
+  private def lt(a: E, b: E): Boolean = {
+    if (a._2 != b._2) return a._2 > b._2
+    (a._1, b._1) match {
+      case (None, None) => false
+      case (None, _) => true
+      case (_, None) => false
+      case (Some(x), Some(y)) =>
+        val xb = x.getBytes("UTF-8"); val yb = y.getBytes("UTF-8")
+        val n = math.min(xb.length, yb.length)
+        var i = 0
+        while (i < n) {
+          if ((xb(i) & 0xFF) != (yb(i) & 0xFF)) return (xb(i) & 0xFF) < (yb(i) & 0xFF)
+          i += 1
+        }
+        xb.length < yb.length
+    }
+  }
+
+  private def model(es: Seq[E], k: Int): Seq[E] = es.sortWith(lt).take(k)
+
+  private def heapInsert(buf: Vector[E], e: E, k: Int): Vector[E] = {
+    val i = buf.indexWhere(!lt(_, e)) match { case -1 => buf.length; case x => x }
+    (buf.take(i) :+ e) ++ buf.drop(i) take k
+  }
+
+  private val entry: Gen[E] = for {
+    v <- Gen.option(Gen.oneOf("a", "b", "ab", "", "é", "z", "aa"))
+    c <- Gen.chooseNum(0L, 5L)
+  } yield (v, c)
+
+  property("bounded insert over any split equals sort-take-k") =
+    forAll(Gen.listOf(entry), Gen.chooseNum(1, 4), Gen.chooseNum(0, 20)) { (es, k, cut0) =>
+      val cut = if (es.isEmpty) 0 else cut0 % (es.size + 1)
+      val (l, r) = es.splitAt(cut)
+      val lBuf = l.foldLeft(Vector.empty[E])(heapInsert(_, _, k))
+      val rBuf = r.foldLeft(Vector.empty[E])(heapInsert(_, _, k))
+      val merged = rBuf.foldLeft(lBuf)(heapInsert(_, _, k))
+      merged == model(es, k)
+    }
+}

@@ -192,4 +192,30 @@ class StreamingSpec extends SparkSuite {
       assert(sessions === Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("foreachBatch upsert sink merges each micro-batch into a versioned table") {
+    implicit val ctx = spark.sqlContext
+    val store = new graft.engine.VersionedStore(
+      java.nio.file.Files.createTempDirectory("graft-stream-upsert").toString)
+    val input = MemoryStream[EventRow]
+    val q = Streaming.upsertSink(
+      input.toDF().select(col("event_id"), col("event_type"), col("value")),
+      store, "ev", Seq("event_id"))
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      assert(store.read(spark, "ev").count() === 2L)
+      // batch 2: update event 2, insert event 3
+      input.addData(
+        EventRow(2L, ts("2024-01-01 10:02:00"), 1L, "purchase", 9.0, "{}"),
+        ev(3, "2024-01-01 10:03:00"))
+      q.processAllAvailable()
+      val now = store.read(spark, "ev").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(now === Set((1L, "click"), (2L, "purchase"), (3L, "click")))
+      // per-batch commits retained as history: batch-1 state is readable
+      assert(store.history("ev").size === 2)
+      assert(store.readVersion(spark, "ev", 1L).count() === 2L)
+    } finally q.stop()
+  }
 }
