@@ -228,6 +228,30 @@ object Wave3 {
        |WINDOW w AS (PARTITION BY lang, source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- fn_array_hof: higher-order array predicates/reductions ----------
+
+  /** Higher-order function family over the token array: exists / forall
+    * / filter-count / fold (aggregate) — all codegen-able builtins, no
+    * UDFs; DuckDB expresses the same via list_filter/list_aggregate. */
+  private val fnArrayHof: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"),
+        exists(col("tk"), x => x.startsWith("a")).as("has_a_word"),
+        forall(col("tk"), x => length(x) < 20).as("all_short"),
+        size(filter(col("tk"), x => length(x) >= 6)).cast("bigint").as("n_long"),
+        aggregate(col("tk"), lit(0L), (acc, x) => acc + length(x)).as("total_chars"))
+      .orderBy("doc_id")
+
+  private val fnArrayHofOracle =
+    s"""SELECT doc_id,
+       |  len(list_filter(tk, x -> x LIKE 'a%')) > 0 AS has_a_word,
+       |  len(list_filter(tk, x -> NOT length(x) < 20)) = 0 AS all_short,
+       |  CAST(len(list_filter(tk, x -> length(x) >= 6)) AS BIGINT) AS n_long,
+       |  CAST(coalesce(list_aggregate(list_transform(tk, x -> length(x)), 'sum'), 0) AS BIGINT) AS total_chars
+       |FROM (SELECT doc_id, $duckToks AS tk FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- fn_regexp: extract / replace / extract_all ----------------------
 
   /** Regexp scalar family (both engines on RE2-safe patterns: plain
@@ -698,6 +722,7 @@ object Wave3 {
     "sample_stratified" -> sampleStratified,
     "corpus_pack" -> corpusPack,
     "fn_regexp" -> fnRegexp,
+    "fn_array_hof" -> fnArrayHof,
     "fn_interval" -> fnInterval,
     "win_ignore_nulls" -> winIgnoreNulls,
     "sim_knn_join" -> simKnnJoin,
@@ -724,6 +749,7 @@ object Wave3 {
     "sample_stratified" -> sampleStratifiedOracle,
     "corpus_pack" -> corpusPackOracle,
     "fn_regexp" -> fnRegexpOracle,
+    "fn_array_hof" -> fnArrayHofOracle,
     "fn_interval" -> fnIntervalOracle,
     "win_ignore_nulls" -> winIgnoreNullsOracle,
     "sim_knn_join" -> simKnnJoinOracle,
