@@ -252,6 +252,35 @@ object Wave3 {
        |FROM (SELECT doc_id, $duckToks AS tk FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- fn_map_ops: map construction / filter / value transform ---------
+
+  /** MapType pipeline: build token→length maps, filter entries, rewrite
+    * values, explode back to rows (map_from_arrays / map_filter /
+    * transform_values / explode — the MapType half of the HOF surface).
+    * Keys are array_distinct'ed first: Spark's default mapKeyDedupPolicy
+    * throws on duplicate keys. The oracle computes the same entry set
+    * list-wise (the map is an intermediate, not an output type). */
+  private val fnMapOps: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(slice(toks(col("text")), 1, 3)).as("tk"))
+      .select(col("doc_id"),
+        map_from_arrays(col("tk"), transform(col("tk"), x => length(x))).as("m"))
+      .select(col("doc_id"),
+        transform_values(
+          map_filter(col("m"), (_, v) => v >= 4),
+          (_, v) => v * 2L).as("m2"))
+      .select(col("doc_id"), explode(col("m2")).as(Seq("token", "double_len")))
+      .select(col("doc_id"), col("token"), col("double_len").cast("bigint").as("double_len"))
+      .orderBy("doc_id", "token")
+
+  private val fnMapOpsOracle =
+    s"""SELECT doc_id, token, CAST(2 * length(token) AS BIGINT) AS double_len
+       |FROM (SELECT doc_id, unnest(list_distinct(tk[1:3])) AS token
+       |      FROM (SELECT doc_id, $duckToks AS tk FROM documents))
+       |WHERE length(token) >= 4
+       |ORDER BY doc_id, token""".stripMargin
+
   // ---- fn_regexp: extract / replace / extract_all ----------------------
 
   /** Regexp scalar family (both engines on RE2-safe patterns: plain
@@ -723,6 +752,7 @@ object Wave3 {
     "corpus_pack" -> corpusPack,
     "fn_regexp" -> fnRegexp,
     "fn_array_hof" -> fnArrayHof,
+    "fn_map_ops" -> fnMapOps,
     "fn_interval" -> fnInterval,
     "win_ignore_nulls" -> winIgnoreNulls,
     "sim_knn_join" -> simKnnJoin,
@@ -750,6 +780,7 @@ object Wave3 {
     "corpus_pack" -> corpusPackOracle,
     "fn_regexp" -> fnRegexpOracle,
     "fn_array_hof" -> fnArrayHofOracle,
+    "fn_map_ops" -> fnMapOpsOracle,
     "fn_interval" -> fnIntervalOracle,
     "win_ignore_nulls" -> winIgnoreNullsOracle,
     "sim_knn_join" -> simKnnJoinOracle,
