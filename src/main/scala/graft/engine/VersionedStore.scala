@@ -54,13 +54,36 @@ class VersionedStore(root: String) {
     next
   }
 
+  /** Widen `df` to `cols`, adding NULL-typed columns it lacks (the
+    * schema-evolution half of Delta's mergeSchema). */
+  private def align(df: DataFrame,
+      cols: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.columns.toSet
+    df.select(cols.map { f =>
+      if (have.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   /** MERGE against the live snapshot, committed as a new version (the
-    * reference's upsert-maintained meta-tables, with history retained). */
+    * reference's upsert-maintained meta-tables, with history retained).
+    * With `evolveSchema`, source-only columns are ADDED to the table
+    * (existing rows take NULL) and dropped source columns are retained
+    * (source rows take NULL) — Delta mergeSchema semantics; earlier
+    * versions keep their own schema (time travel is schema-faithful). */
   def upsert(spark: SparkSession, name: String, source: DataFrame,
-      keys: Seq[String]): Long = {
+      keys: Seq[String], evolveSchema: Boolean = false): Long = {
     val merged = currentVersion(name) match {
       case None => source
-      case Some(_) => Merge.upsert(read(spark, name), source, keys)
+      case Some(_) =>
+        val target = read(spark, name)
+        if (!evolveSchema) Merge.upsert(target, source, keys)
+        else {
+          val all = target.schema.fields ++
+            source.schema.fields.filterNot(f => target.columns.contains(f.name))
+          Merge.upsert(align(target, all), align(source, all), keys)
+        }
     }
     // stage through a neutral dir first: the merge READS the live version
     // while the new snapshot is being written

@@ -60,4 +60,22 @@ class VersionedStoreSpec extends SparkSuite {
     assert(store.read(spark, "SchemaInformation").count() === 5L)   // 2 + 3 cols
     assert(store.readVersion(spark, "SchemaInformation", 1L).count() === 2L)
   }
+
+  test("upsert with evolveSchema adds new columns; time travel keeps old schema") {
+    val store = freshStore()
+    store.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "t")
+    store.upsert(spark, "t",
+      Seq((2L, "B", 9.5), (3L, "c", 1.5)).toDF("k", "v", "score"),
+      Seq("k"), evolveSchema = true)
+    val now = store.read(spark, "t")
+    assert(now.columns.toSeq === Seq("k", "v", "score"))
+    val rows = now.collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(rows === Set(
+      (1L, "a", None),                 // pre-evolution row: NULL score
+      (2L, "B", Some(9.5)),
+      (3L, "c", Some(1.5))))
+    // the superseded snapshot keeps its narrower schema
+    assert(store.readVersion(spark, "t", 1L).columns.toSeq === Seq("k", "v"))
+  }
 }
