@@ -29,6 +29,23 @@ object GraftSession {
   def tuned(b: SparkSession.Builder): SparkSession.Builder =
     engineConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 
+  /** Reclaim this run's per-application scratch root on JVM exit and
+    * sweep stale roots (crashed runs) older than six hours at startup —
+    * the app-id-suffixed scratch dirs (csv/json/partitioned roundtrips,
+    * sinks, time travel) would otherwise accumulate one full-table copy
+    * per run in java.io.tmpdir. */
+  private def manageScratch(appId: String): Unit = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    Option(tmp.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft-scratch-") &&
+        f.lastModified < cutoff)
+      .foreach(Fs.deleteRec)
+    val own = new java.io.File(tmp, s"graft-scratch-$appId")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      if (own.exists) Fs.deleteRec(own)))
+  }
+
   /** Local session sized by env (SPARK_GRAFT_CPUS), UTC, quiet UI —
     * the shape Verify/Bench/tests run under. */
   def local(appName: String): SparkSession = {
@@ -56,6 +73,7 @@ object GraftSession {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    manageScratch(s.sparkContext.applicationId)
     s
   }
 }

@@ -8,17 +8,30 @@ import org.apache.spark.storage.StorageLevel
   * The reference's pattern: expensive derived relations (profileData,
   * SchemaInformation) are written ONCE as meta-tables and every
   * downstream query reads the materialization (ref: dbc cmd8/cmd9). The
-  * in-session form is a persisted DataFrame memoized by (session, key);
-  * at 100 TB the same seam writes a parquet/Delta meta-table instead —
+  * in-session form is a persisted DataFrame memoized per session; at
+  * 100 TB the same seam writes a parquet/Delta meta-table instead —
   * output sizes here (per-column NDV aggregates, near-dup candidate
   * pairs) are orders of magnitude below input bytes.
   *
-  * `invalidate()` drops everything (e.g. after upserts change a table).
+  * Sessions are map keys through a WeakHashMap: entries die with their
+  * session (no cross-session collisions, no retention of DataFrames
+  * bound to stopped sessions). `invalidate()` drops everything eagerly
+  * (e.g. after upserts change a table).
   */
 object Materialize {
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private val bySession =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def sessionMap(spark: SparkSession) = bySession.synchronized {
+    var m = bySession.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+      bySession.put(spark, m)
+    }
+    m
+  }
 
   /** Get-or-build: `build` runs once per (session, key); the result is
     * persisted MEMORY_AND_DISK and shared by every later caller.
@@ -30,18 +43,23 @@ object Materialize {
     * get → build → putIfAbsent allows nesting; a concurrent duplicate
     * build is possible and harmless (the loser unpersists). */
   def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val k = (System.identityHashCode(spark).toString, key)
-    val existing = cache.get(k)
+    val cache = sessionMap(spark)
+    val existing = cache.get(key)
     if (existing != null) return existing
     val built = build.persist(StorageLevel.MEMORY_AND_DISK)
-    val prev = cache.putIfAbsent(k, built)
+    val prev = cache.putIfAbsent(key, built)
     if (prev != null) { built.unpersist(); prev } else built
   }
 
-  def invalidate(): Unit = {
+  def invalidate(): Unit = bySession.synchronized {
     import scala.jdk.CollectionConverters._
-    cache.values.asScala.foreach(_.unpersist())
-    cache.clear()
+    bySession.values.asScala.foreach { m =>
+      m.values.asScala.foreach { df =>
+        try df.unpersist() catch { case _: Exception => () }  // session may be stopped
+      }
+      m.clear()
+    }
+    bySession.clear()
   }
 
   /** Replace one entry with an incrementally-derived successor. The new
@@ -51,9 +69,9 @@ object Materialize {
     * cache for a full-lineage rebuild (SPARK-24596) — checkpointing
     * decouples them, so the increment is the only work done. */
   def replace(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val k = (System.identityHashCode(spark).toString, key)
+    val cache = sessionMap(spark)
     val next = build.localCheckpoint()
-    val old = cache.put(k, next)
+    val old = cache.put(key, next)
     if (old != null) old.unpersist()
     next
   }

@@ -68,14 +68,18 @@ object Tables {
 
   /** Parquet footer schemas memoized per (dir, table): every `load` call
     * otherwise re-reads footers for schema inference — pure driver-side
-    * latency repeated by every query in a session. Schemas are
-    * session-independent, so the memo is keyed by path only. */
+    * latency repeated by every query in a session. ONLY the read-only
+    * fixture roots are cached: a path that can be rewritten in place
+    * (temp dirs in tests, store roots) must re-infer, or an in-place
+    * schema change would silently serve the stale schema forever. */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]()
 
   private def cachedSchema(spark: SparkSession, dir: String, name: String)(
       read: => DataFrame): org.apache.spark.sql.types.StructType =
-    schemaCache.computeIfAbsent((dir, name), _ => read.schema)
+    if (dir.startsWith("/root/testdata/"))
+      schemaCache.computeIfAbsent((dir, name), _ => read.schema)
+    else read.schema
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

@@ -85,13 +85,10 @@ class VersionedStore(root: String) {
           Merge.upsert(align(target, all), align(source, all), keys)
         }
     }
-    // stage through a neutral dir first: the merge READS the live version
-    // while the new snapshot is being written
-    val staged = new java.io.File(tdir(name), "_staged")
-    merged.write.mode(SaveMode.Overwrite).parquet(staged.getAbsolutePath)
-    val committed = write(spark.read.parquet(staged.getAbsolutePath), name)
-    Fs.deleteRec(staged)
-    committed
+    // no staging needed: the merge reads v{N} while writing into the
+    // brand-new v{N+1} directory — they never overlap (unlike
+    // ParquetStore.upsert, which overwrites the dir it reads)
+    write(merged, name)
   }
 
   /** Read the live snapshot. */
@@ -112,10 +109,18 @@ class VersionedStore(root: String) {
   def changes(spark: SparkSession, name: String, from: Long, to: Long,
       keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val a = readVersion(spark, name, from).withColumn("__a", lit(true))
-    val b = readVersion(spark, name, to).withColumn("__b", lit(true))
+    // align both snapshots to the UNION of their schemas first: columns
+    // added by evolveSchema between the versions must participate in the
+    // update comparison (a value appearing in a new column IS a change),
+    // and comparing in either direction must resolve.
+    val rawA = readVersion(spark, name, from)
+    val rawB = readVersion(spark, name, to)
+    val all = rawA.schema.fields ++
+      rawB.schema.fields.filterNot(f => rawA.columns.contains(f.name))
+    val a = align(rawA, all).withColumn("__a", lit(true))
+    val b = align(rawB, all).withColumn("__b", lit(true))
     val cond = keys.map(k => a(k) <=> b(k)).reduce(_ && _)
-    val nonKeys = a.columns.filter(c => !keys.contains(c) && c != "__a")
+    val nonKeys = all.map(_.name).filter(c => !keys.contains(c))
     val differs = nonKeys.map(c => !(a(c) <=> b(c))).reduceOption(_ || _)
       .getOrElse(lit(false))
     a.join(b, cond, "full_outer")

@@ -61,18 +61,22 @@ object Ivf {
     * join, no shuffle, no window. Ties break to the lowest cell id
     * (array_position finds the first maximum). */
   def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
+    // (cellId, centroid) pairs — cell ids may be NON-contiguous (a Lloyd
+    // round can empty a cell), so the argmax must emit the actual id,
+    // never the positional index of the sorted list.
     val cents = centroids.orderBy("cell").collect()
-      .map(r => r.getSeq[Float](r.fieldIndex("centroid")))
+      .map(r => (r.getInt(r.fieldIndex("cell")),
+        r.getSeq[Float](r.fieldIndex("centroid"))))
     // k direct native-cosine columns + greatest/first-match argmax: the
     // HOF form (transform over an array literal) pays lambda-interpreter
     // overhead per element; flat expressions evaluate the same k fused
     // loops with none of it. First matching `when` = lowest cell id on
-    // ties, same as array_position-of-max.
-    val sims = cents.map(c =>
-      Native.cosineSim(col("embedding"), array(c.map(v => lit(v)): _*).cast("array<float>")))
+    // ties (cents are sorted by cell), same as array_position-of-max.
+    val sims = cents.map { case (_, c) =>
+      Native.cosineSim(col("embedding"), array(c.map(v => lit(v)): _*).cast("array<float>")) }
     val mx = greatest(sims: _*)
-    val cell = sims.zipWithIndex.tail.foldLeft(when(sims.head === mx, 0)) {
-      case (acc, (s, i)) => acc.when(s === mx, i)
+    val cell = sims.zip(cents).tail.foldLeft(when(sims.head === mx, cents.head._1)) {
+      case (acc, (s, (id, _))) => acc.when(s === mx, id)
     }
     e.withColumn("cell", cell.cast("int"))
   }

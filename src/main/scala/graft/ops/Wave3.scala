@@ -60,13 +60,19 @@ object Wave3 {
       .withColumn("lbl", col("v")).localCheckpoint()
     var converged = false
     var supersteps = 0
-    while (!converged && supersteps < 6) {
+    // 64 supersteps = 128 hops >= any realistic dup-graph diameter; the
+    // cap is a runaway backstop, and hitting it FAILS LOUDLY — silently
+    // returning unconverged labels would leave deep-chain duplicates
+    // labeled as their own component (wrongly kept by dedup_keep).
+    while (!converged && supersteps < 64) {
       val next = hop(hop(lbl)).localCheckpoint()
       converged = next.as("n").join(lbl.as("o"), col("n.v") === col("o.v"))
         .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
       lbl = next
       supersteps += 1
     }
+    require(converged,
+      s"connectedComponents did not converge in $supersteps supersteps (graph diameter > 128?)")
     edges.unpersist()
     lbl.select(col("v").as("doc_id"), col("lbl").as("component"))
       .orderBy("doc_id")
@@ -403,6 +409,10 @@ object Wave3 {
         sqrt(aggregate(col("embedding"), lit(0d),
           (acc, x) => acc + x.cast("double") * x.cast("double"))).as("norm"))
       .join(t(s, dir, "embeddings"), Seq("vec_id"))
+      // zero vectors have no direction to quantize: excluded on BOTH
+      // sides (Spark would emit NULL codes from floor(NaN); DuckDB
+      // errors on CAST(inf AS INT) — divergent, so neither is allowed)
+      .filter(col("norm") > 0)
       .select(col("vec_id"), round(col("norm"), 6).as("l2_norm"),
         transform(col("embedding"),
           x => floor(x.cast("double") / col("norm") * 127 + 0.5).cast("int")).as("q"))
@@ -413,7 +423,7 @@ object Wave3 {
       |n AS (SELECT vec_id, SQRT(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS norm FROM e)
       |SELECT e.vec_id, ROUND(n.norm, 6) AS l2_norm,
       |  list_transform(e.v, x -> CAST(FLOOR(x / n.norm * 127 + 0.5) AS INT)) AS q
-      |FROM e JOIN n ON e.vec_id = n.vec_id ORDER BY e.vec_id""".stripMargin
+      |FROM e JOIN n ON e.vec_id = n.vec_id WHERE n.norm > 0 ORDER BY e.vec_id""".stripMargin
 
   // ---- agg_grouping_id -------------------------------------------------
 

@@ -78,4 +78,20 @@ class VersionedStoreSpec extends SparkSuite {
     // the superseded snapshot keeps its narrower schema
     assert(store.readVersion(spark, "t", 1L).columns.toSeq === Seq("k", "v"))
   }
+
+  test("changes() classifies values appearing in evolved columns as updates") {
+    val store = freshStore()
+    store.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "t")
+    // key 1 keeps v but GAINS a score through schema evolution: that IS
+    // an update; key 2 is untouched in every column
+    store.upsert(spark, "t", Seq((1L, "a", 7.0)).toDF("k", "v", "score"),
+      Seq("k"), evolveSchema = true)
+    val feed = store.changes(spark, "t", 1L, 2L, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed === Set((1L, "update")))
+    // and the reverse direction resolves too (narrowing view)
+    val rev = store.changes(spark, "t", 2L, 1L, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rev === Set((1L, "update")))
+  }
 }
