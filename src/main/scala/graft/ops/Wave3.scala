@@ -183,6 +183,43 @@ object Wave3 {
        |ORDER BY q.doc_id""".stripMargin
   }
 
+  // ---- text_rarity: rank-based lexical rarity --------------------------
+
+  /** Per-document lexical rarity via GLOBAL frequency ranks — the
+    * perplexity-proxy quality signal computed with pure integer ranks
+    * (log-probability forms depend on libm's log and are not
+    * cross-engine exact; ranks are). Corpus term ranks (count desc,
+    * token asc — deterministic) broadcast-join onto doc tokens; median
+    * rank via the exact interpolated percentile the gate already pins.
+    * The ranking window is global but runs over the VOCABULARY, not the
+    * corpus (Heaps' law: sublinear in corpus size) — the engine's one
+    * deliberate global window; for web-scale vocabularies swap in a
+    * range-partitioned sort + per-partition offset ranking. */
+  private val textRarity: Q = (s, dir) => {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    val ranks = tok.groupBy("w").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("n"), asc("w"))).cast("bigint"))
+      .select("w", "rank")
+    tok.join(broadcast(ranks), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        expr("percentile(rank, 0.5)").as("median_rank"),
+        max("rank").as("rarest_rank"))
+      .orderBy("doc_id")
+  }
+
+  private val textRarityOracle =
+    s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS w FROM documents),
+       |ranks AS (SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w ASC) AS BIGINT) AS rank
+       |          FROM tok GROUP BY w)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+       |  CAST(median(rank) AS DOUBLE) AS median_rank,
+       |  MAX(rank) AS rarest_rank
+       |FROM tok JOIN ranks USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- sample_stratified: per-stratum deterministic rates --------------
 
   /** Corpus-mixing sampler: per-language sampling rates (en is
@@ -758,6 +795,7 @@ object Wave3 {
     "dedup_components_multi" -> dedupComponentsMulti,
     "dedup_keep" -> dedupKeep,
     "corpus_filter" -> corpusFilter,
+    "text_rarity" -> textRarity,
     "sample_stratified" -> sampleStratified,
     "corpus_pack" -> corpusPack,
     "fn_regexp" -> fnRegexp,
@@ -786,6 +824,7 @@ object Wave3 {
     "dedup_components_multi" -> dedupComponentsMultiOracle,
     "dedup_keep" -> dedupKeepOracle,
     "corpus_filter" -> corpusFilterOracle,
+    "text_rarity" -> textRarityOracle,
     "sample_stratified" -> sampleStratifiedOracle,
     "corpus_pack" -> corpusPackOracle,
     "fn_regexp" -> fnRegexpOracle,
