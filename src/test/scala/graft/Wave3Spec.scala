@@ -68,4 +68,8 @@ class Wave3Spec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
+
+  test("SparkEntry.entry flagship returns rows (driver smoke contract)") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
 }
