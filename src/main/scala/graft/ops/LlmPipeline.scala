@@ -213,10 +213,19 @@ object LlmPipeline {
         .select(col("doc_id"), col("lang"), col("source"),
           array_distinct(tokens(col("text"))).as("toks"))
       val sizes = d.select(col("doc_id"), size(col("toks")).as("sz"))
-      val tok = d.select(col("doc_id"), col("lang"), col("source"), explode(col("toks")).as("w"))
+      val tok = d.select(col("doc_id"), col("lang"), col("source"),
+        size(col("toks")).as("sz"), explode(col("toks")).as("w"))
+      // Size-ratio pruning (exact, result-preserving): J(A,B) >= 0.8
+      // implies |A∩B| >= 4(|A|+|B|)/9 and |A∩B| <= min, hence
+      // 5*min(|A|,|B|) >= 4*max(|A|,|B|). Enforcing that ratio IN the
+      // token join discards hopeless pairs before the intersection
+      // count — the length-blocking that keeps the candidate join
+      // linear-ish at corpus scale. The oracle does NOT prune, so the
+      // gate proves zero result change.
       val inter = tok.as("a").join(tok.as("b"),
           col("a.w") === col("b.w") && col("a.lang") === col("b.lang") &&
-            col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+            col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id") &&
+            least(col("a.sz"), col("b.sz")) * 5 >= greatest(col("a.sz"), col("b.sz")) * 4)
         .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
         .agg(count(lit(1)).as("inter"))
       inter
