@@ -147,6 +147,64 @@ object Wave3 {
          |  SELECT i, j FROM ($mh) WHERE est_sim >= 0.5)""".stripMargin)
   }
 
+  // ---- profile_numeric_bins: equi-width histogram binning --------------
+
+  /** Equi-width 10-bin histograms for the fact table's numeric columns —
+    * the numeric complement of the per-value profile (per-value rows are
+    * useless for near-continuous columns). Two passes: a global min/max
+    * aggregate (one row, broadcast into the plan), then one binning
+    * scan + count per bin. The bin arithmetic is written IDENTICALLY on
+    * both engines (same IEEE double ops in the same order), so the
+    * boundaries land identically. */
+  private val profileNumericBins: Q = (s, dir) => {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val li = t(s, dir, "lineitem")
+    val mm = li.agg(
+      cols.flatMap(c => Seq(min(col(c)).as(s"${c}_mn"), max(col(c)).as(s"${c}_mx"))).head,
+      cols.flatMap(c => Seq(min(col(c)).as(s"${c}_mn"), max(col(c)).as(s"${c}_mx"))).tail: _*)
+    val binned = cols.map { c =>
+      li.crossJoin(broadcast(mm))
+        .select(lit(c).as("columnName"),
+          least(floor((col(c) - col(s"${c}_mn")) /
+            ((col(s"${c}_mx") - col(s"${c}_mn")) / 10.0)), lit(9.0))
+            .cast("bigint").as("bin"))
+    }.reduce(_ union _)
+    binned.groupBy("columnName", "bin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("columnName", "bin")
+  }
+
+  private val profileNumericBinsOracle = {
+    val parts = Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+      s"""SELECT '$c' AS columnName,
+         |  CAST(LEAST(FLOOR(($c - mn) / ((mx - mn) / 10.0)), 9.0) AS BIGINT) AS bin
+         |FROM lineitem CROSS JOIN (SELECT MIN($c) AS mn, MAX($c) AS mx FROM lineitem)""".stripMargin
+    }
+    s"""SELECT columnName, bin, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM (${parts.mkString(" UNION ALL ")})
+       |GROUP BY columnName, bin ORDER BY columnName, bin""".stripMargin
+  }
+
+  // ---- fn_try_arith: null-safe arithmetic ------------------------------
+
+  /** try_* arithmetic: division by zero and bigint overflow yield NULL
+    * instead of errors/wraparound — the safe-ingestion arithmetic mode.
+    * DuckDB expresses the same contracts with explicit guards. */
+  private val fnTryArith: Q = (s, dir) =>
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        expr("try_divide(p_retailprice, p_size - 25)").as("per_unit"),
+        expr("try_add(9223372036854775807L, p_partkey)").as("overflowed"),
+        expr("try_multiply(p_partkey, 0)").as("zeroed"))
+      .orderBy("p_partkey")
+
+  private val fnTryArithOracle =
+    """SELECT p_partkey,
+      |  CASE WHEN p_size - 25 = 0 THEN NULL ELSE p_retailprice / (p_size - 25) END AS per_unit,
+      |  CASE WHEN p_partkey > 0 THEN NULL ELSE 9223372036854775807 + p_partkey END AS overflowed,
+      |  p_partkey * 0 AS zeroed
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   // ---- corpus_filter: the composite keep gate --------------------------
 
   /** The production keep/drop gate: quality score, repetition gates, and
@@ -795,6 +853,8 @@ object Wave3 {
     "dedup_components_multi" -> dedupComponentsMulti,
     "dedup_keep" -> dedupKeep,
     "corpus_filter" -> corpusFilter,
+    "profile_numeric_bins" -> profileNumericBins,
+    "fn_try_arith" -> fnTryArith,
     "text_rarity" -> textRarity,
     "sample_stratified" -> sampleStratified,
     "corpus_pack" -> corpusPack,
@@ -824,6 +884,8 @@ object Wave3 {
     "dedup_components_multi" -> dedupComponentsMultiOracle,
     "dedup_keep" -> dedupKeepOracle,
     "corpus_filter" -> corpusFilterOracle,
+    "profile_numeric_bins" -> profileNumericBinsOracle,
+    "fn_try_arith" -> fnTryArithOracle,
     "text_rarity" -> textRarityOracle,
     "sample_stratified" -> sampleStratifiedOracle,
     "corpus_pack" -> corpusPackOracle,
