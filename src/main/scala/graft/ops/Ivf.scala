@@ -104,6 +104,38 @@ object Ivf {
       .limit(10)
   }
 
+  /** Build the IVF index ONCE into a store: the centroid table
+    * (model-sized) and the cell-assigned vector table (the "inverted
+    * file", partitioned by cell on disk so a probe reads only its
+    * cells' files). Production shape: train/assign is a batch job;
+    * queries touch the materialized index only. */
+  def buildIndex(store: graft.engine.ParquetStore, e: DataFrame,
+      k: Int, iters: Int): Unit = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val centroids = train(e, k, iters)
+    store.overwrite(centroids.toSeq.toDF("cell", "centroid"), "ivf_centroids")
+    // repartition by cell: each probe's scan is cell-local files
+    store.overwrite(assign(e, centroids.toSeq.toDF("cell", "centroid"))
+      .repartition(col("cell")), "ivf_assigned")
+  }
+
+  /** Query the PERSISTED index: nearest `nprobe` cells from the centroid
+    * table, then top-k cosine within those cells only. */
+  def queryIndex(spark: SparkSession, store: graft.engine.ParquetStore,
+      queryVec: Array[Float], nprobe: Int, k: Int): DataFrame = {
+    val qv = array(queryVec.map(lit(_)): _*).cast("array<float>")
+    val probeCells = store.read(spark, "ivf_centroids")
+      .select(col("cell"), Native.cosineSim(col("centroid"), qv).as("sim"))
+      .orderBy(desc("sim"), asc("cell")).limit(nprobe)
+      .select("cell")
+    store.read(spark, "ivf_assigned")
+      .join(broadcast(probeCells), "cell")
+      .select(col("vec_id"), round(Native.cosineSim(col("embedding"), qv), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, Q] = Map("sim_ivf" -> simIvf)
   val oracles: Map[String, String] = Map.empty
 }

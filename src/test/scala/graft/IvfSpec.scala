@@ -41,4 +41,23 @@ class IvfSpec extends SparkSuite {
     // fixture regeneration drift while still catching a broken quantizer
     assert(recall >= 0.5, s"IVF recall collapsed: $recall")
   }
+
+  test("persisted IVF index answers identically to the in-session pipeline") {
+    val e = graft.engine.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val store = new graft.engine.ParquetStore(
+      java.nio.file.Files.createTempDirectory("graft-ivf-index").toString)
+    Ivf.buildIndex(store, e, k = 16, iters = 2)
+    val qv = e.filter(col("vec_id") === 0).head()
+      .getSeq[Float](1).toArray
+    // the query vector is itself in the corpus: ask for one extra and
+    // drop the self-hit, mirroring sim_ivf's exclusion
+    val fromIndex = Ivf.queryIndex(spark, store, qv, nprobe = 4, k = 11)
+      .filter(col("vec_id") =!= 0)
+      .limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    val direct = graft.SparkEntry.queries("sim_ivf")(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(fromIndex === direct)
+  }
 }
