@@ -37,9 +37,16 @@ object GraftSession {
   private def manageScratch(appId: String): Unit = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    // staleness = the NEWEST mtime anywhere under the root: a >6h session
+    // keeps writing into subdirectories without touching the root's own
+    // mtime, and must not have its live scratch swept from under it
+    def newestMtime(f: java.io.File): Long =
+      if (f.isDirectory)
+        (f.lastModified +: Option(f.listFiles).getOrElse(Array.empty).map(newestMtime).toSeq).max
+      else f.lastModified
     Option(tmp.listFiles).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("graft-scratch-") &&
-        f.lastModified < cutoff)
+        newestMtime(f) < cutoff)
       .foreach(Fs.deleteRec)
     val own = new java.io.File(tmp, s"graft-scratch-$appId")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>

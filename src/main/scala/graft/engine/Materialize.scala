@@ -20,11 +20,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object Materialize {
 
+  // NOT a WeakHashMap: the cached DataFrames strongly reference their
+  // SparkSession, so a weak key would never be reclaimable anyway.
+  // Instead, entries of STOPPED sessions are purged eagerly on every
+  // lookup — sessions per JVM are few, so the scan is trivial.
   private val bySession =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.HashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
   private def sessionMap(spark: SparkSession) = bySession.synchronized {
+    val dead = new java.util.ArrayList[SparkSession]()
+    bySession.keySet.forEach(s => if (s.sparkContext.isStopped) dead.add(s))
+    dead.forEach(s => { bySession.remove(s); () })
     var m = bySession.get(spark)
     if (m == null) {
       m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()

@@ -75,9 +75,13 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]()
 
+  /** Roots whose contents are immutable (schemas safe to memoize);
+    * embedders can extend for their own read-only data lakes. */
+  @volatile var immutableRoots: Seq[String] = Seq("/root/testdata/")
+
   private def cachedSchema(spark: SparkSession, dir: String, name: String)(
       read: => DataFrame): org.apache.spark.sql.types.StructType =
-    if (dir.startsWith("/root/testdata/"))
+    if (immutableRoots.exists(dir.startsWith))
       schemaCache.computeIfAbsent((dir, name), _ => read.schema)
     else read.schema
 

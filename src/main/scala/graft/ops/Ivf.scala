@@ -113,24 +113,28 @@ object Ivf {
       k: Int, iters: Int): Unit = {
     val spark = e.sparkSession
     import spark.implicits._
-    val centroids = train(e, k, iters)
-    store.overwrite(centroids.toSeq.toDF("cell", "centroid"), "ivf_centroids")
-    // repartition by cell: each probe's scan is cell-local files
-    store.overwrite(assign(e, centroids.toSeq.toDF("cell", "centroid"))
-      .repartition(col("cell")), "ivf_assigned")
+    val cdf = train(e, k, iters).toSeq.toDF("cell", "centroid")
+    store.overwrite(cdf, "ivf_centroids")
+    // repartition by cell: each file holds few cells, so each file's
+    // cell min/max row-group stats make probe filters skip it entirely
+    store.overwrite(assign(e, cdf).repartition(col("cell")), "ivf_assigned")
   }
 
   /** Query the PERSISTED index: nearest `nprobe` cells from the centroid
-    * table, then top-k cosine within those cells only. */
+    * table, then top-k cosine within those cells only. The probe-cell
+    * set (nprobe ints — model-sized) becomes an `isin` predicate, which
+    * PUSHES to the parquet scan: with cell-clustered files, row-group
+    * stats skip every non-probed file, so I/O is the nprobe/k fraction
+    * of the index (a broadcast join would scan everything). */
   def queryIndex(spark: SparkSession, store: graft.engine.ParquetStore,
       queryVec: Array[Float], nprobe: Int, k: Int): DataFrame = {
     val qv = array(queryVec.map(lit(_)): _*).cast("array<float>")
     val probeCells = store.read(spark, "ivf_centroids")
       .select(col("cell"), Native.cosineSim(col("centroid"), qv).as("sim"))
       .orderBy(desc("sim"), asc("cell")).limit(nprobe)
-      .select("cell")
+      .select("cell").collect().map(_.getInt(0)).toSeq
     store.read(spark, "ivf_assigned")
-      .join(broadcast(probeCells), "cell")
+      .filter(col("cell").isin(probeCells: _*))
       .select(col("vec_id"), round(Native.cosineSim(col("embedding"), qv), 6).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)

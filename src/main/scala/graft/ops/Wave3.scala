@@ -60,20 +60,21 @@ object Wave3 {
       .withColumn("lbl", col("v")).localCheckpoint()
     var converged = false
     var supersteps = 0
-    // 64 supersteps = 128 hops >= any realistic dup-graph diameter; the
-    // cap is a runaway backstop, and hitting it FAILS LOUDLY — silently
-    // returning unconverged labels would leave deep-chain duplicates
-    // labeled as their own component (wrongly kept by dedup_keep).
-    while (!converged && supersteps < 64) {
-      val next = hop(hop(lbl)).localCheckpoint()
-      converged = next.as("n").join(lbl.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
-      lbl = next
-      supersteps += 1
-    }
-    require(converged,
-      s"connectedComponents did not converge in $supersteps supersteps (graph diameter > 128?)")
-    edges.unpersist()
+    try {
+      // 64 supersteps = 128 hops >= any realistic dup-graph diameter; the
+      // cap is a runaway backstop, and hitting it FAILS LOUDLY — silently
+      // returning unconverged labels would leave deep-chain duplicates
+      // labeled as their own component (wrongly kept by dedup_keep).
+      while (!converged && supersteps < 64) {
+        val next = hop(hop(lbl)).localCheckpoint()
+        converged = next.as("n").join(lbl.as("o"), col("n.v") === col("o.v"))
+          .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+        lbl = next
+        supersteps += 1
+      }
+      require(converged,
+        s"connectedComponents did not converge in $supersteps supersteps (graph diameter > 128?)")
+    } finally edges.unpersist()
     lbl.select(col("v").as("doc_id"), col("lbl").as("component"))
       .orderBy("doc_id")
   }

@@ -45,8 +45,8 @@ class IvfSpec extends SparkSuite {
   test("persisted IVF index answers identically to the in-session pipeline") {
     val e = graft.engine.Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val store = new graft.engine.ParquetStore(
-      java.nio.file.Files.createTempDirectory("graft-ivf-index").toString)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-ivf-index")
+    val store = new graft.engine.ParquetStore(indexDir.toString)
     Ivf.buildIndex(store, e, k = 16, iters = 2)
     val qv = e.filter(col("vec_id") === 0).head()
       .getSeq[Float](1).toArray
@@ -59,5 +59,6 @@ class IvfSpec extends SparkSuite {
     val direct = graft.SparkEntry.queries("sim_ivf")(spark, sf)
       .collect().map(_.getLong(0)).toSeq
     assert(fromIndex === direct)
+    graft.engine.Fs.deleteRec(indexDir.toFile)
   }
 }
