@@ -19,6 +19,10 @@ object Native {
   /** Element-wise sum of array<float> vectors (centroid substrate). */
   def vecSumAgg(v: Column): Column = GraftNative.vecSumAgg(v)
 
+  /** Multi-table hyperplane-LSH bucket array (one fused pass per row). */
+  def lshBuckets(v: Column, planes: Int, tables: Int): Column =
+    GraftNative.lshBuckets(v, planes, tables)
+
   /** Bounded top-k (value, count) aggregate, best-first. */
   def topKCountAgg(value: Column, cnt: Column, k: Int): Column =
     GraftNative.topKCountAgg(value, cnt, k)

@@ -279,25 +279,17 @@ object LlmPipeline {
     * amplification, the standard recall lever for hyperplane LSH (a
     * single table's recall on near-orthogonal random vectors collapses:
     * P[同bucket] = (1-θ/π)^p per table, 1-(1-(1-θ/π)^p)^L over L tables).
-    * All L·p plane projections accumulate in ONE groupBy over the
-    * exploded (vec, dim) rows — one shuffle regardless of L. */
-  def lshTables(e: DataFrame, planes: Int, tables: Int): DataFrame = {
-    val expanded = e.select(col("vec_id"), posexplode(col("embedding")))
-      .withColumnRenamed("pos", "d").withColumnRenamed("col", "x")
-    val planeSums = (0 until tables).flatMap { t =>
-      (0 until planes).map { p =>
-        sum(col("x") * (shiftright(xxhash64(lit(t * 1024 + p), col("d")), 1)
-          .bitwiseAND(lit(1L)).cast("double") * 2.0 - 1.0)).as(s"t${t}p$p")
-      }
-    }
-    val agged = expanded.groupBy("vec_id").agg(planeSums.head, planeSums.tail: _*)
-    val buckets = (0 until tables).map { t =>
-      (0 until planes).map(p =>
-        shiftleft(when(col(s"t${t}p$p") > 0, 1L).otherwise(0L), p)).reduce(_ bitwiseOR _)
-    }
-    agged.select(col("vec_id"), posexplode(array(buckets: _*)))
+    * All L·p plane projections are ONE narrow per-row fused loop (native
+    * [[graft.functions.Native.lshBuckets]]) — NO exchange before the
+    * bucket join; the posexplode here only unrolls the length-L bucket
+    * array into the (vec_id, table, bucket) output contract. The earlier
+    * posexplode(embedding)+groupBy form shuffled ×dim data (1000× on
+    * 1k-dim vectors); weights are derived from the identical xxhash64
+    * chain, so bucket values are unchanged. */
+  def lshTables(e: DataFrame, planes: Int, tables: Int): DataFrame =
+    e.select(col("vec_id"),
+        posexplode(graft.functions.Native.lshBuckets(col("embedding"), planes, tables)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-  }
 
   /** Single-table form kept for bucket-partitioning specs. */
   def lshBuckets(e: DataFrame, planes: Int): DataFrame =

@@ -324,7 +324,7 @@ object Wave3 {
 
   private val corpusPackOracle =
     s"""SELECT doc_id, lang, source, n_tok,
-       |  SUM(n_tok) OVER w AS cum_tok,
+       |  CAST(SUM(n_tok) OVER w AS BIGINT) AS cum_tok,
        |  CAST(FLOOR((SUM(n_tok) OVER w - n_tok) / 512) AS BIGINT) AS pack_id
        |FROM (SELECT doc_id, lang, source, CAST(len($duckToks) AS BIGINT) AS n_tok FROM documents)
        |WINDOW w AS (PARTITION BY lang, source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -498,28 +498,30 @@ object Wave3 {
   /** Embedding storage quantization: L2 norm (exact sequential double
     * fold, same order both engines) and the int8 code array
     * floor(x/norm*127 + 0.5) — explicit floor(+0.5) instead of round()
-    * because engines disagree on negative-half rounding modes. */
+    * because engines disagree on negative-half rounding modes. The norm
+    * is computed inline per row (one narrow projection, no shuffle) and
+    * the code array is rendered as a comma-joined string because the
+    * differential gate hashes scalar cells only. */
   private val embedQuantize: Q = (s, dir) =>
     t(s, dir, "embeddings")
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("embedding"),
         sqrt(aggregate(col("embedding"), lit(0d),
           (acc, x) => acc + x.cast("double") * x.cast("double"))).as("norm"))
-      .join(t(s, dir, "embeddings"), Seq("vec_id"))
       // zero vectors have no direction to quantize: excluded on BOTH
       // sides (Spark would emit NULL codes from floor(NaN); DuckDB
       // errors on CAST(inf AS INT) — divergent, so neither is allowed)
       .filter(col("norm") > 0)
       .select(col("vec_id"), round(col("norm"), 6).as("l2_norm"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") / col("norm") * 127 + 0.5).cast("int")).as("q"))
+        concat_ws(",", transform(col("embedding"),
+          x => floor(x.cast("double") / col("norm") * 127 + 0.5).cast("int"))).as("q"))
       .orderBy("vec_id")
 
   private val embedQuantizeOracle =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |n AS (SELECT vec_id, SQRT(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS norm FROM e)
-      |SELECT e.vec_id, ROUND(n.norm, 6) AS l2_norm,
-      |  list_transform(e.v, x -> CAST(FLOOR(x / n.norm * 127 + 0.5) AS INT)) AS q
-      |FROM e JOIN n ON e.vec_id = n.vec_id WHERE n.norm > 0 ORDER BY e.vec_id""".stripMargin
+      |n AS (SELECT vec_id, v, SQRT(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS norm FROM e)
+      |SELECT vec_id, ROUND(norm, 6) AS l2_norm,
+      |  array_to_string(list_transform(v, x -> CAST(FLOOR(x / norm * 127 + 0.5) AS INT)), ',') AS q
+      |FROM n WHERE norm > 0 ORDER BY vec_id""".stripMargin
 
   // ---- agg_grouping_id -------------------------------------------------
 

@@ -8,7 +8,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{Block, CodegenContext, EmptyBlock, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -79,6 +79,97 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
+}
+
+/** Multi-table random-hyperplane LSH buckets in ONE narrow per-row pass:
+  * returns array<long> of length `tables`, where bucket t's bit p is the
+  * sign of the projection of the embedding onto plane (t,p). Plane
+  * weights are ±1 derived from bit 1 of xxhash64(t*1024+p, d) — the
+  * exact hash chain Spark's `xxhash64(lit(t*1024+p), col("d"))` computes
+  * (XXH64.hashInt seeded 42, then re-seeded per dim), so buckets match
+  * the composed Column form this expression replaced. That form
+  * posexploded vectors to (vec, dim) rows and shuffled ×dim data through
+  * a groupBy — 1000× shuffle amplification on 1k-dim embeddings; this is
+  * a scan-side projection with NO exchange. The ±1 weight matrix is
+  * deterministic given (planes, tables, dim) and cached per-thread after
+  * first use (tables*planes*dim floats — model-sized). */
+case class LshBuckets(child: Expression, planes: Int, tables: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(planes > 0 && planes <= 62, s"lsh_buckets: planes=$planes out of range")
+  require(tables > 0, s"lsh_buckets: tables=$tables")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  // Lazily-built ±1 weight matrix, flat-indexed [(t*planes+p)*dim + d].
+  // Guarded re-build on dim change (embeddings are fixed-dim in practice);
+  // volatile-free single-thread-per-task access, rebuilt per task at worst.
+  @transient private var wDim: Int = -1
+  @transient private var weights: Array[Float] = _
+
+  private def weightsFor(dim: Int): Array[Float] = {
+    if (wDim != dim) {
+      val w = new Array[Float](tables * planes * dim)
+      var t = 0
+      while (t < tables) {
+        var p = 0
+        while (p < planes) {
+          // same chain as Spark's xxhash64(intLit, intCol): seed 42,
+          // hash the plane id, then hash the dim with that as seed
+          val seedHash = XXH64.hashInt(t * 1024 + p, 42L)
+          val base = (t * planes + p) * dim
+          var d = 0
+          while (d < dim) {
+            w(base + d) = if (((XXH64.hashInt(d, seedHash) >> 1) & 1L) == 1L) 1.0f else -1.0f
+            d += 1
+          }
+          p += 1
+        }
+        t += 1
+      }
+      weights = w
+      wDim = dim
+    }
+    weights
+  }
+
+  def compute(a: Any): ArrayData = {
+    val x = a.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    val w = weightsFor(dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        val base = (t * planes + p) * dim
+        var s = 0.0
+        var d = 0
+        while (d < dim) {
+          s += x.getFloat(d).toDouble * w(base + d)
+          d += 1
+        }
+        if (s > 0) bucket |= 1L << p
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshBuckets", this, classOf[LshBuckets].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.compute($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
 }
 
 /** Morton (Z-order) interleave of the low `bits` bits of each LongType
@@ -159,6 +250,9 @@ object GraftNative {
 
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def lshBuckets(v: Column, planes: Int, tables: Int): Column =
+    ExpressionUtils.column(LshBuckets(ExpressionUtils.expression(v), planes, tables))
 
   def zvalue(bits: Int, cols: Column*): Column =
     ExpressionUtils.column(ZValue(

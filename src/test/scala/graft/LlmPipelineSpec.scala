@@ -70,6 +70,15 @@ class LlmPipelineSpec extends SparkSuite {
     assert(b1.size === e.count())
   }
 
+  test("lsh bucket generation is a narrow projection: no Exchange in the plan") {
+    val e = graft.engine.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val plan = LlmPipeline.lshTables(e, 4, 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"lshTables must not shuffle (scan-side fused projection), got:\n$plan")
+    assert(plan.contains("lsh_buckets"), "native lsh_buckets expression in the plan")
+  }
+
   test("sim_ann_lsh returns a subset of brute-force candidates ranked by cosine") {
     val annRows = LlmPipeline.queries("sim_ann_lsh")(spark, sf).collect()
     val ann = annRows.map(_.getLong(0)).toSet

@@ -29,8 +29,11 @@ class Wave3Spec extends SparkSuite {
   test("embed_quantize codes are int8-range and norms positive") {
     val q = Wave3.queries("embed_quantize")(spark, sf).persist()
     assert(q.filter(col("l2_norm") <= 0).count() === 0)
+    // q is rendered as a comma-joined string (the differential gate
+    // hashes scalar cells only) — split back to ints for the range check
     val outOfRange = q
-      .select(explode(col("q")).as("c"))
+      .select(explode(split(col("q"), ",")).as("c"))
+      .select(col("c").cast("int").as("c"))
       .filter(col("c") > 127 || col("c") < -127)
       .count()
     assert(outOfRange === 0)
