@@ -79,6 +79,41 @@ class VersionedStoreSpec extends SparkSuite {
     assert(store.readVersion(spark, "t", 1L).columns.toSeq === Seq("k", "v"))
   }
 
+  test("upsert shares unchanged data files between versions (manifest reuse)") {
+    val store = freshStore()
+    // 8 key-partitioned files so a 1-key upsert can only hit one of them
+    store.write((1L to 800L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartition(8, col("k")), "t")
+    val (_, f1) = store.manifest("t", 1L)
+    assert(f1.size === 8, s"expected 8 data files, got ${f1.size}")
+    store.upsert(spark, "t", Seq((42L, "UPDATED")).toDF("k", "v"), Seq("k"))
+    val (_, f2) = store.manifest("t", 2L)
+    val shared = f1.toSet.intersect(f2.toSet)
+    assert(shared.size === 7, s"7 untouched files must carry over by reference, shared=$shared")
+    assert((f2.toSet -- f1.toSet).nonEmpty, "the hit file is rewritten as a new file")
+    // and both snapshots still read correctly
+    assert(store.readVersion(spark, "t", 1L).filter(col("k") === 42L)
+      .collect().map(_.getString(1)).toSeq === Seq("v42"))
+    assert(store.read(spark, "t").filter(col("k") === 42L)
+      .collect().map(_.getString(1)).toSeq === Seq("UPDATED"))
+    assert(store.read(spark, "t").count() === 800L)
+  }
+
+  test("vacuum garbage-collects only unreferenced data files") {
+    val root = java.nio.file.Files.createTempDirectory("graft-versions").toString
+    val store = new VersionedStore(root)
+    store.write((1L to 100L).map(k => (k, k * 2)).toDF("k", "v")
+      .repartition(4, col("k")), "t")
+    store.upsert(spark, "t", Seq((1L, -2L)).toDF("k", "v"), Seq("k"))
+    val (_, liveFiles) = store.manifest("t", 2L)
+    store.vacuumVersions("t", keep = 1)
+    assert(store.history("t") === Seq(2L))
+    // shared files referenced by the surviving manifest must NOT be swept
+    assert(store.read(spark, "t").count() === 100L)
+    val onDisk = new java.io.File(s"$root/t/files").listFiles.map(_.getName).toSet
+    assert(onDisk === liveFiles.toSet, "exactly the referenced files remain")
+  }
+
   test("changes() classifies values appearing in evolved columns as updates") {
     val store = freshStore()
     store.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "t")
