@@ -48,7 +48,8 @@ object Extras {
 
   /** sink_create_replace + scan round-trip (ref: `create or replace table`,
     * dbc cmd8/9): overwrite the SchemaInformation meta-table into a store
-    * and read it back. Rows-only check (side-effecting). */
+    * and read it back, hash-checked against the declared-registry oracle
+    * (a lossy write would diverge). */
   private val sinkRoundtrip: Q = (s, dir) => {
     val root = sys.props("java.io.tmpdir") + s"/graft-scratch-${s.sparkContext.applicationId}/sink"
     val store = new ParquetStore(root)
@@ -112,6 +113,10 @@ object Extras {
         |CAST(COUNT(*) OVER w AS BIGINT) AS range_n
         |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) ORDER BY o_orderkey""".stripMargin,
     "agg_cube" ->
-      "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"
+      "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
+    // the round-trip preserves SchemaInformation byte-for-byte, so the
+    // sink read-back hash-checks against the same declared-registry
+    // oracle the profiler uses (the write is the part under test)
+    "sink_roundtrip" -> Profiler.schemaInformationOracle()
   )
 }

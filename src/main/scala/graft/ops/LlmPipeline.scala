@@ -425,7 +425,8 @@ object LlmPipeline {
 
   /** Decode-stub features with array columns rendered as scalar strings
     * (floats as round(x,6) fixed-point ints — bit-stable across engines;
-    * rows-only check: the checksum/histogram fold is not SQL-expressible). */
+    * oracled: the checksum fold replays in DuckDB as a HUGEINT
+    * list_reduce mod 2^64, the histogram in single-precision FLOAT). */
   private val multimodalDecode: Q = (s, dir) =>
     Multimodal.extractFeatures(s, dir).select(
       col("doc_id"), col("n_bytes"), col("checksum"),
@@ -523,6 +524,31 @@ object LlmPipeline {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, md5(text) AS payload_md5, CAST(to_json(struct_pack(lang := lang, source := source)) AS VARCHAR) AS meta FROM documents ORDER BY doc_id""".stripMargin,
+    // the decode stub's byte-level folds, replayed over the UTF-8 bytes:
+    // checksum = *31+byte fold wrapped mod 2^64 (HUGEINT domain, re-signed
+    // at the end), features = byte-histogram buckets normalized in FLOAT
+    // (single-precision division matches the stub's float math bit-exactly),
+    // frames = every 32nd byte via list slice-with-step
+    "multimodal_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id, encode(text) AS b, octet_length(encode(text)) AS nb FROM documents
+        |), e AS (
+        |  SELECT doc_id, nb,
+        |    list_transform(range(1, nb + 1), i -> CAST(CAST(concat('0x', substr(hex(b), CAST(2*i-1 AS INT), 2)) AS BIGINT) AS HUGEINT)) AS bytes
+        |  FROM m
+        |)
+        |SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN cks >= 9223372036854775808 THEN cks - 18446744073709551616 ELSE cks END AS BIGINT) AS checksum,
+        |  array_to_string(list_transform(range(0, 8), k ->
+        |    CAST(round(CAST(CAST(len(list_filter(bytes, x -> x % 8 = k)) AS FLOAT)
+        |      / CAST(greatest(nb, 1) AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT)), ',') AS features,
+        |  array_to_string(list_transform(bytes[1:nb:32], x -> CAST(x AS BIGINT)), ',') AS frames
+        |FROM (
+        |  SELECT doc_id, nb, bytes,
+        |    list_reduce(list_prepend(CAST(0 AS HUGEINT), bytes),
+        |      (a, x) -> (a * 31 + x) % 18446744073709551616) AS cks
+        |  FROM e
+        |) ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS doc_hash,
          |list_min(list_transform(
