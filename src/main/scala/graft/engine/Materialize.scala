@@ -3,6 +3,72 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
+/** Session-keyed cache of named values (the session-map pattern shared by
+  * [[Materialize]] and model-sized caches like the trained IVF
+  * centroids).
+  *
+  * NOT a WeakHashMap: cached values (DataFrames, trained models) may
+  * strongly reference their SparkSession, so a weak key would never be
+  * reclaimable anyway. Instead, entries of STOPPED sessions are purged
+  * eagerly on every lookup — sessions per JVM are few, so the scan is
+  * trivial. Keying on the session object itself (not an identity hash)
+  * makes collisions impossible. */
+class SessionCache[T] {
+
+  private val bySession =
+    new java.util.HashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, T]]()
+
+  /** The per-session map, purging entries of stopped sessions first. */
+  def sessionMap(spark: SparkSession):
+      java.util.concurrent.ConcurrentHashMap[String, T] = bySession.synchronized {
+    val dead = new java.util.ArrayList[SparkSession]()
+    bySession.keySet.forEach(s => if (s.sparkContext.isStopped) dead.add(s))
+    dead.forEach(s => { bySession.remove(s); () })
+    var m = bySession.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[String, T]()
+      bySession.put(spark, m)
+    }
+    m
+  }
+
+  /** Get-or-build. NOT computeIfAbsent: a build may itself cache nested
+    * keys on this map, and ConcurrentHashMap throws "Recursive update"
+    * when the nested key hashes into the same bin — an intermittent
+    * landmine that only fires at certain map sizes. get → build →
+    * putIfAbsent allows nesting; a concurrent duplicate build is
+    * possible; `onDiscard` disposes the loser. */
+  def getOrBuild(spark: SparkSession, key: String)(build: => T)
+      (onDiscard: T => Unit = _ => ()): T = {
+    val cache = sessionMap(spark)
+    val existing = cache.get(key)
+    if (existing != null) return existing
+    val built = build
+    val prev = cache.putIfAbsent(key, built)
+    if (prev != null) { onDiscard(built); prev } else built
+  }
+
+  /** Dispose every entry with `f` and clear the cache. */
+  def invalidateAll(f: T => Unit): Unit = bySession.synchronized {
+    import scala.jdk.CollectionConverters._
+    bySession.values.asScala.foreach { m =>
+      m.values.asScala.foreach(v => f(v))
+      m.clear()
+    }
+    bySession.clear()
+  }
+
+  /** Number of sessions currently holding entries (stopped sessions are
+    * purged first — observable for retention specs). */
+  def liveSessionCount: Int = bySession.synchronized {
+    val dead = new java.util.ArrayList[SparkSession]()
+    bySession.keySet.forEach(s => if (s.sparkContext.isStopped) dead.add(s))
+    dead.forEach(s => { bySession.remove(s); () })
+    bySession.size
+  }
+}
+
 /** Session-scoped materialization of expensive shared intermediates.
   *
   * The reference's pattern: expensive derived relations (profileData,
@@ -13,61 +79,26 @@ import org.apache.spark.storage.StorageLevel
   * output sizes here (per-column NDV aggregates, near-dup candidate
   * pairs) are orders of magnitude below input bytes.
   *
-  * Sessions are map keys through a WeakHashMap: entries die with their
+  * Sessions are keyed through [[SessionCache]]: entries die with their
   * session (no cross-session collisions, no retention of DataFrames
   * bound to stopped sessions). `invalidate()` drops everything eagerly
-  * (e.g. after upserts change a table).
-  */
+  * (e.g. after upserts change a table). */
 object Materialize {
 
-  // NOT a WeakHashMap: the cached DataFrames strongly reference their
-  // SparkSession, so a weak key would never be reclaimable anyway.
-  // Instead, entries of STOPPED sessions are purged eagerly on every
-  // lookup — sessions per JVM are few, so the scan is trivial.
-  private val bySession =
-    new java.util.HashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
-
-  private def sessionMap(spark: SparkSession) = bySession.synchronized {
-    val dead = new java.util.ArrayList[SparkSession]()
-    bySession.keySet.forEach(s => if (s.sparkContext.isStopped) dead.add(s))
-    dead.forEach(s => { bySession.remove(s); () })
-    var m = bySession.get(spark)
-    if (m == null) {
-      m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-      bySession.put(spark, m)
-    }
-    m
-  }
+  private val cache = new SessionCache[DataFrame]()
 
   /** Get-or-build: `build` runs once per (session, key); the result is
-    * persisted MEMORY_AND_DISK and shared by every later caller.
-    *
-    * NOT computeIfAbsent: a build may itself materialize its inputs
-    * (nested calls on this map), and ConcurrentHashMap throws
-    * "Recursive update" when the nested key hashes into the same bin —
-    * an intermittent landmine that only fires at certain map sizes.
-    * get → build → putIfAbsent allows nesting; a concurrent duplicate
-    * build is possible and harmless (the loser unpersists). */
-  def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val cache = sessionMap(spark)
-    val existing = cache.get(key)
-    if (existing != null) return existing
-    val built = build.persist(StorageLevel.MEMORY_AND_DISK)
-    val prev = cache.putIfAbsent(key, built)
-    if (prev != null) { built.unpersist(); prev } else built
-  }
+    * persisted MEMORY_AND_DISK and shared by every later caller (a
+    * concurrent duplicate build is harmless — the loser unpersists). */
+  def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    cache.getOrBuild(spark, key) {
+      build.persist(StorageLevel.MEMORY_AND_DISK)
+    } { lost => lost.unpersist(); () }
 
-  def invalidate(): Unit = bySession.synchronized {
-    import scala.jdk.CollectionConverters._
-    bySession.values.asScala.foreach { m =>
-      m.values.asScala.foreach { df =>
-        try df.unpersist() catch { case _: Exception => () }  // session may be stopped
-      }
-      m.clear()
+  def invalidate(): Unit =
+    cache.invalidateAll { df =>
+      try df.unpersist() catch { case _: Exception => () }  // session may be stopped
     }
-    bySession.clear()
-  }
 
   /** Replace one entry with an incrementally-derived successor. The new
     * value is localCheckpoint'ed BEFORE the old entry is dropped: the
@@ -76,9 +107,8 @@ object Materialize {
     * cache for a full-lineage rebuild (SPARK-24596) — checkpointing
     * decouples them, so the increment is the only work done. */
   def replace(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val cache = sessionMap(spark)
     val next = build.localCheckpoint()
-    val old = cache.put(key, next)
+    val old = cache.sessionMap(spark).put(key, next)
     if (old != null) old.unpersist()
     next
   }

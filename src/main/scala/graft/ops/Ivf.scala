@@ -84,17 +84,18 @@ object Ivf {
   /** sim_ivf query: top-10 cosine neighbors of vec 0 searching only the
     * nprobe=4 (of k=16) cells nearest the query. Rows-only check
     * (k-means is engine-specific); recall vs brute force in IvfSpec. */
-  /** Trained centroid sets memoized per (session, dir): an IVF index is
-    * built ONCE and queried many times — retraining per query is the
-    * unrealistic shape. Driver-side k×dim floats, negligible. */
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[(Int, Array[Float])]]()
+  /** Trained centroid sets memoized per (session, dir) through the shared
+    * [[graft.engine.SessionCache]]: an IVF index is built ONCE and
+    * queried many times — retraining per query is the unrealistic shape.
+    * Driver-side k×dim floats, negligible; entries die with their
+    * session (no identity-hash collisions, no stopped-session leaks). */
+  private[graft] val centroidCache =
+    new graft.engine.SessionCache[Array[(Int, Array[Float])]]()
 
   private val simIvf: Q = (s, dir) => {
     import s.implicits._
     val e = LlmPipeline.emb(s, dir).select(col("vec_id"), col("embedding"))
-    val centroids = centroidCache.computeIfAbsent(
-      (System.identityHashCode(s), dir), _ => train(e, k = 16, iters = 2))
+    val centroids = centroidCache.getOrBuild(s, dir)(train(e, k = 16, iters = 2))()
     val cdf = centroids.toSeq.toDF("cell", "centroid")
     val assigned = graft.engine.Materialize(s, s"ivf-assigned:$dir") {
       assign(e, cdf)
