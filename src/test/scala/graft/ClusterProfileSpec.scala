@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** The CLUSTER execution profile: whole-stage codegen ON (the
+  * engineConfs default — only GraftSession.local's one-shot harness
+  * turns it off, a measured JIT-warmup tradeoff documented there). The
+  * shared test session applies `GraftSession.tuned` WITHOUT the local
+  * override, so these assertions pin the plans a 1000-executor
+  * deployment actually runs: vectorized (`Batched: true`) parquet scans,
+  * fused WholeStageCodegen spans, and filter pushdown surviving codegen.
+  */
+class ClusterProfileSpec extends SparkSuite {
+
+  /** AQE prints codegen spans only in the FINAL plan — execute first. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("test session runs the cluster profile: codegen enabled") {
+    assert(spark.conf.get("spark.sql.codegen.wholeStage") === "true",
+      "suite must assert plans under the codegen-ON cluster profile")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+  }
+
+  test("profile_histogram under codegen: batched scan + codegen spans + partial agg") {
+    graft.engine.Materialize.invalidate()
+    val df = graft.ops.Profiler.histogramAgg(spark, sf, Seq(Tables.meta("orders")))
+    val plan = finalPlan(df)
+    graft.engine.Materialize.invalidate()
+    assert(plan.contains("Batched: true"),
+      s"expected a vectorized parquet scan in:\n${plan.take(1500)}")
+    assert(plan.contains("*("),
+      s"expected fused codegen spans (the *(n) markers) in:\n${plan.take(1500)}")
+    val firstAgg = plan.indexOf("HashAggregate")
+    val exchange = plan.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange > firstAgg,
+      "partial aggregation must stay under the exchange with codegen on")
+  }
+
+  test("flagship_star_join under codegen: batched scans, pushed filters, broadcast joins") {
+    val df = graft.SparkEntry.queries("flagship_star_join")(spark, sf)
+    val plan = finalPlan(df)
+    assert(plan.contains("Batched: true"),
+      s"expected vectorized scans in:\n${plan.take(2000)}")
+    assert(plan.contains("*("),
+      s"expected codegen spans (the *(n) markers) in:\n${plan.take(2000)}")
+    assert(plan.contains("PushedFilters: [IsNotNull("),
+      s"filter pushdown must survive the codegen profile:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension joins must broadcast in the cluster profile:\n${plan.take(2000)}")
+  }
+
+  test("native expressions stay inside whole-stage codegen (cosine scan)") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val df = e.crossJoin(broadcast(q))
+      .select(graft.functions.Native.cosineSim(col("embedding"), col("qv")).as("cos"))
+    val plan = finalPlan(df)
+    val star = """\*\(\d+\) Project \[cosine_sim""".r
+    assert(star.findFirstIn(plan).isDefined,
+      s"CosineSim must sit INSIDE a codegen span (*(n) Project [cosine_sim...):\n${plan.take(1500)}")
+  }
+}
