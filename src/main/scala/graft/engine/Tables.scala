@@ -54,6 +54,31 @@ object Tables {
 
   def meta(name: String): TableMeta = all.find(_.name == name).get
 
+  /** Sentinel `dir`: resolve table names through the session catalog
+    * (temp views, registered databases) instead of a parquet directory —
+    * every operator takes (session, dir), so passing [[CatalogDir]]
+    * points the SAME query code at a live warehouse. */
+  val CatalogDir = "catalog:"
+
+  /** Dynamic catalog discovery — the reference's `show tables` +
+    * per-table `describe` loop (ref: dbc cmd7/cmd12), as metadata-only
+    * driver calls (no jobs): one TableMeta per table visible to
+    * `spark.catalog.listTables`, columns in schema order with their
+    * catalog type strings (the same lower-case `DataType.sql` convention
+    * as the declared registry, so the profiler/oracle machinery is
+    * source-agnostic). `names` narrows discovery (e.g. to the views one
+    * test registered); default is everything listed. */
+  def fromCatalog(spark: SparkSession, names: Seq[String] = Seq.empty): Seq[TableMeta] = {
+    val listed = spark.catalog.listTables().collect().toSeq
+      .filter(t => names.isEmpty || names.contains(t.name))
+      .sortBy(_.name)
+    listed.map { t =>
+      val cols = spark.catalog.listColumns(t.name).collect().toSeq
+        .map(c => Col(c.name, c.dataType.toLowerCase))
+      TableMeta(t.name, cols)
+    }
+  }
+
   /** Re-balance a low-split input across the cluster before a CPU-heavy
     * stage (explode / hashing). Test fixtures are single-row-group parquet
     * files — an unsplittable 1-task scan — so downstream work would run on
@@ -86,7 +111,11 @@ object Tables {
     else read.schema
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
+    if (dir.startsWith(CatalogDir)) {
+      // catalog-resolved tables already carry metastore types; the
+      // parquet-footer special cases below don't apply
+      spark.table(name)
+    } else if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to map
       // to TimestampType; read it as raw nanos and truncate to micros.
       // Session-agnostic (works under the driver's own SparkSession too).

@@ -34,6 +34,23 @@ class ProfilerSpec extends SparkSuite {
     assert(bad === 0)
   }
 
+  test("catalog path: temp-view-registered fixtures profile identically") {
+    // the reference discovers tables via `show tables` (dbc cmd7); the
+    // engine's analog is Tables.fromCatalog + the catalog: dir sentinel.
+    // Same data registered as temp views must produce the same profile.
+    for (n <- Seq("region", "nation"))
+      Tables.load(spark, sf, n).createOrReplaceTempView(n)
+    val metas = Tables.fromCatalog(spark, Seq("region", "nation"))
+    assert(metas.map(_.name) === Seq("nation", "region"))
+    assert(metas.find(_.name == "nation").get.cols ===
+      Tables.meta("nation").cols, "catalog metadata matches the declared registry")
+    val declared = Profiler.histogramAgg(spark, sf,
+      Seq(Tables.meta("nation"), Tables.meta("region"))).collect().toSet
+    val viaCatalog = Profiler.histogramAgg(spark, Tables.CatalogDir, metas)
+      .collect().toSet
+    assert(viaCatalog === declared, "catalog-path profile must be identical")
+  }
+
   test("profiler is idempotent (same result on re-run)") {
     val a = Profiler.profileHistogram(spark, sf, Seq(Tables.meta("nation")))
     val b = Profiler.profileHistogram(spark, sf, Seq(Tables.meta("nation")))
