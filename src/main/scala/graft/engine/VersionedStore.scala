@@ -65,11 +65,121 @@ class VersionedStore(root: String) {
   /** Snapshot v's (schema, data-file names) — the manifest contents.
     * File names are relative to the table's `files/` directory. */
   def manifest(name: String, v: Long): (StructType, Seq[String]) = {
+    val (schema, entries) = manifestWithStats(name, v)
+    (schema, entries.map(_.file))
+  }
+
+  /** One manifest data-file entry: name + per-column (min, max) stats
+    * rendered as strings (absent for files staged before stats, or for
+    * all-NULL columns). The skipping substrate: Delta-log §3's per-file
+    * stats, minus the jar. */
+  case class FileEntry(file: String, stats: Map[String, (String, String)])
+
+  def manifestWithStats(name: String, v: Long): (StructType, Seq[FileEntry]) = {
     val mf = manifestFile(name, v)
     require(mf.exists, s"$name has no version $v (history: ${history(name)})")
     val lines = java.nio.file.Files.readAllLines(mf.toPath).asScala.toSeq
-    (DataType.fromJson(lines.head).asInstanceOf[StructType],
-      lines.tail.filter(_.nonEmpty))
+    val entries = lines.tail.filter(_.nonEmpty).map { line =>
+      line.split("\t", 2) match {
+        case Array(f) => FileEntry(f, Map.empty)
+        case Array(f, json) => FileEntry(f, parseStats(json))
+      }
+    }
+    (DataType.fromJson(lines.head).asInstanceOf[StructType], entries)
+  }
+
+  // ---- per-file stats: render / parse / prune ---------------------------
+
+  /** Minimal JSON for {"col":["min","max"],...}: values are stat strings
+    * (numeric rendering or raw string), escaped like Verify's dumper. */
+  private def jsonEsc(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def renderStats(stats: Map[String, (String, String)]): String =
+    stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      s"${jsonEsc(c)}:[${jsonEsc(mn)},${jsonEsc(mx)}]"
+    }.mkString("{", ",", "}")
+
+  private def parseStats(json: String): Map[String, (String, String)] = {
+    // tolerant hand-rolled parser for the exact shape renderStats emits
+    val entry = """"((?:[^"\\]|\\.)*)":\["((?:[^"\\]|\\.)*)","((?:[^"\\]|\\.)*)"\]""".r
+    def un(s: String): String = {
+      val b = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        s(i) match {
+          case '\\' if i + 1 < s.length =>
+            s(i + 1) match {
+              case 'n' => b.append('\n'); i += 2
+              case 'r' => b.append('\r'); i += 2
+              case 't' => b.append('\t'); i += 2
+              case 'u' => b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+              case c => b.append(c); i += 2
+            }
+          case c => b.append(c); i += 1
+        }
+      }
+      b.toString
+    }
+    entry.findAllMatchIn(json).map(m => un(m.group(1)) -> (un(m.group(2)), un(m.group(3)))).toMap
+  }
+
+  /** Column types whose stats support range pruning (numeric compare or
+    * raw-string compare — timestamps/dates/arrays are skipped, not
+    * mis-compared). */
+  private def statable(f: StructField): Boolean = f.dataType match {
+    case _: org.apache.spark.sql.types.NumericType => true
+    case org.apache.spark.sql.types.StringType => true
+    case _ => false
+  }
+
+  private def isNumeric(dt: DataType): Boolean =
+    dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
+
+  /** Can a file with stats `(mn, mx)` contain a key in `[srcMin, srcMax]`?
+    * Missing stats → conservatively yes. */
+  private[engine] def rangesOverlap(dt: DataType,
+      file: Option[(String, String)], src: (String, String)): Boolean =
+    file match {
+      case None => true
+      case Some((mn, mx)) =>
+        if (isNumeric(dt)) {
+          try mn.toDouble <= src._2.toDouble && mx.toDouble >= src._1.toDouble
+          catch { case _: NumberFormatException => true }
+        } else mn <= src._2 && mx >= src._1
+    }
+
+  /** Per-file (min, max) of every statable column, computed in ONE
+    * aggregate over the just-staged files (tiny: one row per file). */
+  private def collectStats(spark: SparkSession, name: String, schema: StructType,
+      files: Seq[String]): Map[String, Map[String, (String, String)]] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val cols = schema.fields.filter(statable)
+    if (cols.isEmpty || files.isEmpty) return Map.empty
+    val aggs = cols.flatMap(f => Seq(
+      min(col(f.name)).cast("string").as(s"mn_${f.name}"),
+      max(col(f.name)).cast("string").as(s"mx_${f.name}")))
+    spark.read.schema(schema).parquet(files.map(absPath(name, _)): _*)
+      .groupBy(col("_metadata.file_path").as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val path = r.getString(0)
+        val fname = path.substring(path.lastIndexOf('/') + 1)
+        val stats = cols.flatMap { f =>
+          val mn = r.getAs[String](s"mn_${f.name}")
+          val mx = r.getAs[String](s"mx_${f.name}")
+          if (mn == null || mx == null) None else Some(f.name -> (mn, mx))
+        }.toMap
+        fname -> stats
+      }.toMap
   }
 
   private def absPath(name: String, file: String): String =
@@ -100,10 +210,13 @@ class VersionedStore(root: String) {
 
   /** Stage the manifest for version `v`, then commit by pointer swap. */
   private def commitManifest(name: String, v: Long, schema: StructType,
-      files: Seq[String]): Unit = {
+      entries: Seq[FileEntry]): Unit = {
     tdir(name).mkdirs()
+    val lines = entries.map { e =>
+      if (e.stats.isEmpty) e.file else s"${e.file}\t${renderStats(e.stats)}"
+    }
     java.nio.file.Files.write(manifestFile(name, v).toPath,
-      (nullable(schema).json +: files).mkString("\n").getBytes)
+      (nullable(schema).json +: lines).mkString("\n").getBytes)
     val tmp = new java.io.File(tdir(name), "_current.tmp")
     java.nio.file.Files.write(tmp.toPath, v.toString.getBytes)
     java.nio.file.Files.move(tmp.toPath, pointer(name).toPath,
@@ -111,13 +224,20 @@ class VersionedStore(root: String) {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Stage `df`'s rows and compute their per-file stats entries. */
+  private def stageWithStats(df: DataFrame, name: String, v: Long): Seq[FileEntry] = {
+    val staged = stage(df, name, v)
+    val schema = nullable(df.schema)
+    val stats = collectStats(df.sparkSession, name, schema, staged)
+    staged.map(f => FileEntry(f, stats.getOrElse(f, Map.empty)))
+  }
+
   /** Commit `df` as the next version (a full snapshot: an overwrite
     * genuinely replaces the table, so nothing is shareable) and move the
     * pointer to it. */
   def write(df: DataFrame, name: String): Long = {
     val next = currentVersion(name).getOrElse(0L) + 1L
-    val staged = stage(df, name, next)
-    commitManifest(name, next, df.schema, staged)
+    commitManifest(name, next, df.schema, stageWithStats(df, name, next))
     next
   }
 
@@ -153,22 +273,41 @@ class VersionedStore(root: String) {
     currentVersion(name) match {
       case None => write(source, name)
       case Some(cur) =>
-        import org.apache.spark.sql.functions.col
-        val (tSchema, tFiles) = manifest(name, cur)
+        import org.apache.spark.sql.functions.{col, max, min}
+        val (tSchema, entries) = manifestWithStats(name, cur)
         val next = cur + 1L
-        // which files hold a matched key? (the only rows a MERGE changes)
+        // stats pruning FIRST: files whose first-key [min,max] cannot
+        // overlap the source's key range are dismissed from the MANIFEST
+        // alone — zero I/O, the Delta data-skipping move. Only surviving
+        // candidates pay the column-pruned key scan below.
+        val keyField = tSchema.fields.find(_.name == keys.head)
+        val candidates: Seq[FileEntry] = keyField.filter(statable) match {
+          case Some(kf) if entries.nonEmpty =>
+            val r = source.agg(
+              min(col(kf.name)).cast("string"), max(col(kf.name)).cast("string")).head()
+            if (r.isNullAt(0)) Seq.empty  // all-NULL source keys match nothing
+            else {
+              val src = (r.getString(0), r.getString(1))
+              entries.filter(e => rangesOverlap(kf.dataType, e.stats.get(kf.name), src))
+            }
+          case _ => entries
+        }
+        // which surviving files hold a matched key? (the only rows a
+        // MERGE changes)
         val hitPaths: Set[String] =
-          if (tFiles.isEmpty) Set.empty
-          else spark.read.schema(tSchema).parquet(tFiles.map(absPath(name, _)): _*)
+          if (candidates.isEmpty) Set.empty
+          else spark.read.schema(tSchema)
+            .parquet(candidates.map(e => absPath(name, e.file)): _*)
             .select(keys.map(col) :+ col("_metadata.file_path").as("__file"): _*)
             .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
             .select("__file").distinct()
             .collect().map(_.getString(0)).toSet
-        val hitNames = tFiles.filter(n => hitPaths.exists(_.endsWith("/" + n)))
-        val keepNames = tFiles.filterNot(hitNames.toSet)
+        val hit = candidates.filter(e => hitPaths.exists(_.endsWith("/" + e.file)))
+        val hitSet = hit.map(_.file).toSet
+        val keep = entries.filterNot(e => hitSet.contains(e.file))
         val rewriteTarget =
-          if (hitNames.isEmpty) emptyDf(spark, tSchema)
-          else spark.read.schema(tSchema).parquet(hitNames.map(absPath(name, _)): _*)
+          if (hit.isEmpty) emptyDf(spark, tSchema)
+          else spark.read.schema(tSchema).parquet(hit.map(e => absPath(name, e.file)): _*)
         val (mTarget, mSource, outSchema) =
           if (!evolveSchema) (rewriteTarget, source, tSchema)
           else {
@@ -176,10 +315,47 @@ class VersionedStore(root: String) {
               source.schema.fields.filterNot(f => tSchema.fieldNames.contains(f.name))
             (align(rewriteTarget, all), align(source, all), StructType(all))
           }
-        val staged = stage(Merge.upsert(mTarget, mSource, keys), name, next)
-        commitManifest(name, next, outSchema, keepNames ++ staged)
+        val staged = stageWithStats(Merge.upsert(mTarget, mSource, keys), name, next)
+        commitManifest(name, next, outSchema, keep ++ staged)
         next
     }
+
+  /** Candidate files an upsert on `keys` would have to SCAN, after stats
+    * pruning (exposed for specs: proves skipping consults the manifest
+    * only). */
+  def pruneCandidates(spark: SparkSession, name: String, source: DataFrame,
+      key: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val cur = currentVersion(name).getOrElse(sys.error(s"no version for $name"))
+    val (tSchema, entries) = manifestWithStats(name, cur)
+    tSchema.fields.find(_.name == key).filter(statable) match {
+      case Some(kf) =>
+        val r = source.agg(
+          min(col(kf.name)).cast("string"), max(col(kf.name)).cast("string")).head()
+        if (r.isNullAt(0)) Seq.empty
+        else {
+          val src = (r.getString(0), r.getString(1))
+          entries.filter(e => rangesOverlap(kf.dataType, e.stats.get(kf.name), src))
+            .map(_.file)
+        }
+      case None => entries.map(_.file)
+    }
+  }
+
+  /** OPTIMIZE: compact the live snapshot's (typically many small,
+    * upsert-accumulated) data files into `targetFiles`, committed as a
+    * new version — Delta OPTIMIZE on the manifest store. Rows are
+    * unchanged; history stays readable; vacuum reclaims the small files
+    * once no retained manifest references them. */
+  def optimize(spark: SparkSession, name: String, targetFiles: Int = 1): Long = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val cur = currentVersion(name).getOrElse(sys.error(s"no version for $name"))
+    val (schema, _) = manifestWithStats(name, cur)
+    val next = cur + 1L
+    val compacted = readVersion(spark, name, cur).coalesce(targetFiles)
+    commitManifest(name, next, schema, stageWithStats(compacted, name, next))
+    next
+  }
 
   /** Read the live snapshot. */
   def read(spark: SparkSession, name: String): DataFrame =

@@ -99,6 +99,48 @@ class VersionedStoreSpec extends SparkSuite {
     assert(store.read(spark, "t").count() === 800L)
   }
 
+  test("manifest stats prune upsert candidates without any I/O (data skipping)") {
+    val store = freshStore()
+    // range-partitioned files => disjoint key ranges per file, the shape
+    // stats skipping exploits (hash-partitioned files all overlap)
+    store.write((1L to 400L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(4, col("k")), "t")
+    val (_, entries) = store.manifestWithStats("t", 1L)
+    assert(entries.size === 4)
+    assert(entries.forall(_.stats.contains("k")), "every file carries k stats")
+    // source keys all land in one file's range
+    val source = Seq((5L, "X"), (7L, "Y")).toDF("k", "v")
+    val candidates = store.pruneCandidates(spark, "t", source, "k")
+    assert(candidates.size === 1,
+      s"stats must dismiss 3 of 4 files from the manifest alone, got $candidates")
+    // and the full upsert rewrites only that file
+    store.upsert(spark, "t", source, Seq("k"))
+    val (_, f2) = store.manifest("t", 2L)
+    val shared = entries.map(_.file).toSet.intersect(f2.toSet)
+    assert(shared.size === 3, "the three out-of-range files carry over untouched")
+    assert(store.read(spark, "t").count() === 400L)
+    assert(store.read(spark, "t").filter(col("k") === 5L)
+      .collect().map(_.getString(1)).toSeq === Seq("X"))
+  }
+
+  test("optimize compacts accumulated small files into a new version") {
+    val store = freshStore()
+    store.write((1L to 100L).map(k => (k, k)).toDF("k", "v")
+      .repartitionByRange(4, col("k")), "t")
+    store.upsert(spark, "t", Seq((5L, -5L)).toDF("k", "v"), Seq("k"))
+    store.upsert(spark, "t", Seq((95L, -95L)).toDF("k", "v"), Seq("k"))
+    val before = store.manifest("t", store.currentVersion("t").get)._2.size
+    assert(before >= 4, s"fragmented pre-compaction manifest expected, got $before")
+    val v = store.optimize(spark, "t", targetFiles = 1)
+    assert(store.manifest("t", v)._2.size === 1, "compacted to one file")
+    val now = store.read(spark, "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(now === ((1L to 100L).map(k => (k, k)).toSet -- Set((5L, 5L), (95L, 95L))
+      ++ Set((5L, -5L), (95L, -95L))), "compaction preserves every row")
+    // pre-optimize history still readable (file reuse means its files live)
+    assert(store.readVersion(spark, "t", v - 1).count() === 100L)
+  }
+
   test("vacuum garbage-collects only unreferenced data files") {
     val root = java.nio.file.Files.createTempDirectory("graft-versions").toString
     val store = new VersionedStore(root)
