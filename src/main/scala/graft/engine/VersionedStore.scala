@@ -79,13 +79,28 @@ class VersionedStore(root: String) {
     val mf = manifestFile(name, v)
     require(mf.exists, s"$name has no version $v (history: ${history(name)})")
     val lines = java.nio.file.Files.readAllLines(mf.toPath).asScala.toSeq
-    val entries = lines.tail.filter(_.nonEmpty).map { line =>
+    val entries = lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
       line.split("\t", 2) match {
         case Array(f) => FileEntry(f, Map.empty)
         case Array(f, json) => FileEntry(f, parseStats(json))
       }
     }
     (DataType.fromJson(lines.head).asInstanceOf[StructType], entries)
+  }
+
+  /** Streaming-transaction watermarks recorded in snapshot `v`'s manifest
+    * (`#txn` header lines): the highest batch id each named writer has
+    * committed — Delta's `txn` action, the exactly-once substrate for
+    * foreachBatch sinks. Carried forward by every commit. */
+  def txns(name: String, v: Long): Map[String, Long] = {
+    val mf = manifestFile(name, v)
+    require(mf.exists, s"$name has no version $v (history: ${history(name)})")
+    java.nio.file.Files.readAllLines(mf.toPath).asScala
+      .filter(_.startsWith("#txn\t"))
+      .map { l =>
+        val Array(_, app, id) = l.split("\t", 3)
+        app -> id.toLong
+      }.toMap
   }
 
   // ---- per-file stats: render / parse / prune ---------------------------
@@ -208,15 +223,21 @@ class VersionedStore(root: String) {
     moved
   }
 
-  /** Stage the manifest for version `v`, then commit by pointer swap. */
+  /** Stage the manifest for version `v`, then commit by pointer swap.
+    * Writer-transaction watermarks carry forward from the superseded
+    * version, updated with `addTxn` — atomic with the commit itself (a
+    * crash before the pointer swap leaves both unrecorded). */
   private def commitManifest(name: String, v: Long, schema: StructType,
-      entries: Seq[FileEntry]): Unit = {
+      entries: Seq[FileEntry], addTxn: Option[(String, Long)] = None): Unit = {
     tdir(name).mkdirs()
+    val carried = currentVersion(name).map(txns(name, _)).getOrElse(Map.empty)
+    val allTxns = carried ++ addTxn
+    val txnLines = allTxns.toSeq.sortBy(_._1).map { case (a, i) => s"#txn\t$a\t$i" }
     val lines = entries.map { e =>
       if (e.stats.isEmpty) e.file else s"${e.file}\t${renderStats(e.stats)}"
     }
     java.nio.file.Files.write(manifestFile(name, v).toPath,
-      (nullable(schema).json +: lines).mkString("\n").getBytes)
+      (Seq(nullable(schema).json) ++ txnLines ++ lines).mkString("\n").getBytes)
     val tmp = new java.io.File(tdir(name), "_current.tmp")
     java.nio.file.Files.write(tmp.toPath, v.toString.getBytes)
     java.nio.file.Files.move(tmp.toPath, pointer(name).toPath,
@@ -270,8 +291,32 @@ class VersionedStore(root: String) {
     * wider read schema NULL-fills). */
   def upsert(spark: SparkSession, name: String, source: DataFrame,
       keys: Seq[String], evolveSchema: Boolean = false): Long =
+    upsertTxn(spark, name, source, keys, evolveSchema, None)
+
+  /** Exactly-once MERGE for streaming micro-batches (Delta's `txn`
+    * action): each named writer's highest committed batch id is recorded
+    * in the manifest, atomically with the commit. A (writerId, batchId)
+    * at or below the watermark is a restart REPLAY — it commits NOTHING
+    * and returns the current version, so `foreachBatch` re-delivery
+    * after a crash cannot double-apply a batch. */
+  def upsertBatch(spark: SparkSession, name: String, source: DataFrame,
+      keys: Seq[String], writerId: String, batchId: Long): Long = {
+    val cur = currentVersion(name)
+    val last = cur.map(v => txns(name, v).getOrElse(writerId, -1L)).getOrElse(-1L)
+    if (batchId <= last) cur.get
+    else upsertTxn(spark, name, source, keys, evolveSchema = false,
+      Some(writerId -> batchId))
+  }
+
+  private def upsertTxn(spark: SparkSession, name: String, source: DataFrame,
+      keys: Seq[String], evolveSchema: Boolean,
+      addTxn: Option[(String, Long)]): Long =
     currentVersion(name) match {
-      case None => write(source, name)
+      case None =>
+        val next = 1L
+        commitManifest(name, next, source.schema,
+          stageWithStats(source, name, next), addTxn)
+        next
       case Some(cur) =>
         import org.apache.spark.sql.functions.{col, max, min}
         val (tSchema, entries) = manifestWithStats(name, cur)
@@ -316,7 +361,7 @@ class VersionedStore(root: String) {
             (align(rewriteTarget, all), align(source, all), StructType(all))
           }
         val staged = stageWithStats(Merge.upsert(mTarget, mSource, keys), name, next)
-        commitManifest(name, next, outSchema, keep ++ staged)
+        commitManifest(name, next, outSchema, keep ++ staged, addTxn)
         next
     }
 

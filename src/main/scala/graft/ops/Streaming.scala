@@ -89,15 +89,19 @@ object Streaming {
   /** Streaming MERGE sink: each micro-batch upserts into a versioned
     * table via foreachBatch — the standard "stream into a lakehouse
     * table" pattern (per-batch transactional commit; history retained,
-    * so a bad deploy rolls back by version). Returns the started query;
-    * the caller owns its lifecycle. */
+    * so a bad deploy rolls back by version). EXACTLY-ONCE: the batch id
+    * is recorded in the manifest via `upsertBatch`, so foreachBatch's
+    * at-least-once re-delivery after a restart replays as a no-op.
+    * Returns the started query; the caller owns its lifecycle. */
   def upsertSink(events: DataFrame, store: graft.engine.VersionedStore,
-      table: String, keys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+      table: String, keys: Seq[String],
+      writerId: String = "upsert-sink"): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          store.upsert(batch.sparkSession, table, batch.toDF(), keys); ()
+          store.upsertBatch(batch.sparkSession, table, batch.toDF(), keys,
+            writerId, batchId); ()
         }
       }
       .start()

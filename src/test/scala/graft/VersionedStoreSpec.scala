@@ -156,6 +156,31 @@ class VersionedStoreSpec extends SparkSuite {
     assert(onDisk === liveFiles.toSet, "exactly the referenced files remain")
   }
 
+  test("upsertBatch is exactly-once: replayed batch ids commit nothing") {
+    val store = freshStore()
+    val v1 = store.upsertBatch(spark, "t",
+      Seq((1L, "a")).toDF("k", "v"), Seq("k"), "sink", batchId = 0L)
+    val v2 = store.upsertBatch(spark, "t",
+      Seq((2L, "b")).toDF("k", "v"), Seq("k"), "sink", batchId = 1L)
+    assert((v1, v2) === (1L, 2L))
+    // foreachBatch redelivers the last batch after a restart: a replay
+    // (same or lower id) must not create a version or duplicate rows
+    val v3 = store.upsertBatch(spark, "t",
+      Seq((2L, "REPLAYED")).toDF("k", "v"), Seq("k"), "sink", batchId = 1L)
+    assert(v3 === 2L, "replay returns the current version")
+    assert(store.history("t") === Seq(1L, 2L))
+    assert(store.read(spark, "t").filter(col("k") === 2L)
+      .collect().map(_.getString(1)).toSeq === Seq("b"), "replay applied nothing")
+    // an independent writer has its own watermark
+    val v4 = store.upsertBatch(spark, "t",
+      Seq((3L, "c")).toDF("k", "v"), Seq("k"), "other-sink", batchId = 0L)
+    assert(v4 === 3L)
+    assert(store.txns("t", 3L) === Map("sink" -> 1L, "other-sink" -> 0L))
+    // and a plain (non-streaming) upsert carries watermarks forward
+    store.upsert(spark, "t", Seq((4L, "d")).toDF("k", "v"), Seq("k"))
+    assert(store.txns("t", 4L) === Map("sink" -> 1L, "other-sink" -> 0L))
+  }
+
   test("changes() classifies values appearing in evolved columns as updates") {
     val store = freshStore()
     store.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "t")
