@@ -365,6 +365,34 @@ class VersionedStore(root: String) {
         next
     }
 
+  /** DELETE WHERE, file-level: only files containing a matching row are
+    * rewritten (without their matches); every other file carries over by
+    * reference — Delta DELETE's rewrite set. Parquet row-group stats
+    * keep the match scan cheap; the new files' stats are re-collected. */
+  def delete(spark: SparkSession, name: String,
+      condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentVersion(name).getOrElse(sys.error(s"no version for $name"))
+    val (tSchema, entries) = manifestWithStats(name, cur)
+    val next = cur + 1L
+    val hitPaths: Set[String] =
+      if (entries.isEmpty) Set.empty
+      else spark.read.schema(tSchema)
+        .parquet(entries.map(e => absPath(name, e.file)): _*)
+        .filter(condition)
+        .select(col("_metadata.file_path")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val hit = entries.filter(e => hitPaths.exists(_.endsWith("/" + e.file)))
+    val keep = entries.filterNot(e => hit.exists(_.file == e.file))
+    val survivors =
+      if (hit.isEmpty) Seq.empty
+      else stageWithStats(
+        spark.read.schema(tSchema).parquet(hit.map(e => absPath(name, e.file)): _*)
+          .filter(!condition), name, next)
+    commitManifest(name, next, tSchema, keep ++ survivors)
+    next
+  }
+
   /** Candidate files an upsert on `keys` would have to SCAN, after stats
     * pruning (exposed for specs: proves skipping consults the manifest
     * only). */
@@ -416,17 +444,30 @@ class VersionedStore(root: String) {
 
   /** Change data feed between two committed versions (Delta CDF analog):
     * one row per key whose state changed, labeled insert / update /
-    * delete. A keyed full-outer join of the two snapshots — the scalable
-    * form: one shuffle on the key, no row-set subtraction passes. */
+    * delete. FILE-DIFF first: rows in data files SHARED by both
+    * manifests are byte-identical and can never produce a change row, so
+    * only each side's non-shared files enter the keyed full-outer join —
+    * at 0.1% churn that is ~0.1% of the table through the shuffle. (The
+    * file-maintenance paths rewrite a key's file whenever the key
+    * changes, so a changed key is never hiding in a shared file.) One
+    * shuffle on the key, no row-set subtraction passes. */
   def changes(spark: SparkSession, name: String, from: Long, to: Long,
       keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    // align both snapshots to the UNION of their schemas first: columns
+    val (schemaA, entriesA) = manifestWithStats(name, from)
+    val (schemaB, entriesB) = manifestWithStats(name, to)
+    val shared = entriesA.map(_.file).toSet.intersect(entriesB.map(_.file).toSet)
+    def side(schema: StructType, entries: Seq[FileEntry]): DataFrame = {
+      val own = entries.filterNot(e => shared.contains(e.file))
+      if (own.isEmpty) emptyDf(spark, schema)
+      else spark.read.schema(schema).parquet(own.map(e => absPath(name, e.file)): _*)
+    }
+    // align both sides to the UNION of their schemas first: columns
     // added by evolveSchema between the versions must participate in the
     // update comparison (a value appearing in a new column IS a change),
     // and comparing in either direction must resolve.
-    val rawA = readVersion(spark, name, from)
-    val rawB = readVersion(spark, name, to)
+    val rawA = side(schemaA, entriesA)
+    val rawB = side(schemaB, entriesB)
     val all = rawA.schema.fields ++
       rawB.schema.fields.filterNot(f => rawA.columns.contains(f.name))
     val a = align(rawA, all).withColumn("__a", lit(true))

@@ -736,6 +736,30 @@ object Wave3 {
     """SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS oyear
       |FROM orders WHERE year(o_orderdate) = 1996 ORDER BY o_orderkey""".stripMargin
 
+  // ---- sink_delete: file-level DELETE WHERE ----------------------------
+
+  /** DELETE WHERE against the versioned store: range-clustered commit,
+    * then a predicate delete that rewrites ONLY the files containing
+    * matches (the manifest shares the rest — VersionedStoreSpec pins the
+    * file accounting). The post-state hash-checks against the source
+    * table minus the predicate, and the pre-delete snapshot stays
+    * readable (history row count asserted in-query via the final
+    * filter's complement living in v1). */
+  private val sinkDelete: Q = (s, dir) => {
+    val root = sys.props("java.io.tmpdir") +
+      s"/graft-scratch-${s.sparkContext.applicationId}/delete"
+    val store = new graft.engine.VersionedStore(root)
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), year(col("o_orderdate")).as("oyear"))
+    store.write(base.repartitionByRange(4, col("o_orderkey")), "orders")  // v1
+    store.delete(s, "orders", col("oyear") === 1995)                      // v2
+    store.read(s, "orders").orderBy("o_orderkey")
+  }
+
+  private val sinkDeleteOracle =
+    """SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS oyear
+      |FROM orders WHERE year(o_orderdate) <> 1995 ORDER BY o_orderkey""".stripMargin
+
   // ---- sink_cdc: change data feed between versions ---------------------
 
   /** CDC between two commits: v2 updates 1996 prices, deletes 1998
@@ -846,6 +870,7 @@ object Wave3 {
     "agg_time_rollup" -> aggTimeRollup,
     "sink_time_travel" -> sinkTimeTravel,
     "sink_cdc" -> sinkCdc,
+    "sink_delete" -> sinkDelete,
     "fn_explode_outer" -> fnExplodeOuter,
     "sink_dynamic_partition" -> sinkDynamicPartition,
     "join_salted_skew" -> joinSaltedSkew,
@@ -877,6 +902,7 @@ object Wave3 {
     "agg_time_rollup" -> aggTimeRollupOracle,
     "sink_time_travel" -> sinkTimeTravelOracle,
     "sink_cdc" -> sinkCdcOracle,
+    "sink_delete" -> sinkDeleteOracle,
     "fn_explode_outer" -> fnExplodeOuterOracle,
     "sink_dynamic_partition" -> sinkDynamicPartitionOracle,
     "join_salted_skew" -> joinSaltedSkewOracle,

@@ -156,6 +156,33 @@ class VersionedStoreSpec extends SparkSuite {
     assert(onDisk === liveFiles.toSet, "exactly the referenced files remain")
   }
 
+  test("delete rewrites only files containing matches; others carry over") {
+    val store = freshStore()
+    store.write((1L to 400L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(4, col("k")), "t")
+    val (_, f1) = store.manifest("t", 1L)
+    store.delete(spark, "t", col("k") >= 5L && col("k") <= 7L)
+    val (_, f2) = store.manifest("t", 2L)
+    assert(f1.toSet.intersect(f2.toSet).size === 3,
+      "three files without matches must be shared, not rewritten")
+    assert(store.read(spark, "t").count() === 397L)
+    assert(store.read(spark, "t").filter(col("k").between(5L, 7L)).count() === 0L)
+    assert(store.readVersion(spark, "t", 1L).count() === 400L, "history intact")
+  }
+
+  test("file-diff CDF equals the brute-force snapshot diff") {
+    val store = freshStore()
+    store.write((1L to 300L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(3, col("k")), "t")
+    store.upsert(spark, "t", Seq((5L, "U5"), (301L, "I301")).toDF("k", "v"), Seq("k"))
+    store.delete(spark, "t", col("k") === 250L)
+    val feed = store.changes(spark, "t", 1L, 3L, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed === Set((5L, "update"), (301L, "insert"), (250L, "delete")))
+    // unchanged keys in rewritten files must NOT leak into the feed
+    assert(!feed.exists(_._1 == 6L))
+  }
+
   test("upsertBatch is exactly-once: replayed batch ids commit nothing") {
     val store = freshStore()
     val v1 = store.upsertBatch(spark, "t",
