@@ -146,55 +146,79 @@ class VersionedStore(root: String) {
     entry.findAllMatchIn(json).map(m => un(m.group(1)) -> (un(m.group(2)), un(m.group(3)))).toMap
   }
 
-  /** Column types whose stats support range pruning (numeric compare or
-    * raw-string compare — timestamps/dates/arrays are skipped, not
-    * mis-compared). */
-  private def statable(f: StructField): Boolean = f.dataType match {
-    case _: org.apache.spark.sql.types.NumericType => true
-    case org.apache.spark.sql.types.StringType => true
-    case _ => false
-  }
-
-  private def isNumeric(dt: DataType): Boolean =
-    dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
+  /** Column types whose stats support range pruning: NUMERIC only.
+    * Strings are deliberately excluded — parquet orders binary stats by
+    * unsigned bytes while an engine-side comparison would use UTF-16
+    * code units; the orders disagree outside ASCII, and a disagreement
+    * prunes a file that contains a match (data loss). Timestamps/dates/
+    * arrays likewise skipped, not mis-compared. */
+  private def statable(f: StructField): Boolean =
+    f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
 
   /** Can a file with stats `(mn, mx)` contain a key in `[srcMin, srcMax]`?
-    * Missing stats → conservatively yes. */
+    * Missing/unparseable stats → conservatively yes. Compared in
+    * BigDecimal: exact for 64-bit integers (a double round-trip could
+    * narrow a range at the 2^53 boundary and wrongly dismiss a file). */
   private[engine] def rangesOverlap(dt: DataType,
       file: Option[(String, String)], src: (String, String)): Boolean =
     file match {
       case None => true
       case Some((mn, mx)) =>
-        if (isNumeric(dt)) {
-          try mn.toDouble <= src._2.toDouble && mx.toDouble >= src._1.toDouble
-          catch { case _: NumberFormatException => true }
-        } else mn <= src._2 && mx >= src._1
+        try {
+          BigDecimal(mn) <= BigDecimal(src._2) && BigDecimal(mx) >= BigDecimal(src._1)
+        } catch { case _: NumberFormatException => true }
     }
 
-  /** Per-file (min, max) of every statable column, computed in ONE
-    * aggregate over the just-staged files (tiny: one row per file). */
+  /** Per-file (min, max) of every numeric column, read from the PARQUET
+    * FOOTERS of the just-staged files — row-group stats already exist
+    * there, so collection is a driver-side metadata read (milliseconds),
+    * not a Spark job re-scanning staged data. A column missing stats in
+    * ANY row group (or all-NULL) is left absent for that file —
+    * conservative, never wrong. */
   private def collectStats(spark: SparkSession, name: String, schema: StructType,
       files: Seq[String]): Map[String, Map[String, (String, String)]] = {
-    import org.apache.spark.sql.functions.{col, max, min}
-    val cols = schema.fields.filter(statable)
-    if (cols.isEmpty || files.isEmpty) return Map.empty
-    val aggs = cols.flatMap(f => Seq(
-      min(col(f.name)).cast("string").as(s"mn_${f.name}"),
-      max(col(f.name)).cast("string").as(s"mx_${f.name}")))
-    spark.read.schema(schema).parquet(files.map(absPath(name, _)): _*)
-      .groupBy(col("_metadata.file_path").as("__file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-      .map { r =>
-        val path = r.getString(0)
-        val fname = path.substring(path.lastIndexOf('/') + 1)
-        val stats = cols.flatMap { f =>
-          val mn = r.getAs[String](s"mn_${f.name}")
-          val mx = r.getAs[String](s"mx_${f.name}")
-          if (mn == null || mx == null) None else Some(f.name -> (mn, mx))
+    val numeric = schema.fields.filter(statable).map(_.name).toSet
+    if (numeric.isEmpty || files.isEmpty) return Map.empty
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(absPath(name, f)), conf))
+      try {
+        // (min, max) per column, exact-merged across row groups; a row
+        // group without usable stats poisons the column for this file
+        val agg = scala.collection.mutable.Map[String, (BigDecimal, BigDecimal)]()
+        val poisoned = scala.collection.mutable.Set[String]()
+        for (b <- reader.getFooter.getBlocks.asScala;
+             c <- b.getColumns.asScala) {
+          val colName = c.getPath.toDotString
+          if (numeric.contains(colName) && !poisoned.contains(colName)) {
+            val st = c.getStatistics
+            val ok = st != null && st.hasNonNullValue
+            val parsed =
+              if (!ok) None
+              else try Some((BigDecimal(st.genericGetMin.toString),
+                BigDecimal(st.genericGetMax.toString)))
+              catch { case _: NumberFormatException => None }  // NaN/Inf floats
+            parsed match {
+              case Some((mn, mx)) =>
+                val merged = agg.get(colName) match {
+                  case Some((omn, omx)) => (omn.min(mn), omx.max(mx))
+                  case None => (mn, mx)
+                }
+                agg(colName) = merged
+              case None =>
+                poisoned += colName
+                agg.remove(colName)
+                ()
+            }
+          }
+        }
+        f -> agg.map { case (c, (mn, mx)) =>
+          c -> (mn.bigDecimal.toPlainString, mx.bigDecimal.toPlainString)
         }.toMap
-        fname -> stats
-      }.toMap
+      } finally reader.close()
+    }.toMap
   }
 
   private def absPath(name: String, file: String): String =
