@@ -114,17 +114,6 @@ class ParquetStore(root: String) extends TableStore {
       FileStats(before.size, totalBytes), s"binPack($targetBytes)")
   }
 
-  /** Order-preserving numeric image of a column: numerics pass through,
-    * strings map to their first-4-bytes big-endian value. Pure
-    * expressions — no window, no shuffle, survives any scale. */
-  private def numericImage(df: DataFrame, c: String): org.apache.spark.sql.Column =
-    df.schema(c).dataType match {
-      case org.apache.spark.sql.types.StringType =>
-        // hex of the utf8 prefix, fixed width → order-preserving bigint
-        conv(rpad(hex(substring(col(c), 1, 4)), 8, "0"), 16, 10).cast("bigint").cast("double")
-      case _ => col(c).cast("double")
-    }
-
   override def cluster(spark: SparkSession, name: String, zorderBy: Seq[String],
       bits: Int = 12): OptimizeMetrics = {
     val before = listFiles(name)
@@ -132,32 +121,11 @@ class ParquetStore(root: String) extends TableStore {
     if (df.isEmpty)
       return OptimizeMetrics(0, 0, FileStats(0, 0), FileStats(0, 0),
         s"zorder(${zorderBy.mkString(",")})")
-    // Normalize each clustering column to [0, 2^bits) by min-max scaling
-    // its order-preserving numeric image (one tiny agg job to fetch
-    // min/max), then range-partition on the interleaved z-value and sort
-    // within partitions: every output file covers a compact Z-curve
-    // segment → parquet min/max row-group stats skip on every dimension.
-    // (Delta's OPTIMIZE uses per-column range-partition ids instead —
-    // better under skew; same plan shape, sampling instead of min/max.)
-    val imgCols = zorderBy.map(c => numericImage(df, c))
-    val aggs = imgCols.zipWithIndex.flatMap { case (ic, i) =>
-      Seq(min(ic).as(s"mn$i"), max(ic).as(s"mx$i")) }
-    val mm = df.agg(aggs.head, aggs.tail: _*).head()
-    val normCols = zorderBy.indices.map(i => s"__z$i")
-    var tmp = df
-    for (i <- zorderBy.indices) {
-      // all-NULL clustering column -> neutral constant 0 bucket
-      val (mn, mx) = if (mm.isNullAt(2 * i)) (0.0, 0.0)
-        else (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
-      val span = if (mx > mn) mx - mn else 1.0
-      tmp = tmp.withColumn(normCols(i),
-        ((imgCols(i) - mn) / span * ((1 << bits) - 1)).cast("bigint"))
-    }
-    val zed = tmp.withColumn("__zval", graft.functions.Native.zvalue(bits, normCols.map(col): _*))
-    val clustered = zed
-      .repartitionByRange(math.max(1, before.size), col("__zval"))
-      .sortWithinPartitions("__zval")
-      .drop((normCols :+ "__zval").toIndexedSeq: _*)
+    // shared Z-curve clustering transform (graft.functions.ZOrder):
+    // range-partition + sort on the interleaved z-value so every output
+    // file covers a compact curve segment → parquet min/max row-group
+    // stats skip on every dimension
+    val clustered = graft.functions.ZOrder.cluster(df, zorderBy, bits, before.size)
     rewrite(spark, clustered, name)
     val after = listFiles(name)
     OptimizeMetrics(after.size, before.size,

@@ -441,15 +441,24 @@ class VersionedStore(root: String) {
 
   /** OPTIMIZE: compact the live snapshot's (typically many small,
     * upsert-accumulated) data files into `targetFiles`, committed as a
-    * new version — Delta OPTIMIZE on the manifest store. Rows are
-    * unchanged; history stays readable; vacuum reclaims the small files
-    * once no retained manifest references them. */
-  def optimize(spark: SparkSession, name: String, targetFiles: Int = 1): Long = {
+    * new version — Delta OPTIMIZE on the manifest store. With
+    * `zorderBy`, rows are Z-curve-clustered first (OPTIMIZE ZORDER, ref:
+    * dbc cmd16/17): each output file covers a compact curve segment, so
+    * the manifest's per-file min/max stats — and therefore upsert/
+    * delete pruning — skip on EVERY clustered dimension, not just
+    * incidental write order. Rows are unchanged; history stays readable;
+    * vacuum reclaims the small files once no retained manifest
+    * references them. */
+  def optimize(spark: SparkSession, name: String, targetFiles: Int = 1,
+      zorderBy: Seq[String] = Seq.empty, bits: Int = 12): Long = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val cur = currentVersion(name).getOrElse(sys.error(s"no version for $name"))
     val (schema, _) = manifestWithStats(name, cur)
     val next = cur + 1L
-    val compacted = readVersion(spark, name, cur).coalesce(targetFiles)
+    val live = readVersion(spark, name, cur)
+    val compacted =
+      if (zorderBy.isEmpty) live.coalesce(targetFiles)
+      else graft.functions.ZOrder.cluster(live, zorderBy, bits, targetFiles)
     commitManifest(name, next, schema, stageWithStats(compacted, name, next))
     next
   }

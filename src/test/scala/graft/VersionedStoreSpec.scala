@@ -141,6 +141,24 @@ class VersionedStoreSpec extends SparkSuite {
     assert(store.readVersion(spark, "t", v - 1).count() === 100L)
   }
 
+  test("optimize zorderBy makes stats pruning effective on every clustered column") {
+    val store = freshStore()
+    // write in a layout where NEITHER column is clustered: every file
+    // spans the full range of both -> stats can prune nothing
+    val data = (1L to 1024L).map(k => (k, (k * 2654435761L) % 1024L, s"v$k"))
+      .toDF("a", "b", "v")
+    store.write(data.repartition(8), "t")
+    val probeA = Seq((3L, 0L, "x")).toDF("a", "b", "v")
+    val probeB = Seq((0L, 3L, "x")).toDF("a", "b", "v")
+    val v = store.optimize(spark, "t", targetFiles = 8, zorderBy = Seq("a", "b"))
+    assert(store.manifest("t", v)._2.size === 8)
+    val prunedA = store.pruneCandidates(spark, "t", probeA, "a").size
+    val prunedB = store.pruneCandidates(spark, "t", probeB, "b").size
+    assert(prunedA <= 4, s"z-ordered a-ranges must prune most files, scanned $prunedA/8")
+    assert(prunedB <= 4, s"z-ordered b-ranges must prune most files, scanned $prunedB/8")
+    assert(store.read(spark, "t").count() === 1024L, "clustering preserves rows")
+  }
+
   test("vacuum garbage-collects only unreferenced data files") {
     val root = java.nio.file.Files.createTempDirectory("graft-versions").toString
     val store = new VersionedStore(root)
