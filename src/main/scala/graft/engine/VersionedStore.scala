@@ -518,6 +518,28 @@ class VersionedStore(root: String) {
       .select(keys.map(k => coalesce(a(k), b(k)).as(k)) :+ col("change_type"): _*)
   }
 
+  /** Incremental change feed: every per-commit change between
+    * `fromVersion` (exclusive) and the live version, stamped with the
+    * commit that produced it — the shape a polling consumer reads
+    * (Delta CDF's `table_changes(from)`). Each adjacent pair diffs at
+    * file level, so a poll after k commits of 0.1% churn costs k tiny
+    * diffs, never k table scans. */
+  def changesSince(spark: SparkSession, name: String, fromVersion: Long,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val versions = history(name).filter(_ >= fromVersion)
+    require(versions.contains(fromVersion),
+      s"$name has no version $fromVersion (history: ${history(name)})")
+    val steps = versions.zip(versions.tail)
+    if (steps.isEmpty)
+      return changes(spark, name, fromVersion, fromVersion, keys)
+        .withColumn("_commit_version", lit(fromVersion))
+        .limit(0)
+    steps.map { case (a, b) =>
+      changes(spark, name, a, b, keys).withColumn("_commit_version", lit(b))
+    }.reduce(_ union _)
+  }
+
   /** Retention: drop all but the latest `keep` manifests (Delta VACUUM
     * for history), then garbage-collect every data file no retained
     * manifest references — file sharing means deletion must be

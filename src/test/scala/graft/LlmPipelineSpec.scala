@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{LlmPipeline, Multimodal}
+import graft.ops.{LlmPipeline, LshIndex, Multimodal}
 
 /** Near-dup detection on planted duplicates + similarity-search recall
   * (SURVEY.md §2.10; these ops are rows-only at the oracle, so behavior
@@ -96,6 +96,27 @@ class LlmPipelineSpec extends SparkSuite {
     assert(overlap.length >= 3, s"LSH recall collapsed: ${overlap.length}/10")
     overlap.foreach(r =>
       assert(r.getDouble(1) === bruteCos(r.getLong(0)), s"cos mismatch for vec ${r.getLong(0)}"))
+  }
+
+  test("persisted LSH index answers identically to the in-session sim_ann_lsh") {
+    val e = graft.engine.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-lsh-index")
+    val store = new graft.engine.ParquetStore(indexDir.toString)
+    LshIndex.buildIndex(store, e, planes = 4, tables = 8)
+    val qv = e.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    // the query vector is in the corpus: ask for one extra, drop the
+    // self-hit, mirroring sim_ann_lsh's exclusion
+    val fromIndex = LshIndex.queryIndex(spark, store, e, qv,
+        planes = 4, tables = 8, k = 11)
+      .filter(col("vec_id") =!= 0)
+      .limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = LlmPipeline.queries("sim_ann_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex === direct,
+      "index probe and in-session pipeline must agree bucket-for-bucket")
+    graft.engine.Fs.deleteRec(indexDir.toFile)
   }
 
   test("multimodal decode stub produces deterministic features") {

@@ -201,6 +201,21 @@ class VersionedStoreSpec extends SparkSuite {
     assert(!feed.exists(_._1 == 6L))
   }
 
+  test("changesSince stamps each change with its producing commit") {
+    val store = freshStore()
+    store.write((1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(4, col("k")), "t")                            // v1
+    store.upsert(spark, "t", Seq((5L, "U5")).toDF("k", "v"), Seq("k"))  // v2
+    store.delete(spark, "t", col("k") === 80L)                          // v3
+    val feed = store.changesSince(spark, "t", 1L, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(feed === Set((5L, "update", 2L), (80L, "delete", 3L)))
+    // from the live version: empty feed, right schema
+    val empty = store.changesSince(spark, "t", 3L, Seq("k"))
+    assert(empty.columns.toSeq === Seq("k", "change_type", "_commit_version"))
+    assert(empty.count() === 0L)
+  }
+
   test("upsertBatch is exactly-once: replayed batch ids commit nothing") {
     val store = freshStore()
     val v1 = store.upsertBatch(spark, "t",
