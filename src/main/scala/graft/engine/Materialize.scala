@@ -19,12 +19,19 @@ class SessionCache[T] {
     new java.util.HashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, T]]()
 
-  /** The per-session map, purging entries of stopped sessions first. */
-  def sessionMap(spark: SparkSession):
-      java.util.concurrent.ConcurrentHashMap[String, T] = bySession.synchronized {
+  /** Drop every entry whose session's context has stopped. Callers must
+    * hold the bySession monitor — the ONE definition of liveness shared
+    * by every accessor. */
+  private def purgeDead(): Unit = {
     val dead = new java.util.ArrayList[SparkSession]()
     bySession.keySet.forEach(s => if (s.sparkContext.isStopped) dead.add(s))
     dead.forEach(s => { bySession.remove(s); () })
+  }
+
+  /** The per-session map, purging entries of stopped sessions first. */
+  def sessionMap(spark: SparkSession):
+      java.util.concurrent.ConcurrentHashMap[String, T] = bySession.synchronized {
+    purgeDead()
     var m = bySession.get(spark)
     if (m == null) {
       m = new java.util.concurrent.ConcurrentHashMap[String, T]()
@@ -62,9 +69,7 @@ class SessionCache[T] {
   /** Number of sessions currently holding entries (stopped sessions are
     * purged first — observable for retention specs). */
   def liveSessionCount: Int = bySession.synchronized {
-    val dead = new java.util.ArrayList[SparkSession]()
-    bySession.keySet.forEach(s => if (s.sparkContext.isStopped) dead.add(s))
-    dead.forEach(s => { bySession.remove(s); () })
+    purgeDead()
     bySession.size
   }
 }

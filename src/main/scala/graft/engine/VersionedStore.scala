@@ -260,8 +260,17 @@ class VersionedStore(root: String) {
     val lines = entries.map { e =>
       if (e.stats.isEmpty) e.file else s"${e.file}\t${renderStats(e.stats)}"
     }
-    java.nio.file.Files.write(manifestFile(name, v).toPath,
+    // the manifest itself is staged + atomically moved: a crash mid-write
+    // must never leave a truncated manifest that history() lists (it
+    // would wedge vacuum/changesSince/readVersion until overwritten).
+    // The completed move is the version's durability point; the pointer
+    // swap below names it LIVE.
+    val mfTmp = new java.io.File(tdir(name), s"_v$v.manifest.tmp")
+    java.nio.file.Files.write(mfTmp.toPath,
       (Seq(nullable(schema).json) ++ txnLines ++ lines).mkString("\n").getBytes)
+    java.nio.file.Files.move(mfTmp.toPath, manifestFile(name, v).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     val tmp = new java.io.File(tdir(name), "_current.tmp")
     java.nio.file.Files.write(tmp.toPath, v.toString.getBytes)
     java.nio.file.Files.move(tmp.toPath, pointer(name).toPath,
@@ -332,61 +341,72 @@ class VersionedStore(root: String) {
       Some(writerId -> batchId))
   }
 
-  private def upsertTxn(spark: SparkSession, name: String, source: DataFrame,
+  /** Stats pruning: the manifest entries whose first-key [min,max] range
+    * can overlap `source`'s — files dismissed here cost ZERO I/O (the
+    * Delta data-skipping move); only survivors pay the key scan. The
+    * single implementation behind both upserts and [[pruneCandidates]]. */
+  private def pruneEntries(schema: StructType, entries: Seq[FileEntry],
+      source: DataFrame, key: String): Seq[FileEntry] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    schema.fields.find(_.name == key).filter(statable) match {
+      case Some(kf) if entries.nonEmpty =>
+        val r = source.agg(
+          min(col(kf.name)).cast("string"), max(col(kf.name)).cast("string")).head()
+        if (r.isNullAt(0)) Seq.empty  // all-NULL source keys match nothing
+        else {
+          val src = (r.getString(0), r.getString(1))
+          entries.filter(e => rangesOverlap(kf.dataType, e.stats.get(kf.name), src))
+        }
+      case _ => entries
+    }
+  }
+
+  private def upsertTxn(spark: SparkSession, name: String, rawSource: DataFrame,
       keys: Seq[String], evolveSchema: Boolean,
       addTxn: Option[(String, Long)]): Long =
     currentVersion(name) match {
       case None =>
         val next = 1L
-        commitManifest(name, next, source.schema,
-          stageWithStats(source, name, next), addTxn)
+        commitManifest(name, next, rawSource.schema,
+          stageWithStats(rawSource, name, next), addTxn)
         next
       case Some(cur) =>
-        import org.apache.spark.sql.functions.{col, max, min}
-        val (tSchema, entries) = manifestWithStats(name, cur)
-        val next = cur + 1L
-        // stats pruning FIRST: files whose first-key [min,max] cannot
-        // overlap the source's key range are dismissed from the MANIFEST
-        // alone — zero I/O, the Delta data-skipping move. Only surviving
-        // candidates pay the column-pruned key scan below.
-        val keyField = tSchema.fields.find(_.name == keys.head)
-        val candidates: Seq[FileEntry] = keyField.filter(statable) match {
-          case Some(kf) if entries.nonEmpty =>
-            val r = source.agg(
-              min(col(kf.name)).cast("string"), max(col(kf.name)).cast("string")).head()
-            if (r.isNullAt(0)) Seq.empty  // all-NULL source keys match nothing
+        import org.apache.spark.sql.functions.col
+        // the source feeds THREE jobs (prune agg, hit semi-join, merge
+        // write): persist once so an expensive source lineage is not
+        // recomputed per job
+        val source = rawSource.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (tSchema, entries) = manifestWithStats(name, cur)
+          val next = cur + 1L
+          val candidates = pruneEntries(tSchema, entries, source, keys.head)
+          // which surviving files hold a matched key? (the only rows a
+          // MERGE changes)
+          val hitPaths: Set[String] =
+            if (candidates.isEmpty) Set.empty
+            else spark.read.schema(tSchema)
+              .parquet(candidates.map(e => absPath(name, e.file)): _*)
+              .select(keys.map(col) :+ col("_metadata.file_path").as("__file"): _*)
+              .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+              .select("__file").distinct()
+              .collect().map(_.getString(0)).toSet
+          val hit = candidates.filter(e => hitPaths.exists(_.endsWith("/" + e.file)))
+          val hitSet = hit.map(_.file).toSet
+          val keep = entries.filterNot(e => hitSet.contains(e.file))
+          val rewriteTarget =
+            if (hit.isEmpty) emptyDf(spark, tSchema)
+            else spark.read.schema(tSchema).parquet(hit.map(e => absPath(name, e.file)): _*)
+          val (mTarget, mSource, outSchema) =
+            if (!evolveSchema) (rewriteTarget, source, tSchema)
             else {
-              val src = (r.getString(0), r.getString(1))
-              entries.filter(e => rangesOverlap(kf.dataType, e.stats.get(kf.name), src))
+              val all = tSchema.fields ++
+                source.schema.fields.filterNot(f => tSchema.fieldNames.contains(f.name))
+              (align(rewriteTarget, all), align(source, all), StructType(all))
             }
-          case _ => entries
-        }
-        // which surviving files hold a matched key? (the only rows a
-        // MERGE changes)
-        val hitPaths: Set[String] =
-          if (candidates.isEmpty) Set.empty
-          else spark.read.schema(tSchema)
-            .parquet(candidates.map(e => absPath(name, e.file)): _*)
-            .select(keys.map(col) :+ col("_metadata.file_path").as("__file"): _*)
-            .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
-            .select("__file").distinct()
-            .collect().map(_.getString(0)).toSet
-        val hit = candidates.filter(e => hitPaths.exists(_.endsWith("/" + e.file)))
-        val hitSet = hit.map(_.file).toSet
-        val keep = entries.filterNot(e => hitSet.contains(e.file))
-        val rewriteTarget =
-          if (hit.isEmpty) emptyDf(spark, tSchema)
-          else spark.read.schema(tSchema).parquet(hit.map(e => absPath(name, e.file)): _*)
-        val (mTarget, mSource, outSchema) =
-          if (!evolveSchema) (rewriteTarget, source, tSchema)
-          else {
-            val all = tSchema.fields ++
-              source.schema.fields.filterNot(f => tSchema.fieldNames.contains(f.name))
-            (align(rewriteTarget, all), align(source, all), StructType(all))
-          }
-        val staged = stageWithStats(Merge.upsert(mTarget, mSource, keys), name, next)
-        commitManifest(name, next, outSchema, keep ++ staged, addTxn)
-        next
+          val staged = stageWithStats(Merge.upsert(mTarget, mSource, keys), name, next)
+          commitManifest(name, next, outSchema, keep ++ staged, addTxn)
+          next
+        } finally { source.unpersist(); () }
     }
 
   /** DELETE WHERE, file-level: only files containing a matching row are
@@ -412,7 +432,12 @@ class VersionedStore(root: String) {
       if (hit.isEmpty) Seq.empty
       else stageWithStats(
         spark.read.schema(tSchema).parquet(hit.map(e => absPath(name, e.file)): _*)
-          .filter(!condition), name, next)
+          // SQL DELETE keeps rows where the predicate is false OR NULL:
+          // a bare !condition maps NULL->NULL and filter() would drop
+          // the row, silently deleting NULL-predicate rows that happen
+          // to share a file with a true match
+          .filter(!org.apache.spark.sql.functions.coalesce(
+            condition, org.apache.spark.sql.functions.lit(false))), name, next)
     commitManifest(name, next, tSchema, keep ++ survivors)
     next
   }
@@ -422,21 +447,9 @@ class VersionedStore(root: String) {
     * only). */
   def pruneCandidates(spark: SparkSession, name: String, source: DataFrame,
       key: String): Seq[String] = {
-    import org.apache.spark.sql.functions.{col, max, min}
     val cur = currentVersion(name).getOrElse(sys.error(s"no version for $name"))
     val (tSchema, entries) = manifestWithStats(name, cur)
-    tSchema.fields.find(_.name == key).filter(statable) match {
-      case Some(kf) =>
-        val r = source.agg(
-          min(col(kf.name)).cast("string"), max(col(kf.name)).cast("string")).head()
-        if (r.isNullAt(0)) Seq.empty
-        else {
-          val src = (r.getString(0), r.getString(1))
-          entries.filter(e => rangesOverlap(kf.dataType, e.stats.get(kf.name), src))
-            .map(_.file)
-        }
-      case None => entries.map(_.file)
-    }
+    pruneEntries(tSchema, entries, source, key).map(_.file)
   }
 
   /** OPTIMIZE: compact the live snapshot's (typically many small,

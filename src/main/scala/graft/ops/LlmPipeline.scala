@@ -287,7 +287,13 @@ object LlmPipeline {
     * 1k-dim vectors); weights are derived from the identical xxhash64
     * chain, so bucket values are unchanged. */
   def lshTables(e: DataFrame, planes: Int, tables: Int): DataFrame =
-    e.select(col("vec_id"),
+    e
+      // zero-length vectors have no projections and must not bucket (the
+      // replaced posexplode form emitted no rows for them; without this
+      // filter every empty vector would collide into bucket 0 and
+      // surface as an ANN candidate with an undefined cosine)
+      .filter(size(col("embedding")) > 0)
+      .select(col("vec_id"),
         posexplode(graft.functions.Native.lshBuckets(col("embedding"), planes, tables)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
 

@@ -35,9 +35,10 @@ class ClusterProfileSpec extends SparkSuite {
       s"expected a vectorized parquet scan in:\n${plan.take(1500)}")
     assert(plan.contains("*("),
       s"expected fused codegen spans (the *(n) markers) in:\n${plan.take(1500)}")
-    val firstAgg = plan.indexOf("HashAggregate")
+    // the FINAL aggregate always prints above the Exchange; the partial
+    // phase is a SECOND HashAggregate below it (index past the Exchange)
     val exchange = plan.indexOf("Exchange")
-    assert(firstAgg >= 0 && exchange > firstAgg,
+    assert(exchange >= 0 && plan.indexOf("HashAggregate", exchange) >= 0,
       "partial aggregation must stay under the exchange with codegen on")
   }
 

@@ -188,6 +188,17 @@ class VersionedStoreSpec extends SparkSuite {
     assert(store.readVersion(spark, "t", 1L).count() === 400L, "history intact")
   }
 
+  test("delete keeps rows whose predicate is NULL (SQL DELETE semantics)") {
+    val store = freshStore()
+    // k=2's year is NULL and it shares the single file with the match:
+    // DELETE WHERE year = 1995 must keep it (predicate NULL != true)
+    store.write(Seq((1L, Some(1995)), (2L, None), (3L, Some(1996)))
+      .toDF("k", "yr"), "t")
+    store.delete(spark, "t", col("yr") === 1995)
+    val kept = store.read(spark, "t").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L), s"NULL-predicate row must survive, got $kept")
+  }
+
   test("file-diff CDF equals the brute-force snapshot diff") {
     val store = freshStore()
     store.write((1L to 300L).map(k => (k, s"v$k")).toDF("k", "v")
