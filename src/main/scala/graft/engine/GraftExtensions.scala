@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.LongType
 
-import org.apache.spark.sql.graftx.{CosineSim, SimhashAgg, VecSumAgg, ZValue}
+import org.apache.spark.sql.graftx.{CosineSim, LshBuckets, SimhashAgg, VecSumAgg, ZValue}
 
 /** SparkSessionExtensions registration for the engine's native
   * expressions, making them available to SQL text as `cosine_sim(a, b)`
@@ -30,6 +30,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_sum_agg"),
       new ExpressionInfo(classOf[VecSumAgg].getName, "vec_sum_agg"),
       (exprs: Seq[Expression]) => VecSumAgg(exprs.head)))
+
+    e.injectFunction((
+      FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 3 && exprs(1).foldable && exprs(2).foldable,
+          "usage: lsh_buckets(vec, planesLiteral, tablesLiteral)")
+        LshBuckets(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue())
+      }))
 
     e.injectFunction((
       FunctionIdentifier("zvalue"),

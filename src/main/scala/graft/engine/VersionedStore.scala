@@ -531,6 +531,20 @@ class VersionedStore(root: String) {
       .select(keys.map(k => coalesce(a(k), b(k)).as(k)) :+ col("change_type"): _*)
   }
 
+  /** RESTORE VERSION AS OF: re-commit snapshot `v`'s manifest as the
+    * next version (Delta RESTORE — a bad deploy rolls back as a NEW
+    * commit, history intact). Pure manifest copy: every data file is
+    * shared by reference, zero data movement; streaming-writer txn
+    * watermarks carry forward from the CURRENT version so exactly-once
+    * replay protection survives the rollback. */
+  def restore(name: String, v: Long): Long = {
+    val cur = currentVersion(name).getOrElse(sys.error(s"no version for $name"))
+    val (schema, entries) = manifestWithStats(name, v)
+    val next = cur + 1L
+    commitManifest(name, next, schema, entries)
+    next
+  }
+
   /** Incremental change feed: every per-commit change between
     * `fromVersion` (exclusive) and the live version, stamped with the
     * commit that produced it — the shape a polling consumer reads

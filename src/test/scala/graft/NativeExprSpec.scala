@@ -78,6 +78,19 @@ class NativeExprSpec extends SparkSuite {
     assert(composed.exceptAll(native).count() === 0)
   }
 
+  test("lsh_buckets is SQL-registered and agrees with the Column API") {
+    Tables.load(spark, sf, "embeddings").createOrReplaceTempView("emb_lb")
+    val viaSql = spark.sql(
+      "SELECT vec_id, lsh_buckets(embedding, 4, 8) AS b FROM emb_lb ORDER BY vec_id LIMIT 20")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaApi = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), Native.lshBuckets(col("embedding"), 4, 8).as("b"))
+      .orderBy("vec_id").limit(20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql === viaApi)
+    assert(viaSql.values.forall(_.length === 8), "one bucket per table")
+  }
+
   test("simhash_agg is SQL-registered via GraftExtensions") {
     Tables.load(spark, sf, "documents").createOrReplaceTempView("docs_ne")
     val n = spark.sql(

@@ -188,6 +188,25 @@ class VersionedStoreSpec extends SparkSuite {
     assert(store.readVersion(spark, "t", 1L).count() === 400L, "history intact")
   }
 
+  test("restore re-commits an old snapshot by reference (zero data movement)") {
+    val store = freshStore()
+    store.write((1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(4, col("k")), "t")                              // v1
+    store.upsert(spark, "t", Seq((5L, "BAD")).toDF("k", "v"), Seq("k"))   // v2
+    val v3 = store.restore("t", 1L)
+    assert(v3 === 3L)
+    assert(store.manifest("t", 3L)._2.toSet === store.manifest("t", 1L)._2.toSet,
+      "restore shares v1's files verbatim")
+    assert(store.read(spark, "t").filter(col("k") === 5L)
+      .collect().map(_.getString(1)).toSeq === Seq("v5"), "bad deploy rolled back")
+    assert(store.readVersion(spark, "t", 2L).filter(col("k") === 5L)
+      .collect().map(_.getString(1)).toSeq === Seq("BAD"), "history intact")
+    // CDF across the rollback reports the revert as a change
+    val feed = store.changes(spark, "t", 2L, 3L, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed === Set((5L, "update")))
+  }
+
   test("delete keeps rows whose predicate is NULL (SQL DELETE semantics)") {
     val store = freshStore()
     // k=2's year is NULL and it shares the single file with the match:
