@@ -760,6 +760,31 @@ object Wave3 {
     """SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS oyear
       |FROM orders WHERE year(o_orderdate) <> 1995 ORDER BY o_orderkey""".stripMargin
 
+  // ---- sink_restore: roll back a bad deploy as a new commit ------------
+
+  /** RESTORE VERSION AS OF: commit a snapshot, corrupt it with an
+    * upsert, restore the original — the read-back must hash-match the
+    * source exactly (proving the rollback is bytewise faithful), while
+    * v2 stays in history. The restore itself moves no data: the new
+    * manifest references v1's files verbatim. */
+  private val sinkRestore: Q = (s, dir) => {
+    val root = sys.props("java.io.tmpdir") +
+      s"/graft-scratch-${s.sparkContext.applicationId}/restore"
+    val store = new graft.engine.VersionedStore(root)
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), year(col("o_orderdate")).as("oyear"))
+    store.write(base.repartitionByRange(4, col("o_orderkey")), "orders")  // v1
+    store.upsert(s, "orders",                                             // v2: bad deploy
+      base.filter(col("oyear") === 1996).withColumn("o_totalprice", lit(-1.0)),
+      Seq("o_orderkey"))
+    store.restore("orders", 1L)                                           // v3 = v1
+    store.read(s, "orders").orderBy("o_orderkey")
+  }
+
+  private val sinkRestoreOracle =
+    """SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS oyear
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // ---- sink_cdc: change data feed between versions ---------------------
 
   /** CDC between two commits: v2 updates 1996 prices, deletes 1998
@@ -871,6 +896,7 @@ object Wave3 {
     "sink_time_travel" -> sinkTimeTravel,
     "sink_cdc" -> sinkCdc,
     "sink_delete" -> sinkDelete,
+    "sink_restore" -> sinkRestore,
     "fn_explode_outer" -> fnExplodeOuter,
     "sink_dynamic_partition" -> sinkDynamicPartition,
     "join_salted_skew" -> joinSaltedSkew,
@@ -903,6 +929,7 @@ object Wave3 {
     "sink_time_travel" -> sinkTimeTravelOracle,
     "sink_cdc" -> sinkCdcOracle,
     "sink_delete" -> sinkDeleteOracle,
+    "sink_restore" -> sinkRestoreOracle,
     "fn_explode_outer" -> fnExplodeOuterOracle,
     "sink_dynamic_partition" -> sinkDynamicPartitionOracle,
     "join_salted_skew" -> joinSaltedSkewOracle,
