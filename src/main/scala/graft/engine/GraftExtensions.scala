@@ -15,6 +15,19 @@ import org.apache.spark.sql.graftx.{CosineSim, LshBuckets, SimhashAgg, VecSumAgg
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Evaluate a foldable argument to a non-null integral Int, with a
+    * usage error (not an NPE/ClassCastException mid-analysis) for NULL,
+    * non-numeric, or fractional literals. */
+  private def intLiteral(fn: String, arg: String, e: Expression): Int = {
+    require(e.foldable, s"$fn: $arg must be a literal")
+    e.eval() match {
+      case n: Number if n.doubleValue() == n.intValue().toDouble => n.intValue()
+      case null => throw new IllegalArgumentException(s"$fn: $arg must not be NULL")
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integral literal, got $other")
+    }
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
@@ -35,20 +48,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
       (exprs: Seq[Expression]) => {
-        require(exprs.size == 3 && exprs(1).foldable && exprs(2).foldable,
-          "usage: lsh_buckets(vec, planesLiteral, tablesLiteral)")
+        require(exprs.size == 3, "usage: lsh_buckets(vec, planesLiteral, tablesLiteral)")
         LshBuckets(exprs.head,
-          exprs(1).eval().asInstanceOf[Number].intValue(),
-          exprs(2).eval().asInstanceOf[Number].intValue())
+          intLiteral("lsh_buckets", "planes", exprs(1)),
+          intLiteral("lsh_buckets", "tables", exprs(2)))
       }))
 
     e.injectFunction((
       FunctionIdentifier("zvalue"),
       new ExpressionInfo(classOf[ZValue].getName, "zvalue"),
       (exprs: Seq[Expression]) => {
-        require(exprs.size >= 2 && exprs.head.foldable,
-          "usage: zvalue(bitsLiteral, col, ...)")
-        val bits = exprs.head.eval().asInstanceOf[Number].intValue()
+        require(exprs.size >= 2, "usage: zvalue(bitsLiteral, col, ...)")
+        val bits = intLiteral("zvalue", "bits", exprs.head)
         ZValue(exprs.tail.map(c => Cast(c, LongType)).toIndexedSeq, bits)
       }))
   }

@@ -91,6 +91,22 @@ class NativeExprSpec extends SparkSuite {
     assert(viaSql.values.forall(_.length === 8), "one bucket per table")
   }
 
+  test("SQL builders reject NULL / non-integral parameter literals with usage errors") {
+    Tables.load(spark, sf, "embeddings").createOrReplaceTempView("emb_bad")
+    val nullPlanes = intercept[Exception] {
+      spark.sql("SELECT lsh_buckets(embedding, NULL, 8) FROM emb_bad").collect()
+    }
+    assert(nullPlanes.getMessage.contains("must not be NULL"), nullPlanes.getMessage)
+    val fractional = intercept[Exception] {
+      spark.sql("SELECT lsh_buckets(embedding, 4.9, 8) FROM emb_bad").collect()
+    }
+    assert(fractional.getMessage.contains("integral"), fractional.getMessage)
+    val stringBits = intercept[Exception] {
+      spark.sql("SELECT zvalue('4', 3, 5)").collect()
+    }
+    assert(stringBits.getMessage.contains("integral"), stringBits.getMessage)
+  }
+
   test("simhash_agg is SQL-registered via GraftExtensions") {
     Tables.load(spark, sf, "documents").createOrReplaceTempView("docs_ne")
     val n = spark.sql(
