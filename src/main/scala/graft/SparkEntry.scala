@@ -29,7 +29,8 @@ object SparkEntry {
     ops.Corpus.queries ++
     ops.Wave3.queries ++
     sources.Formats.queries ++
-    ops.Ivf.queries
+    ops.Ivf.queries ++
+    ops.Pq.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
     ops.Corpus.oracles ++
     ops.Wave3.oracles ++
     sources.Formats.oracles ++
-    ops.Ivf.oracles
+    ops.Ivf.oracles ++
+    ops.Pq.oracles
 }

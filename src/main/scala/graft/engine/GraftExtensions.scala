@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.LongType
 
-import org.apache.spark.sql.graftx.{CosineSim, LshBuckets, SimhashAgg, VecSumAgg, ZValue}
+import org.apache.spark.sql.graftx.{CosineSim, DotF, LshBuckets, SimhashAgg, VecSumAgg, ZValue}
 
 /** SparkSessionExtensions registration for the engine's native
   * expressions, making them available to SQL text as `cosine_sim(a, b)`
@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+
+    e.injectFunction((
+      FunctionIdentifier("dot_f"),
+      new ExpressionInfo(classOf[DotF].getName, "dot_f"),
+      (exprs: Seq[Expression]) => DotF(exprs(0), exprs(1))))
 
     e.injectFunction((
       FunctionIdentifier("simhash_agg"),

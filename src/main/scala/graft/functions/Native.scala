@@ -10,6 +10,9 @@ object Native {
   /** Fused-loop cosine similarity over two array<float> columns. */
   def cosineSim(a: Column, b: Column): Column = GraftNative.cosineSim(a, b)
 
+  /** Fused-loop dot product over two array<float> columns. */
+  def dotF(a: Column, b: Column): Column = GraftNative.dotF(a, b)
+
   /** Morton interleave of the low `bits` bits of each column. */
   def zvalue(bits: Int, cols: Column*): Column = GraftNative.zvalue(bits, cols: _*)
 

@@ -75,6 +75,24 @@ object Extras {
       .orderBy("op")
   }
 
+  /** Content-preservation oracle for OPTIMIZE: compact + Z-ORDER the
+    * part table, then read the store back — the result must be
+    * byte-identical (modulo order) to the source table, proving the
+    * maintenance pipeline rewrites layout, never data. This is the
+    * DuckDB-checkable half of maintenance_optimize (whose file-count
+    * metrics are engine-specific and stay rows-only). */
+  private val maintenanceOptimizeContent: Q = (s, dir) => {
+    val root = sys.props("java.io.tmpdir") + s"/graft-scratch-${s.sparkContext.applicationId}/optc"
+    val store = new ParquetStore(root)
+    store.overwrite(Tables.load(s, dir, "part").repartition(8), "part")
+    store.compact(s, "part", targetBytes = 1073741824L)
+    store.cluster(s, "part", Seq("p_size", "p_partkey"), bits = 8)
+    store.read(s, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_size").cast("int").as("p_size"),
+        col("p_retailprice").cast("double").as("p_retailprice"))
+      .orderBy("p_partkey")
+  }
+
   /** Two-phase salted aggregation: the skew-immune form of a groupBy on a
     * heavily-skewed key (3-value l_returnflag at 100 TB = 3 reducers doing
     * all the work). Phase 1 aggregates on (key, salt) — 16-way fan-out of
@@ -96,7 +114,8 @@ object Extras {
     "win_range_frame" -> winRangeFrame,
     "agg_cube" -> aggCube,
     "sink_roundtrip" -> sinkRoundtrip,
-    "maintenance_optimize" -> maintenanceOptimize
+    "maintenance_optimize" -> maintenanceOptimize,
+    "maintenance_optimize_content" -> maintenanceOptimizeContent
   )
 
   val oracles: Map[String, String] = Map(
@@ -117,6 +136,8 @@ object Extras {
     // the round-trip preserves SchemaInformation byte-for-byte, so the
     // sink read-back hash-checks against the same declared-registry
     // oracle the profiler uses (the write is the part under test)
-    "sink_roundtrip" -> Profiler.schemaInformationOracle()
+    "sink_roundtrip" -> Profiler.schemaInformationOracle(),
+    "maintenance_optimize_content" ->
+      "SELECT p_partkey, p_name, CAST(p_size AS INT) AS p_size, CAST(p_retailprice AS DOUBLE) AS p_retailprice FROM part ORDER BY p_partkey"
   )
 }

@@ -330,6 +330,65 @@ object Wave3 {
        |WINDOW w AS (PARTITION BY lang, source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- corpus_mix: weighted data-mixture sampling to a token budget ----
+
+  /** Training-data mixture: fill a global token budget (40% of the
+    * corpus) across sources in proportion to per-source weights, taking
+    * documents within each source in a deterministic pseudo-random order
+    * (md5 of doc_id) until that source's quota is reached — the "data
+    * mixing" step that turns per-source weights into an actual sampled
+    * corpus. The crossing document is included, so every quota is met.
+    *
+    * All arithmetic is engine-portable: quotas are floor() of exact
+    * doubles (integers < 2^53), the fill order is a content hash, and
+    * the greedy cut is a cumulative window sum — no RNG anywhere.
+    *
+    * Scale shape: one narrow map (token count + hash), two model-sized
+    * aggregates (global token total, per-source weight sum) broadcast
+    * back, and ONE window partitioned by source — sources fill in
+    * parallel; nothing serializes on a global order. At 100 TB the only
+    * shuffle is the per-source window sort, and AQE splits a skewed
+    * source's sort across its quota prefix only. */
+  private val corpusMix: Q = (s, dir) => {
+    val base = t(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      size(toks(col("text"))).cast("bigint").as("n_tok"),
+      md5(col("doc_id").cast("string").cast("binary")).as("h"),
+      (lit(1) + regexp_extract(col("source"), "[0-9]+", 0).cast("int") % 3)
+        .cast("bigint").as("w"))
+    // model-sized scalars: global token total and the weight-sum over the
+    // DISTINCT source set (each source counted once, not per row)
+    val tot = base.agg(sum("n_tok").as("tot_tok"))
+    val wsum = base.select("source", "w").distinct().agg(sum("w").as("w_sum"))
+    val win = Window.partitionBy("source").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(wsum))
+      .withColumn("quota",
+        floor(lit(2.0) * col("tot_tok") * col("w") / (lit(5.0) * col("w_sum"))).cast("bigint"))
+      .withColumn("cum_tok", sum("n_tok").over(win))
+      .filter(col("cum_tok") - col("n_tok") < col("quota"))
+      .select("source", "doc_id", "n_tok", "w", "quota", "cum_tok")
+      .orderBy("source", "doc_id")
+  }
+
+  private val corpusMixOracle =
+    s"""WITH base AS (
+       |  SELECT doc_id, source, CAST(len($duckToks) AS BIGINT) AS n_tok,
+       |    md5(CAST(doc_id AS VARCHAR)) AS h,
+       |    CAST(1 + CAST(regexp_extract(source, '[0-9]+') AS INT) % 3 AS BIGINT) AS w
+       |  FROM documents),
+       |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS tot_tok FROM base),
+       |wsum AS (SELECT CAST(SUM(w) AS BIGINT) AS w_sum FROM (SELECT DISTINCT source, w FROM base)),
+       |cum AS (
+       |  SELECT base.*, tot_tok, w_sum,
+       |    CAST(FLOOR(2.0 * tot_tok * w / (5.0 * w_sum)) AS BIGINT) AS quota,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+       |  FROM base, tot, wsum)
+       |SELECT source, doc_id, n_tok, w, quota, cum_tok
+       |FROM cum WHERE cum_tok - n_tok < quota ORDER BY source, doc_id""".stripMargin
+
   // ---- fn_array_hof: higher-order array predicates/reductions ----------
 
   /** Higher-order function family over the token array: exists / forall
@@ -912,6 +971,7 @@ object Wave3 {
     "text_rarity" -> textRarity,
     "sample_stratified" -> sampleStratified,
     "corpus_pack" -> corpusPack,
+    "corpus_mix" -> corpusMix,
     "fn_regexp" -> fnRegexp,
     "fn_array_hof" -> fnArrayHof,
     "fn_map_ops" -> fnMapOps,
@@ -945,6 +1005,7 @@ object Wave3 {
     "text_rarity" -> textRarityOracle,
     "sample_stratified" -> sampleStratifiedOracle,
     "corpus_pack" -> corpusPackOracle,
+    "corpus_mix" -> corpusMixOracle,
     "fn_regexp" -> fnRegexpOracle,
     "fn_array_hof" -> fnArrayHofOracle,
     "fn_map_ops" -> fnMapOpsOracle,

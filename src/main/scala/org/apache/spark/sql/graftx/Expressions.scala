@@ -81,6 +81,58 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Fused dot product over two array<float> columns — the unnormalized
+  * sibling of [[CosineSim]] (products widen to double and accumulate in
+  * array order, ragged inputs -> NULL). The asymmetric-distance kernel
+  * for product-quantized search: PQ decomposes dot(q, x) into per-
+  * subspace dot products, so this is the exact-rerank and codebook-
+  * training primitive (ops/Pq.scala). */
+case class DotF(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_f"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotF =
+    copy(left = l, right = r)
+}
+
 /** Multi-table random-hyperplane LSH buckets in ONE narrow per-row pass:
   * returns array<long> of length `tables`, where bucket t's bit p is the
   * sign of the projection of the embedding onto plane (t,p). Plane
@@ -250,6 +302,9 @@ object GraftNative {
 
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def dotF(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotF(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def lshBuckets(v: Column, planes: Int, tables: Int): Column =
     ExpressionUtils.column(LshBuckets(ExpressionUtils.expression(v), planes, tables))

@@ -24,6 +24,24 @@ class NativeExprSpec extends SparkSuite {
     assert(both.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("DotF equals the HOF zip_with/aggregate dot product bit-for-bit") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = e.crossJoin(broadcast(q)).select(
+      col("vec_id"),
+      Native.dotF(col("embedding"), col("qv")).as("native"),
+      aggregate(zip_with(col("embedding"), col("qv"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    // SQL registration
+    e.createOrReplaceTempView("emb_dot_v")
+    val sql = spark.sql(
+      "SELECT dot_f(embedding, embedding) AS d FROM emb_dot_v ORDER BY vec_id LIMIT 3")
+      .collect()
+    assert(sql.forall(_.getDouble(0) > 0.0))
+  }
+
   test("ZValue equals the composed Column bit-op form") {
     val p = Tables.load(spark, sf, "part")
     val both = p.select(

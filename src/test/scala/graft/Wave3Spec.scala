@@ -51,6 +51,31 @@ class Wave3Spec extends SparkSuite {
     assert(nonMonotone === 0)
   }
 
+  test("corpus_mix: each source meets its quota or is exhausted, nothing over-fills") {
+    val mix = Wave3.queries("corpus_mix")(spark, sf).persist()
+    val all = graft.engine.Tables.load(spark, sf, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val per = mix.groupBy("source")
+      .agg(max("quota").as("quota"), max("cum_tok").as("filled"),
+        count(lit(1)).as("n_kept"))
+      .join(all, "source")
+      .collect()
+    assert(per.nonEmpty)
+    per.foreach { r =>
+      val (quota, filled) = (r.getLong(r.fieldIndex("quota")), r.getLong(r.fieldIndex("filled")))
+      val (kept, avail) = (r.getLong(r.fieldIndex("n_kept")), r.getLong(r.fieldIndex("n_docs")))
+      // greedy fill: quota met (crossing doc included) or source exhausted
+      assert(filled >= quota || kept === avail,
+        s"source ${r.getString(0)}: filled=$filled < quota=$quota with docs left")
+      // and never a doc beyond the crossing one: dropping the last kept
+      // doc must land strictly under quota
+      val lastTok = mix.filter(col("source") === r.getString(0))
+        .orderBy(desc("cum_tok")).limit(1).head().getAs[Long]("n_tok")
+      assert(filled - lastTok < quota, s"source ${r.getString(0)} over-filled")
+    }
+    mix.unpersist()
+  }
+
   test("sim_knn_join agrees with per-query brute force") {
     val knn = Wave3.queries("sim_knn_join")(spark, sf)
       .filter(col("qid") === 3).select("vec_id").collect().map(_.getLong(0)).toSeq
