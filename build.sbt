@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] is driver == all 32 executors in one JVM on a 128 GiB box:
+  // at 8g the 144-query bench suite GC-thrashes (random queries absorb
+  // 10-20 s stop-the-world pauses; measured warm totals 71/90/115 s at
+  // 8g vs 64 s at 48g). 32g keeps headroom for the OS page cache.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -30,10 +30,11 @@ object Bench {
     val cold = names.map(n => n -> one(n)).toMap
     val warm = names.map(n => n -> one(n)).toMap
     val qs = names.map(n => s""""$n":${warm(n)}""").mkString("{", ",", "}")
+    val cqs = names.map(n => s""""$n":${cold(n)}""").mkString("{", ",", "}")
     val total = warm.values.sum
     val coldTotal = cold.values.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"cold_queries":$cqs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -153,6 +153,46 @@ object Streaming {
       }
   }
 
+  /** Arbitrary stateful processing v2 (`transformWithState`, the
+    * Spark 4 StatefulProcessor API): per-user running totals held in a
+    * named, schema'd ValueState — the successor of mapGroupsWithState
+    * with composable typed state (value/list/map), per-state TTL, and
+    * timers. Requires the RocksDB state store provider (state lives off-
+    * heap and spills to disk, so per-key state at 100 TB is bounded by
+    * RocksDB, not executor heap). Equivalence with both the v1 form and
+    * the batch groupBy is pinned in StreamingSpec. */
+  class UserTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, UserState] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[UserState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserState]("totals",
+        org.apache.spark.sql.Encoders.product[UserState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[EventRow],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserState] = {
+      val prev = if (totals.exists()) totals.get() else UserState(uid, 0L, 0.0)
+      var n = prev.n_events
+      var s = prev.sum_value
+      rows.foreach { r => n += 1; s += r.value }
+      val next = UserState(uid, n, s)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** stream_stateful_count in the v2 API: same semantics as
+    * [[statefulUserCounts]], state managed by [[UserTotalsProcessor]]. */
+  def statefulUserCountsV2(events: Dataset[EventRow]): Dataset[UserState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user totals
     * (stream_stateful_count). */
   def statefulUserCounts(events: Dataset[EventRow]): Dataset[UserState] = {

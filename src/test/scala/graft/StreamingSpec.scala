@@ -148,6 +148,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState (v2 API) matches the v1 form and batch groupBy across batches") {
+    implicit val ctx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventRow]
+    val q = Streaming.statefulUserCountsV2(input.toDS())
+      .writeStream.format("memory").queryName("tws")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // two micro-batches: state must carry totals across batch boundaries
+      val (b1, b2) = fixtureEvents.splitAt(fixtureEvents.size / 2)
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      // n_events strictly increases per update, so the max struct is the
+      // final state (max(sum_value) alone would break on negative values)
+      val streamed = spark.table("tws")
+        .groupBy("user_id").agg(max(struct(col("n_events"), col("sum_value"))).as("m"))
+        .select(col("user_id"), col("m.n_events"), col("m.sum_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSet
+      val batch = Tables.load(spark, sf, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSet
+      assert(streamed === batch)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join emits exactly the batch twin's pairs") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[EventRow]
