@@ -19,6 +19,14 @@ object GraftSession {
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.autoBroadcastJoinThreshold" -> "20971520",
     "spark.sql.join.prefersortmergejoin" -> "false",
+    // Pinned explicitly (default-on since 3.4): selective shuffle joins
+    // grow a bloom filter on the small side and push might_contain() to
+    // the fact scan — at 100 TB this is the row-group skipping that a
+    // broadcast join's dynamic pruning would otherwise provide. Injection
+    // thresholds (10 MiB creation / 10 GiB application scan) only clear
+    // at cluster scale; ClusterProfileSpec observes the rewrite with
+    // thresholds lowered.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
     // Fall back from whole-stage codegen when the generated method exceeds
     // HotSpot's 8 KB JIT compile limit (-XX:HugeMethodLimit): between 8 KB
     // and Spark's 64 KB default the fused method runs INTERPRETED, which

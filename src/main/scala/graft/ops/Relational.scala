@@ -331,6 +331,21 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Quantiles at scale: the approx_percentile sketch (GK/KLL-style) —
+    * the 100 TB path where exact percentile's full sort-per-group is
+    * infeasible; sketch buffers merge map-side like any partial
+    * aggregate. Rows-only check (sketch results depend on merge order);
+    * RelationalSpec pins the rank-error bound against the exact twin
+    * agg_percentiles. */
+  private val aggApproxPercentile: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("median_qty"),
+        expr("approx_percentile(l_quantity, 0.9, 1000)").as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** Padding/slicing string family (SURVEY §2.8 extension). */
   private val fnStringPad: Q = (s, dir) =>
     t(s, dir, "region").select(
@@ -444,7 +459,8 @@ object Relational {
     "join_cross" -> joinCross,
     "agg_minmax_by" -> aggMinmaxBy,
     "fn_datetime_parts" -> fnDatetimeParts,
-    "agg_percentiles" -> aggPercentiles
+    "agg_percentiles" -> aggPercentiles,
+    "agg_approx_percentile" -> aggApproxPercentile
   )
 
   private def tablesValues: String =

@@ -55,6 +55,34 @@ class ClusterProfileSpec extends SparkSuite {
       s"dimension joins must broadcast in the cluster profile:\n${plan.take(2000)}")
   }
 
+  test("runtime bloom filter injects on selective shuffle joins (100 TB path)") {
+    // The injection thresholds exist to skip tiny scans: creation side
+    // under 10 MiB, application side OVER 10 GiB — exactly the 100 TB
+    // fact-join shape. Fixture scans are far below 10 GiB, so lower the
+    // thresholds to observe the same rewrite the cluster performs.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // force the shuffle-join shape bloom targets (broadcast joins
+      // prune with their own dynamic filter instead)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = Tables.load(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      val l = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+      val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy().agg(sum("l_quantity"))
+      val plan = finalPlan(joined)
+      assert(plan.contains("might_contain"),
+        s"expected a bloom-filter runtime filter (might_contain) on the fact scan:\n${plan.take(2500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("native expressions stay inside whole-stage codegen (cosine scan)") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))

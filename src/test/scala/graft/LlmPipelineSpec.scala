@@ -98,6 +98,22 @@ class LlmPipelineSpec extends SparkSuite {
       assert(r.getDouble(1) === bruteCos(r.getLong(0)), s"cos mismatch for vec ${r.getLong(0)}"))
   }
 
+  test("multi-probe LSH recall is at least single-probe recall") {
+    val brute = LlmPipeline.queries("sim_topk")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val single = LlmPipeline.queries("sim_ann_lsh")(spark, sf)
+      .collect().map(_.getLong(0))
+    val multi = LlmPipeline.queries("sim_ann_lsh_multiprobe")(spark, sf)
+      .collect().map(_.getLong(0))
+    assert(multi.nonEmpty && !multi.contains(0L))
+    val rSingle = single.count(brute.contains)
+    val rMulti = multi.count(brute.contains)
+    info(s"recall@10: single-probe $rSingle/10, multi-probe $rMulti/10")
+    // flipping bits only ADDS probe cells: the candidate set is a
+    // superset, so the reranked top-10 can only get closer to brute force
+    assert(rMulti >= rSingle, s"multi-probe recall $rMulti < single-probe $rSingle")
+  }
+
   test("persisted LSH index answers identically to the in-session sim_ann_lsh") {
     val e = graft.engine.Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))

@@ -52,6 +52,29 @@ class RelationalSpec extends SparkSuite {
       p.take(800))
   }
 
+  test("approx_percentile sketch lands within its rank-error bound of exact") {
+    import org.apache.spark.sql.functions._
+    // accuracy=1000 → rank error ≤ n/1000; assert the approx value sits
+    // between the exact quantiles one generous rank-error band away
+    val approx = Relational.queries("agg_approx_percentile")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val bounds = graft.engine.Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.49)").as("p50lo"),
+        expr("percentile(l_quantity, 0.51)").as("p50hi"),
+        expr("percentile(l_quantity, 0.89)").as("p90lo"),
+        expr("percentile(l_quantity, 0.91)").as("p90hi"))
+      .collect()
+    assert(bounds.nonEmpty)
+    bounds.foreach { r =>
+      val (m, p90) = approx(r.getString(0))
+      assert(m >= r.getDouble(1) && m <= r.getDouble(2),
+        s"${r.getString(0)}: approx median $m outside [${r.getDouble(1)}, ${r.getDouble(2)}]")
+      assert(p90 >= r.getDouble(3) && p90 <= r.getDouble(4),
+        s"${r.getString(0)}: approx p90 $p90 outside [${r.getDouble(3)}, ${r.getDouble(4)}]")
+    }
+  }
+
   test("column pruning: profiler melt reads only selected columns") {
     val p = graft.ops.Profiler.melt(spark, sf, graft.engine.Tables.meta("region"))
       .queryExecution.executedPlan.toString
