@@ -202,6 +202,43 @@ object Analytics {
       .orderBy("user_id", "day")
   }
 
+  /** Linear gap interpolation: the lerp twin of gap-fill — missing days
+    * take the straight line between the surrounding observed days
+    * (per-day metric = max(value): order-independent, so both engines see
+    * bit-identical inputs; the lerp is then the same expression tree on
+    * the same doubles). Four IGNORE NULLS window functions over the same
+    * two frames — one shuffle on user_id, same 100 TB shape as the
+    * gapfill spine. */
+  private val timeseriesInterpolate: Q = (s, dir) => {
+    val daily = Tables.load(s, dir, "events")
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max(col("value")).as("v"))
+    val spine = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val wPrev = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prevV = last(col("v"), ignoreNulls = true).over(wPrev)
+    val prevD = last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wPrev)
+    val nextV = first(col("v"), ignoreNulls = true).over(wNext)
+    val nextD = first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wNext)
+    val frac = datediff(col("day"), prevD).cast("double") /
+      datediff(nextD, prevD).cast("double")
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("v"),
+        prevV.as("pv"), prevD.as("pd"), nextV.as("nv"), nextD.as("nd"),
+        frac.as("frac"))
+      .select(col("user_id"), col("day"),
+        round(when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) * col("frac")), 6).as("v_filled"),
+        col("v").isNotNull.as("observed"))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, Q] = Map(
     "pivot_wide" -> pivotWide,
     "unpivot_melt" -> unpivotMelt,
@@ -213,7 +250,8 @@ object Analytics {
     "agg_corr_regr" -> aggCorrRegr,
     "agg_bool_cond" -> aggBoolCond,
     "agg_mode" -> aggMode,
-    "timeseries_gapfill" -> timeseriesGapfill
+    "timeseries_gapfill" -> timeseriesGapfill,
+    "timeseries_interpolate" -> timeseriesInterpolate
   )
 
   private val duckToks =
@@ -294,6 +332,28 @@ object Analytics {
         |  FROM daily GROUP BY user_id)
         |SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n
         |FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
-        |ORDER BY s.user_id, s.day""".stripMargin
+        |ORDER BY s.user_id, s.day""".stripMargin,
+    "timeseries_interpolate" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, MAX(value) AS v
+        |  FROM events WHERE user_id < 50 GROUP BY user_id, CAST(ts AS DATE)),
+        |spine AS (
+        |  SELECT user_id, CAST(unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM daily GROUP BY user_id),
+        |j AS (SELECT s.user_id, s.day, d.v
+        |      FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day),
+        |w AS (SELECT user_id, day, v,
+        |  LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+        |  LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS pd,
+        |  FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+        |  FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wn AS nd
+        |  FROM j WINDOW
+        |    wp AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day,
+        |  ROUND(CASE WHEN v IS NOT NULL THEN v
+        |    ELSE pv + (nv - pv) * (date_diff('day', pd, day) / CAST(date_diff('day', pd, nd) AS DOUBLE)) END, 6) AS v_filled,
+        |  v IS NOT NULL AS observed
+        |FROM w ORDER BY user_id, day""".stripMargin
   )
 }

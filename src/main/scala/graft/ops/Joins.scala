@@ -103,6 +103,34 @@ object Joins {
       .orderBy("bucket")
   }
 
+  /** LARGE-large range join, banded: for each purchase event, count view
+    * events whose value lies within ±5 — no equi key exists, and at
+    * 100 TB neither side broadcasts, so the naive plan (nested-loop) is
+    * quadratic. Banding rewrites it as an EQUI-join: points key by
+    * floor(value/10), intervals explode to the ≤2 bands they overlap,
+    * the join hash-partitions on the band, and the exact predicate
+    * verifies inside the band group. Each (point, interval) pair meets in
+    * exactly one band (the point's), so no dedup step is needed. Band
+    * width tunes per-band fan-out; AQE splits residual band skew. This is
+    * join_theta_range's scale path when the interval side outgrows a
+    * broadcast. */
+  private val joinRangeBanded: Q = (s, dir) => {
+    val band = 10.0
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("value").as("pv"),
+        floor(col("value") / band).cast("bigint").as("b"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"),
+        explode(sequence(
+          floor((col("value") - 5) / band).cast("bigint"),
+          floor((col("value") + 5) / band).cast("bigint"))).as("b"))
+    purchases.join(views, "b")
+      .filter(abs(col("pv") - col("value")) <= 5.0)
+      .groupBy("event_id").agg(count(lit(1)).as("n_near"))
+      .orderBy("event_id")
+  }
+
   /** As-of join: for each event, the latest order date at-or-before the
     * event time for that user (SURVEY §2.3 join_asof). Composed from a
     * conditional equi-join on the user key + max-aggregate: the equi key
@@ -173,6 +201,7 @@ object Joins {
     "join_anti" -> joinAnti,
     "join_outer" -> joinOuter,
     "join_theta_range" -> joinThetaRange,
+    "join_range_banded" -> joinRangeBanded,
     "join_asof" -> joinAsof
   )
 
@@ -196,6 +225,12 @@ object Joins {
       "SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY c_custkey",
     "join_theta_range" ->
       "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM part JOIN (VALUES (0,10,'S'),(11,25,'M'),(26,50,'L')) AS b(lo, hi, bucket) ON p_size >= lo AND p_size <= hi GROUP BY bucket ORDER BY bucket",
+    "join_range_banded" ->
+      """SELECT p.event_id, CAST(COUNT(*) AS BIGINT) AS n_near
+        |FROM (SELECT event_id, value FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT value AS pv FROM events WHERE event_type = 'view') v
+        |  ON abs(v.pv - p.value) <= 5
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
     "join_asof" ->
       "SELECT e.event_id, e.user_id, CAST((SELECT MAX(o.o_orderdate) FROM orders o WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS DATE) AS asof_date FROM events e ORDER BY e.event_id",
     "join_asof_window" ->

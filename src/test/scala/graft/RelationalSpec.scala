@@ -52,6 +52,15 @@ class RelationalSpec extends SparkSuite {
       p.take(800))
   }
 
+  test("banded range join plans as an equi hash join, never nested-loop") {
+    val df = graft.ops.Joins.queries("join_range_banded")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop"),
+      s"banded rewrite must not fall back to a nested-loop join:\n${p.take(800)}")
+    assert(p.contains("HashJoin"), s"expected a hash equi-join on the band key:\n${p.take(800)}")
+  }
+
   test("approx_percentile sketch lands within its rank-error bound of exact") {
     import org.apache.spark.sql.functions._
     // accuracy=1000 → rank error ≤ n/1000; assert the approx value sits
