@@ -819,6 +819,66 @@ object Wave3 {
     """SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS oyear
       |FROM orders WHERE year(o_orderdate) <> 1995 ORDER BY o_orderkey""".stripMargin
 
+  // ---- sink_history: DESCRIBE HISTORY over the versioned store ---------
+
+  /** Version history probe (Delta's DESCRIBE HISTORY, row-count form):
+    * commit v1 (full write), v2 (insert-only upsert of the BUILDING
+    * segment under shifted keys), v3 (DELETE of one nation), then report
+    * every version's row count by time-traveling to it. History is
+    * metadata (one manifest line per version) and the per-version counts
+    * are manifest-pruned scans; at 100 TB the count could come straight
+    * from manifest stats without touching data. The oracle derives each
+    * version's expected cardinality from the source table alone. */
+  private val sinkHistory: Q = (s, dir) => {
+    import s.implicits._
+    val root = sys.props("java.io.tmpdir") +
+      s"/graft-scratch-${s.sparkContext.applicationId}/history"
+    val store = new graft.engine.VersionedStore(root)
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    store.write(base, "customer")                                         // v1
+    store.upsert(s, "customer",                                           // v2: inserts
+      base.filter(col("c_mktsegment") === "BUILDING")
+        .withColumn("c_custkey", col("c_custkey") + 10000000L),
+      Seq("c_custkey"))
+    store.delete(s, "customer", col("c_nationkey") === 3)                 // v3
+    store.history("customer")
+      .map(v => (v, store.readVersion(s, "customer", v).count()))
+      .toDF("version", "n_rows")
+      .orderBy("version")
+  }
+
+  private val sinkHistoryOracle =
+    """SELECT CAST(1 AS BIGINT) AS version, CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_rows
+      |UNION ALL SELECT 2, CAST((SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM customer WHERE c_mktsegment = 'BUILDING') AS BIGINT)
+      |UNION ALL SELECT 3, CAST((SELECT COUNT(*) FROM customer WHERE c_nationkey <> 3) + (SELECT COUNT(*) FROM customer WHERE c_mktsegment = 'BUILDING' AND c_nationkey <> 3) AS BIGINT)
+      |ORDER BY version""".stripMargin
+
+  // ---- sql_text_agg: the SQL-text surface end-to-end -------------------
+
+  /** The reference drives everything through SQL text (its notebook is
+    * `spark.sql` cell after cell — dbc:cmd7-17); this query runs a
+    * fact-dim join + aggregate as PURE SQL over temp views on the engine
+    * session, proving the text surface plans identically to the Column
+    * API (same Catalyst plan, same broadcast/pushdown physics). */
+  private val sqlTextAgg: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("sql_orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("sql_lineitem")
+    s.sql(
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM sql_lineitem JOIN sql_orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val sqlTextAggOracle =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---- sink_restore: roll back a bad deploy as a new commit ------------
 
   /** RESTORE VERSION AS OF: commit a snapshot, corrupt it with an
@@ -956,6 +1016,8 @@ object Wave3 {
     "sink_cdc" -> sinkCdc,
     "sink_delete" -> sinkDelete,
     "sink_restore" -> sinkRestore,
+    "sink_history" -> sinkHistory,
+    "sql_text_agg" -> sqlTextAgg,
     "fn_explode_outer" -> fnExplodeOuter,
     "sink_dynamic_partition" -> sinkDynamicPartition,
     "join_salted_skew" -> joinSaltedSkew,
@@ -990,6 +1052,8 @@ object Wave3 {
     "sink_cdc" -> sinkCdcOracle,
     "sink_delete" -> sinkDeleteOracle,
     "sink_restore" -> sinkRestoreOracle,
+    "sink_history" -> sinkHistoryOracle,
+    "sql_text_agg" -> sqlTextAggOracle,
     "fn_explode_outer" -> fnExplodeOuterOracle,
     "sink_dynamic_partition" -> sinkDynamicPartitionOracle,
     "join_salted_skew" -> joinSaltedSkewOracle,
