@@ -308,43 +308,18 @@ object LlmPipeline {
     * join; p grows with corpus size to hold cell cardinality constant.
     * Rows-only check (xxhash64 planes are engine-specific); recall vs
     * brute force pinned in LlmPipelineSpec. */
-  private val simAnnLsh: Q = (s, dir) => {
+  /** Shared LSH ANN pipeline: bucket the corpus once, expand the QUERY's
+    * cells by the given XOR masks (0 = the exact cell; 1<<p = one
+    * hyperplane flip), candidate equi-join on (table, bucket), exact
+    * cosine rerank. Single-probe is masks=[0]; multi-probe adds the
+    * radius-1 flips — only the broadcast probe-cell set differs. */
+  private def lshAnnTopK(s: SparkSession, dir: String,
+      planes: Int, tables: Int, masks: Seq[Long]): DataFrame = {
     val e = emb(s, dir)
       .select(col("vec_id"), col("embedding"), col("embedding").as("v"))
-    val buckets = lshTables(e.select(col("vec_id"), col("embedding")), 4, 8)
+    val buckets = lshTables(e.select(col("vec_id"), col("embedding")), planes, tables)
     val qCells = buckets.filter(col("vec_id") === 0)
-      .select(col("table").as("qtable"), col("bucket").as("qbucket"))
-    val candIds = buckets.join(broadcast(qCells),
-        col("table") === col("qtable") && col("bucket") === col("qbucket"))
-      .filter(col("vec_id") =!= 0)
-      .select("vec_id").distinct()
-    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-    e.join(candIds, "vec_id").crossJoin(broadcast(q))
-      .select(col("vec_id"), round(cosineCol(col("v"), col("qv")), 6).as("cos"))
-      .orderBy(desc("cos"), asc("vec_id"))
-      .limit(10)
-  }
-
-  /** Multi-probe LSH (probe radius 1): beside each table's exact query
-    * cell, also probe the `planes` cells one hyperplane-sign flip away —
-    * the classic recall knob that trades candidate-set size for table
-    * count (Lv et al., "Multi-Probe LSH: Efficient Indexing for
-    * High-Dimensional Similarity Search", VLDB 2007). The
-    * probe set stays model-sized (tables × (planes+1) cells) and ONLY
-    * the query side expands: the corpus is bucketed exactly once, the
-    * candidate join is the same (table, bucket) equi-join, so the 100 TB
-    * plan is unchanged — more probe keys on the broadcast side, zero
-    * extra corpus passes. Rows-only (xxhash planes are engine-specific);
-    * LlmPipelineSpec pins candidates ⊇ single-probe and recall ≥. */
-  private val simAnnLshMultiprobe: Q = (s, dir) => {
-    val planes = 4
-    val e = emb(s, dir)
-      .select(col("vec_id"), col("embedding"), col("embedding").as("v"))
-    val buckets = lshTables(e.select(col("vec_id"), col("embedding")), planes, 8)
-    // masks: 0 (the exact cell) plus each single-bit flip
-    val masks = typedLit(0L +: (0 until planes).map(1L << _))
-    val qCells = buckets.filter(col("vec_id") === 0)
-      .select(col("table").as("qtable"), explode(masks).as("mask"), col("bucket"))
+      .select(col("table").as("qtable"), explode(typedLit(masks)).as("mask"), col("bucket"))
       .select(col("qtable"), col("bucket").bitwiseXOR(col("mask")).as("qbucket"))
       .distinct()
     val candIds = buckets.join(broadcast(qCells),
@@ -357,6 +332,23 @@ object LlmPipeline {
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(10)
   }
+
+  private val simAnnLsh: Q = (s, dir) => lshAnnTopK(s, dir, 4, 8, Seq(0L))
+
+  /** Multi-probe LSH (probe radius 1): beside each table's exact query
+    * cell, also probe the `planes` cells one hyperplane-sign flip away —
+    * the classic recall knob that trades candidate-set size for table
+    * count (Lv et al., "Multi-Probe LSH: Efficient Indexing for
+    * High-Dimensional Similarity Search", VLDB 2007). The
+    * probe set stays model-sized (tables × (planes+1) cells) and ONLY
+    * the query side expands: the corpus is bucketed exactly once, the
+    * candidate join is the same (table, bucket) equi-join, so the 100 TB
+    * plan is unchanged — more probe keys on the broadcast side, zero
+    * extra corpus passes. Rows-only (xxhash planes are engine-specific);
+    * LlmPipelineSpec pins candidates ⊇ single-probe and recall ≥. */
+  private val simAnnLshMultiprobe: Q = (s, dir) =>
+    lshAnnTopK(s, dir, planes = 4, tables = 8,
+      masks = 0L +: (0 until 4).map(1L << _))
 
   // ---- text analysis ---------------------------------------------------
 

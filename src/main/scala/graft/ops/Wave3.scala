@@ -829,17 +829,27 @@ object Wave3 {
     * are manifest-pruned scans; at 100 TB the count could come straight
     * from manifest stats without touching data. The oracle derives each
     * version's expected cardinality from the source table alone. */
+  /** Each invocation builds a FRESH store (counter-suffixed root): the
+    * result is the whole history, so reusing a root would accumulate
+    * versions across invocations (Bench runs every query twice per JVM)
+    * and drift from the oracle's fixed three rows. */
+  private val sinkHistoryRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
   private val sinkHistory: Q = (s, dir) => {
     import s.implicits._
     val root = sys.props("java.io.tmpdir") +
-      s"/graft-scratch-${s.sparkContext.applicationId}/history"
+      s"/graft-scratch-${s.sparkContext.applicationId}/history-${sinkHistoryRuns.incrementAndGet()}"
     val store = new graft.engine.VersionedStore(root)
     val base = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    // insert keys start past the live maximum (model-sized agg), so the
+    // upsert stays insert-only at ANY scale factor — a fixed shift would
+    // silently collide into updates once the table outgrows it
+    val shift = base.agg(max("c_custkey")).head().getLong(0) + 1L
     store.write(base, "customer")                                         // v1
     store.upsert(s, "customer",                                           // v2: inserts
       base.filter(col("c_mktsegment") === "BUILDING")
-        .withColumn("c_custkey", col("c_custkey") + 10000000L),
+        .withColumn("c_custkey", col("c_custkey") + lit(shift)),
       Seq("c_custkey"))
     store.delete(s, "customer", col("c_nationkey") === 3)                 // v3
     store.history("customer")

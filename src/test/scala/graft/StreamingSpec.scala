@@ -155,10 +155,14 @@ class StreamingSpec extends SparkSuite {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val input = MemoryStream[EventRow]
-    val q = Streaming.statefulUserCountsV2(input.toDS())
-      .writeStream.format("memory").queryName("tws")
-      .outputMode(OutputMode.Update).start()
+    // query construction/start sits INSIDE the try: if transformWithState
+    // rejects the plan, the finally must still restore the provider conf
+    // for the rest of the shared-session suite
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
+      q = Streaming.statefulUserCountsV2(input.toDS())
+        .writeStream.format("memory").queryName("tws")
+        .outputMode(OutputMode.Update).start()
       // two micro-batches: state must carry totals across batch boundaries
       val (b1, b2) = fixtureEvents.splitAt(fixtureEvents.size / 2)
       input.addData(b1)
@@ -176,7 +180,7 @@ class StreamingSpec extends SparkSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSet
       assert(streamed === batch)
     } finally {
-      q.stop()
+      if (q != null) q.stop()
       prevProvider match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
