@@ -28,6 +28,7 @@ object SparkEntry {
     ops.Analytics.queries ++
     ops.Corpus.queries ++
     ops.Wave3.queries ++
+    ops.Wave4.queries ++
     sources.Formats.queries ++
     ops.Ivf.queries ++
     ops.Pq.queries
@@ -46,6 +47,7 @@ object SparkEntry {
     ops.Analytics.oracles ++
     ops.Corpus.oracles ++
     ops.Wave3.oracles ++
+    ops.Wave4.oracles ++
     sources.Formats.oracles ++
     ops.Ivf.oracles ++
     ops.Pq.oracles

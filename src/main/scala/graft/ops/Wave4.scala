@@ -1,0 +1,204 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry.Q
+import graft.engine.Tables
+
+/** Round-4 training-pipeline wave: benchmark decontamination, the
+  * deterministic global training-order shuffle, TF-IDF term scoring, and
+  * stride-overlapped context chunking — the remaining corpus-preparation
+  * steps between a deduped corpus (Wave3) and tokenized training shards.
+  * Every query is DuckDB-oracle-backed.
+  *
+  * The reference's own surface stops at SQL analytics over warehouse
+  * tables (dbc:cmd2-21); these extend the `documents`/`embeddings`
+  * fixtures the same way the dedup/similarity families do (SURVEY §2.10).
+  */
+object Wave4 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Whitespace/punct token split — identical to LlmPipeline.tokens and
+    * its DuckDB twin (pinned by the text_* oracles). */
+  private def toks(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
+  private val duckToks =
+    "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x->x<>'')"
+
+  // ---- decontaminate: train/eval n-gram overlap removal ----------------
+
+  /** Benchmark decontamination: drop every training document that shares
+    * any 5-token shingle with the held-out eval split (here: source =
+    * 'src0' plays the eval set). This is the standard n-gram-overlap
+    * decontamination step run before pretraining so the training corpus
+    * cannot leak eval answers.
+    *
+    * Scale shape: shingling is a narrow per-row explode; the contamination
+    * probe is ONE equi-join on the shingle string (hash-partitioned — the
+    * candidate space is "docs sharing a shingle", never all pairs), then a
+    * left-anti join on doc_id. The eval side is DISTINCT'ed first, so at
+    * 100 TB the join's build side is the eval shingle set (benchmark-sized,
+    * typically broadcastable), not the corpus. Docs shorter than the
+    * shingle width have no shingles and are kept — both engines agree by
+    * construction. */
+  private val decontaminate: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), toks(col("text")).as("tk"))
+    val shingles = docs
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 4),
+          i => concat_ws(" ", slice(col("tk"), i, lit(5))))).as("sh"))
+    val evalShingles = shingles.filter(col("source") === "src0")
+      .select("sh").distinct()
+    val contaminated = shingles.filter(col("source") =!= "src0")
+      .join(evalShingles, Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+    docs.filter(col("source") =!= "src0")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateOracle =
+    s"""WITH tk AS (SELECT doc_id, lang, source, $duckToks AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_transform(generate_series(1, len(tk) - 4),
+       |      i -> array_to_string(tk[i:i+4], ' '))) AS sh
+       |  FROM tk WHERE len(tk) >= 5),
+       |ev AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+       |bad AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (sh) WHERE s.source <> 'src0')
+       |SELECT doc_id, lang, source FROM tk
+       |WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM bad)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- shuffle_global: deterministic training-order shard assignment ---
+
+  /** Global training shuffle: every document gets a pseudo-random but
+    * DETERMINISTIC (content-hash) position — shard = hash residue mod 8,
+    * position = rank of the hash within the shard. This is the
+    * "shuffle once, read sequentially" layout training jobs want: the
+    * order is reproducible across runs and engines (no RNG), and a
+    * resumed job re-derives the exact same permutation.
+    *
+    * Scale shape: the shard assignment is a narrow map evaluated at the
+    * scan; the only shuffle is the per-shard window sort, which
+    * parallelizes across shards (8 here; thousands at 100 TB) instead of
+    * serializing on one global ORDER BY. */
+  private val shuffleGlobal: Q = (s, dir) => {
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val shard = pmod(conv(substring(h, 1, 15), 16, 10).cast("bigint"), lit(8))
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    t(s, dir, "documents")
+      .select(col("doc_id"), h.as("h"), shard.as("shard"))
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
+  private val shuffleGlobalOracle =
+    """SELECT doc_id, shard, pos FROM (
+      |  SELECT doc_id, shard,
+      |    CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+      |  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+      |          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard
+      |        FROM documents))
+      |ORDER BY shard, pos""".stripMargin
+
+  // ---- text_tfidf: corpus-weighted term scoring ------------------------
+
+  /** TF-IDF: per-(doc, term) frequency weighted by inverse document
+    * frequency over the whole corpus — the classic quality/topic signal a
+    * curation pipeline computes before filtering or clustering. Emitted
+    * un-ranked (every term of every doc) so the differential gate hashes
+    * integer tf/df exactly; the float score is rounded to 6 places.
+    *
+    * Scale shape: one narrow explode, two hash aggregations (doc-term
+    * counts, then document frequency — both partial-agg'd map-side), the
+    * corpus size N broadcast as a 1-row cross join, and one token-keyed
+    * equi-join of tf against df. Nothing is all-pairs; the df table is
+    * vocabulary-sized, orders of magnitude below corpus-sized. */
+  private val textTfidf: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+      .orderBy("doc_id", "token")
+  }
+
+  private val textTfidfOracle =
+    s"""WITH terms AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, token),
+       |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+       |SELECT doc_id, token, tf, df, round(tf * ln(n_docs / df), 6) AS tfidf
+       |FROM tf JOIN df USING (token), n
+       |ORDER BY doc_id, token""".stripMargin
+
+  // ---- chunk_stride: overlapping context-window chunking ---------------
+
+  /** Stride-overlapped chunking: split each document's token stream into
+    * 64-token context windows advancing 48 tokens per step (16-token
+    * overlap) — the long-document treatment for a fixed-context trainer,
+    * where corpus_pack's contiguous packing handles the short tail. Chunk
+    * count is ceil((len-64)/48)+1 clamped to >= 1, so every token lands in
+    * at least one chunk and a short doc yields exactly one.
+    *
+    * Scale shape: a pure narrow map — sequence/transform/explode with no
+    * shuffle anywhere except the output ordering the gate requires; at
+    * 100 TB this pipelines at scan speed. The chunk fingerprint (md5 of
+    * the joined window) is what a downstream passage-level dedup would
+    * key on. */
+  private val chunkStride: Q = (s, dir) => {
+    val len = size(col("tk"))
+    // integer ceil((len-64)/48) + 1 == floor((len-17)/48) + 1 for len > 64
+    val nChunks = when(len <= 64, lit(1))
+      .otherwise(floor((len - 17).cast("double") / 48.0).cast("int") + 1)
+    t(s, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("bigint").as("chunk_id"),
+        slice(col("tk"), col("chunk_id") * 48 + 1, lit(64)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("bigint").as("n_tok"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val chunkStrideOracle =
+    s"""WITH tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
+       |c AS (SELECT doc_id, tk,
+       |        CASE WHEN len(tk) <= 64 THEN 1
+       |             ELSE CAST(floor((len(tk) - 17) / 48.0) AS INT) + 1 END AS n_chunks
+       |      FROM tk),
+       |x AS (SELECT doc_id, tk, unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM c)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(len(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT) AS n_tok,
+       |  md5(array_to_string(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')) AS fp
+       |FROM x ORDER BY doc_id, chunk_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "decontaminate" -> decontaminate,
+    "shuffle_global" -> shuffleGlobal,
+    "text_tfidf" -> textTfidf,
+    "chunk_stride" -> chunkStride
+  )
+
+  val oracles: Map[String, String] = Map(
+    "decontaminate" -> decontaminateOracle,
+    "shuffle_global" -> shuffleGlobalOracle,
+    "text_tfidf" -> textTfidfOracle,
+    "chunk_stride" -> chunkStrideOracle
+  )
+}
