@@ -45,8 +45,11 @@ object Wave4 {
     * typically broadcastable), not the corpus. Docs shorter than the
     * shingle width have no shingles and are kept — both engines agree by
     * construction. */
-  private val decontaminate: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
+  /** The decontamination kernel over any (doc_id, text, lang, source)
+    * frame — exposed so the spec can run planted-contamination fixtures
+    * through the exact production path. */
+  def testDecontaminate(documents: DataFrame): DataFrame = {
+    val docs = documents
       .select(col("doc_id"), col("lang"), col("source"), toks(col("text")).as("tk"))
     val shingles = docs
       .filter(size(col("tk")) >= 5)
@@ -63,6 +66,8 @@ object Wave4 {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
   }
+
+  private val decontaminate: Q = (s, dir) => testDecontaminate(t(s, dir, "documents"))
 
   private val decontaminateOracle =
     s"""WITH tk AS (SELECT doc_id, lang, source, $duckToks AS tk FROM documents),
