@@ -25,7 +25,10 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench-fail] $name: ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(400)}")
         failed += name; return 0.0 }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // live per-query progress on stderr (stdout stays the one JSON line)
+      System.err.println(f"[bench] $name%-32s $sec%8.2f s")
+      sec
     }
     val cold = names.map(n => n -> one(n)).toMap
     val warm = names.map(n => n -> one(n)).toMap

@@ -107,7 +107,7 @@ object Joins {
     * events whose value lies within ±5 — no equi key exists, and at
     * 100 TB neither side broadcasts, so the naive plan (nested-loop) is
     * quadratic. Banding rewrites it as an EQUI-join: points key by
-    * floor(value/10), intervals explode to the ≤2 bands they overlap,
+    * floor(value/band), intervals explode to the ~11 bands they overlap,
     * the join hash-partitions on the band, and the exact predicate
     * verifies inside the band group. Each (point, interval) pair meets in
     * exactly one band (the point's), so no dedup step is needed. Band
@@ -115,19 +115,45 @@ object Joins {
     * join_theta_range's scale path when the interval side outgrows a
     * broadcast. */
   private val joinRangeBanded: Q = (s, dir) => {
-    val band = 10.0
+    // Band width 1.0 on a ±5 predicate, with interior/edge decomposition:
+    // a view in a band FULLY covered by [value-5, value+5] is a match by
+    // construction (band start > value-5 and band end <= value+5 — floor
+    // and compare are exact double ops, so the guarantee survives float),
+    // so interior bands contribute via a pre-aggregated per-band COUNT
+    // (broadcast-sized) instead of pair-level rows; only the two EDGE
+    // bands run the exact |pv-value|<=5 check against individual views.
+    // At sf0.1 the true pair count is 38M — the decomposition touches
+    // ~20% of that (edge bands only), and the fine band width spreads the
+    // data's exponential low-value skew across ~600 keys instead of
+    // piling 18% of events into one (width-10 measured 6.0 s, width-1
+    // 4.3 s, decomposed form ~1.3 s warm).
+    val band = 1.0
     val ev = t(s, dir, "events")
     val views = ev.filter(col("event_type") === "view")
       .select(col("value").as("pv"),
         floor(col("value") / band).cast("bigint").as("b"))
-    val purchases = ev.filter(col("event_type") === "purchase")
+    val bandCounts = views.groupBy("b").agg(count(lit(1)).as("cnt"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"))
+    val loB = floor((col("value") - 5) / band).cast("bigint")
+    val hiB = floor((col("value") + 5) / band).cast("bigint")
+    val interior = p
+      .select(col("event_id"),
+        explode(when(loB + 1 <= hiB - 1, sequence(loB + 1, hiB - 1))
+          .otherwise(array().cast("array<bigint>"))).as("b"))
+      .join(broadcast(bandCounts), "b")
+      .groupBy("event_id").agg(sum("cnt").as("n_int"))
+    val edges = p
       .select(col("event_id"), col("value"),
-        explode(sequence(
-          floor((col("value") - 5) / band).cast("bigint"),
-          floor((col("value") + 5) / band).cast("bigint"))).as("b"))
-    purchases.join(views, "b")
+        explode(array_distinct(array(loB, hiB))).as("b"))
+      .join(views, "b")
       .filter(abs(col("pv") - col("value")) <= 5.0)
-      .groupBy("event_id").agg(count(lit(1)).as("n_near"))
+      .groupBy("event_id").agg(count(lit(1)).as("n_edge"))
+    p.join(interior, Seq("event_id"), "left")
+      .join(edges, Seq("event_id"), "left")
+      .select(col("event_id"),
+        (coalesce(col("n_int"), lit(0L)) + coalesce(col("n_edge"), lit(0L))).as("n_near"))
+      .filter(col("n_near") >= 1)
       .orderBy("event_id")
   }
 
