@@ -193,17 +193,129 @@ object Wave4 {
        |  md5(array_to_string(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')) AS fp
        |FROM x ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---- semdedup: cluster-blocked semantic dedup ------------------------
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): assign every
+    * embedding to its nearest seed centroid, then drop any vector with a
+    * LOWER-id near-duplicate (cosine >= 0.3) in the same cell. Unlike
+    * dedup_embed_cosine (which blocks on the fixture's label column),
+    * the blocking key here is LEARNED from the vectors themselves — the
+    * shape a real pipeline uses when no labels exist.
+    *
+    * Scale shape: assignment is Ivf.assign — k centroid literals, a
+    * completely narrow per-row argmax, no join/shuffle/window. The
+    * within-cell self-join is quadratic ONLY in cell size: k grows with
+    * the corpus so cells stay bounded, and the candidate space is "pairs
+    * sharing a cell", never all-pairs. The kept set is provably pairwise
+    * non-near within every cell (any near pair would have dropped its
+    * larger member). */
+  private val semDedup: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    val a = Ivf.assign(e, seeds).select(col("vec_id"), col("cell"), col("embedding"))
+    val dropped = a.as("x").join(a.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .filter(round(graft.functions.Native.cosineSim(
+        col("x.embedding"), col("y.embedding")), 6) >= 0.3)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+    a.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell").cast("bigint").as("cell"))
+      .orderBy("vec_id")
+  }
+
+  private val duckCos =
+    "list_aggregate(list_transform(list_zip(%s, %s), p -> p[1] * p[2]), 'sum')" +
+      " / (SQRT(list_aggregate(list_transform(%s, x -> x*x), 'sum'))" +
+      " * SQRT(list_aggregate(list_transform(%s, x -> x*x), 'sum')))"
+  private def cosSql(a: String, b: String): String =
+    duckCos.format(a, b, a, b)
+
+  private val semDedupOracle =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e WHERE vec_id < 8),
+       |scored AS (SELECT vec_id, v, cell, ${cosSql("v", "cv")} AS cos FROM e CROSS JOIN c),
+       |a AS (SELECT vec_id, v, cell FROM (
+       |    SELECT vec_id, v, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |bad AS (SELECT DISTINCT y.vec_id FROM a x JOIN a y
+       |  ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE ROUND(${cosSql("x.v", "y.v")}, 6) >= 0.3)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a
+       |WHERE vec_id NOT IN (SELECT vec_id FROM bad) ORDER BY vec_id""".stripMargin
+
+  // ---- rank_bm25: retrieval scoring over the corpus --------------------
+
+  /** BM25 document scoring for a fixed 3-term query (Robertson/Lucene
+    * form: idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturated by
+    * k1 = 1.2 with b = 0.75 length normalization) — the retrieval-side
+    * twin of text_tfidf, and the scoring a dedup-then-retrieve corpus
+    * pipeline runs for eval-set mining. Emitted for every matching doc
+    * (no float ranking; the gate hashes the rounded score).
+    *
+    * Scale shape: reuses the tf aggregation, joins the vocabulary-sized
+    * df table, broadcasts the two corpus scalars (N, avgdl); per-doc
+    * length is one narrow map. One token-keyed shuffle, one doc-keyed
+    * aggregation — nothing all-pairs. */
+  private val rankBm25: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    val dl = docs.select(col("doc_id"), size(toks(col("text"))).cast("double").as("dl"))
+    val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val avgdl = dl.agg(avg("dl").as("avgdl"))
+    val q = Seq("table", "spark", "query")
+    tf.filter(col("token").isin(q: _*))
+      .join(dfreq, Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(avgdl))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("s",
+        col("idf") * col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      // each addend is rounded then summed in DECIMAL: the aggregation is
+      // exact and order-independent, so partial-agg order can't flip the
+      // gate hash (a raw double SUM has no defined addition order)
+      .agg(round(sum(round(col("s"), 6).cast("decimal(18,6)")), 6)
+        .cast("double").as("bm25"),
+        count(lit(1)).cast("bigint").as("n_terms"))
+      .orderBy("doc_id")
+  }
+
+  private val rankBm25Oracle =
+    s"""WITH terms AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+       |dl AS (SELECT doc_id, CAST(len($duckToks) AS DOUBLE) AS dl FROM documents),
+       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, token),
+       |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+       |a AS (SELECT avg(dl) AS avgdl FROM dl)
+       |SELECT doc_id, CAST(round(SUM(CAST(round(
+       |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+       |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS DECIMAL(18,6))), 6) AS DOUBLE) AS bm25,
+       |  CAST(count(*) AS BIGINT) AS n_terms
+       |FROM tf JOIN df USING (token) JOIN dl USING (doc_id), n, a
+       |WHERE token IN ('table', 'spark', 'query')
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "decontaminate" -> decontaminate,
     "shuffle_global" -> shuffleGlobal,
     "text_tfidf" -> textTfidf,
-    "chunk_stride" -> chunkStride
+    "chunk_stride" -> chunkStride,
+    "semdedup" -> semDedup,
+    "rank_bm25" -> rankBm25
   )
 
   val oracles: Map[String, String] = Map(
     "decontaminate" -> decontaminateOracle,
     "shuffle_global" -> shuffleGlobalOracle,
     "text_tfidf" -> textTfidfOracle,
-    "chunk_stride" -> chunkStrideOracle
+    "chunk_stride" -> chunkStrideOracle,
+    "semdedup" -> semDedupOracle,
+    "rank_bm25" -> rankBm25Oracle
   )
 }

@@ -64,6 +64,23 @@ class Wave4Spec extends SparkSuite {
     assert(bad.count() === 0)
   }
 
+  test("semdedup kept set is pairwise non-near within every cell") {
+    // any near pair would have dropped its larger member, so the surviving
+    // corpus must contain no within-cell pair at or above the threshold
+    val kept = Wave4.queries("semdedup")(spark, sf)
+    val e = graft.engine.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val k = kept.join(e, "vec_id")
+    val nearKept = k.as("x").join(k.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .filter(round(graft.functions.Native.cosineSim(
+        col("x.embedding"), col("y.embedding")), 6) >= 0.3)
+      .count()
+    assert(nearKept === 0)
+    // and it actually deduplicates: something was dropped
+    assert(kept.count() < e.count())
+  }
+
   test("text_tfidf: ubiquitous terms score zero, integer columns are exact") {
     val out = Wave4.queries("text_tfidf")(spark, sf).persist()
     val nDocs = graft.engine.Tables.load(spark, sf, "documents").count()
