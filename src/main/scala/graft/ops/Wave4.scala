@@ -301,7 +301,107 @@ object Wave4 {
        |WHERE token IN ('table', 'spark', 'query')
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- dedup_incremental: incoming batch vs existing corpus ------------
+
+  /** Incremental dedup: a NEW batch (doc_id >= 400) is checked against the
+    * already-ingested corpus (doc_id < 400) without re-deduping the
+    * corpus itself — the arrival-time shape every production pipeline
+    * actually runs, where corpus-vs-corpus pair generation would be
+    * wasted work. Two signals per incoming doc: an exact text-hash match,
+    * and 3-shingle CONTAINMENT (fraction of the doc's distinct shingles
+    * already present in the corpus shingle set) >= 0.5.
+    *
+    * Scale shape: the corpus side reduces to two DISTINCT sets (text
+    * hashes, shingles) built once — at 100 TB these live as a persisted
+    * index (the LshIndex pattern) and the batch probes them with
+    * one semi-join each, shuffling only the incoming batch. Containment,
+    * unlike symmetric Jaccard, never needs the corpus doc's size — so no
+    * corpus-side per-doc state at all. */
+  private val dedupIncremental: Q = (s, dir) => {
+    val sh3 = (tk: Column) => array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(tk) - 3, lit(0))),
+        i => concat_ws(" ", slice(tk, i + 1, lit(3)))), x => x =!= ""))
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), sh3(toks(col("text"))).as("sh"),
+        md5(lower(trim(col("text"))).cast("binary")).as("h"))
+    val existing = d.filter(col("doc_id") < 400)
+    val incoming = d.filter(col("doc_id") >= 400)
+    val exShingles = existing.select(explode(col("sh")).as("sh")).distinct()
+    val exHashes = existing.select(col("h")).distinct()
+      .withColumn("is_exact", lit(true))
+    val hits = incoming.select(col("doc_id"), explode(col("sh")).as("sh"))
+      .join(exShingles, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    incoming
+      .select(col("doc_id"), size(col("sh")).cast("bigint").as("n_sh"), col("h"))
+      .join(hits, Seq("doc_id"), "left")
+      .join(exHashes, Seq("h"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("is_exact"), lit(false)).as("exact_dup"),
+        round(coalesce(col("n_hit"), lit(0L)) /
+          greatest(col("n_sh"), lit(1L)).cast("double"), 6).as("containment"))
+      .withColumn("kept",
+        !col("exact_dup") && col("containment") < 0.5)
+      .orderBy("doc_id")
+  }
+
+  private val duckSh3 =
+    "list_distinct(list_filter(list_transform(range(0, greatest(len(tk)-2, 1))," +
+      " i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3])), x -> x <> ''))"
+
+  private val dedupIncrementalOracle =
+    s"""WITH d AS (SELECT doc_id, $duckSh3 AS sh, md5(lower(trim(text))) AS h
+       |           FROM (SELECT doc_id, text, $duckToks AS tk FROM documents)),
+       |ex AS (SELECT * FROM d WHERE doc_id < 400),
+       |inc AS (SELECT * FROM d WHERE doc_id >= 400),
+       |exsh AS (SELECT DISTINCT unnest(sh) AS s FROM ex),
+       |exh AS (SELECT DISTINCT h FROM ex),
+       |hits AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM inc)
+       |  WHERE s IN (SELECT s FROM exsh) GROUP BY doc_id)
+       |SELECT inc.doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
+       |  coalesce(n_hit, 0) AS n_hit,
+       |  inc.h IN (SELECT h FROM exh) AS exact_dup,
+       |  round(coalesce(n_hit, 0) / CAST(greatest(len(sh), 1) AS DOUBLE), 6) AS containment,
+       |  NOT inc.h IN (SELECT h FROM exh)
+       |    AND round(coalesce(n_hit, 0) / CAST(greatest(len(sh), 1) AS DOUBLE), 6) < 0.5 AS kept
+       |FROM inc LEFT JOIN hits USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- corpus_stats: per-stratum reporting rollup ----------------------
+
+  /** The corpus dashboard: per (lang, source) stratum — document count,
+    * exact-unique count, token volume, mean length — the reporting
+    * aggregate a curation run emits after every pipeline stage. One
+    * hash aggregation over narrow per-row maps; avg is exact-integer
+    * sum / count so the double division is engine-identical. */
+  private val corpusStats: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(toks(col("text"))).cast("bigint").as("n_tok"),
+        col("n_chars"),
+        md5(lower(trim(col("text"))).cast("binary")).as("h"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("h").as("n_uniq"),
+        sum("n_tok").as("tok_total"),
+        round(sum("n_chars").cast("double") / count(lit(1)), 6).as("avg_chars"))
+      .orderBy("lang", "source")
+
+  private val corpusStatsOracle =
+    s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT h) AS BIGINT) AS n_uniq,
+       |  CAST(sum(n_tok) AS BIGINT) AS tok_total,
+       |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+       |FROM (SELECT lang, source, n_chars, CAST(len($duckToks) AS BIGINT) AS n_tok,
+       |        md5(lower(trim(text))) AS h FROM documents)
+       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup_incremental" -> dedupIncremental,
+    "corpus_stats" -> corpusStats,
     "decontaminate" -> decontaminate,
     "shuffle_global" -> shuffleGlobal,
     "text_tfidf" -> textTfidf,
@@ -311,6 +411,8 @@ object Wave4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_incremental" -> dedupIncrementalOracle,
+    "corpus_stats" -> corpusStatsOracle,
     "decontaminate" -> decontaminateOracle,
     "shuffle_global" -> shuffleGlobalOracle,
     "text_tfidf" -> textTfidfOracle,
