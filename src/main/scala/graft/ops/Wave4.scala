@@ -44,10 +44,12 @@ object Wave4 {
     * 100 TB the join's build side is the eval shingle set (benchmark-sized,
     * typically broadcastable), not the corpus. Docs shorter than the
     * shingle width have no shingles and are kept — both engines agree by
-    * construction. */
-  /** The decontamination kernel over any (doc_id, text, lang, source)
-    * frame — exposed so the spec can run planted-contamination fixtures
-    * through the exact production path. */
+    * construction.
+    *
+    * This is the kernel over any (doc_id, text, lang, source) frame —
+    * public so the spec can run planted-contamination fixtures through
+    * the exact production path; the registered query applies it to the
+    * documents table. */
   def testDecontaminate(documents: DataFrame): DataFrame = {
     val docs = documents
       .select(col("doc_id"), col("lang"), col("source"), toks(col("text")).as("tk"))
@@ -128,12 +130,25 @@ object Wave4 {
     * corpus size N broadcast as a 1-row cross join, and one token-keyed
     * equi-join of tf against df. Nothing is all-pairs; the df table is
     * vocabulary-sized, orders of magnitude below corpus-sized. */
-  private val textTfidf: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
+  /** Shared term-statistics pipeline for the scoring family: (doc, term)
+    * frequency, per-term document frequency, and corpus size — the ONE
+    * place the tokenization-to-tf semantics live, so text_tfidf and
+    * rank_bm25 (and both oracles) can never drift apart. */
+  private def termStats(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
     val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    (tf, dfreq, n)
+  }
+  private val duckTermStats =
+    s"""terms AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, token),
+       |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)""".stripMargin
+
+  private val textTfidf: Q = (s, dir) => {
+    val (tf, dfreq, n) = termStats(t(s, dir, "documents"))
     tf.join(dfreq, Seq("token"))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
@@ -142,10 +157,7 @@ object Wave4 {
   }
 
   private val textTfidfOracle =
-    s"""WITH terms AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
-       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, token),
-       |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
-       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+    s"""WITH $duckTermStats
        |SELECT doc_id, token, tf, df, round(tf * ln(n_docs / df), 6) AS tfidf
        |FROM tf JOIN df USING (token), n
        |ORDER BY doc_id, token""".stripMargin
@@ -202,18 +214,29 @@ object Wave4 {
     * the blocking key here is LEARNED from the vectors themselves — the
     * shape a real pipeline uses when no labels exist.
     *
-    * Scale shape: assignment is Ivf.assign — k centroid literals, a
-    * completely narrow per-row argmax, no join/shuffle/window. The
-    * within-cell self-join is quadratic ONLY in cell size: k grows with
-    * the corpus so cells stay bounded, and the candidate space is "pairs
-    * sharing a cell", never all-pairs. The kept set is provably pairwise
-    * non-near within every cell (any near pair would have dropped its
-    * larger member). */
+    * Scale shape: assignment follows the Ivf.assign pattern — k centroid
+    * literals, a completely narrow per-row argmax, no join/shuffle/window
+    * — but scores are ROUNDED to 6 places first, so the cross-engine
+    * argmax never compares raw doubles (the same rounding contract every
+    * other oracled cosine query uses). The within-cell self-join is
+    * quadratic ONLY in cell size: k grows with the corpus so cells stay
+    * bounded, and the candidate space is "pairs sharing a cell", never
+    * all-pairs. The kept set is provably pairwise non-near within every
+    * cell (any near pair would have dropped its larger member). */
   private val semDedup: Q = (s, dir) => {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val seeds = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
-    val a = Ivf.assign(e, seeds).select(col("vec_id"), col("cell"), col("embedding"))
+    val seeds: Array[(Int, Seq[Float])] = e.filter(col("vec_id") < 8)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+    val sims = seeds.map { case (_, c) =>
+      round(graft.functions.Native.cosineSim(col("embedding"),
+        array(c.map(v => lit(v)): _*).cast("array<float>")), 6) }
+    val mx = greatest(sims: _*)
+    val cellCol = sims.zip(seeds).tail.foldLeft(
+      when(sims.head === mx, seeds.head._1)) {
+      case (acc, (sim, (id, _))) => acc.when(sim === mx, id)
+    }
+    val a = e.select(col("vec_id"), cellCol.cast("int").as("cell"), col("embedding"))
     val dropped = a.as("x").join(a.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .filter(round(graft.functions.Native.cosineSim(
@@ -234,7 +257,7 @@ object Wave4 {
   private val semDedupOracle =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |c AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e WHERE vec_id < 8),
-       |scored AS (SELECT vec_id, v, cell, ${cosSql("v", "cv")} AS cos FROM e CROSS JOIN c),
+       |scored AS (SELECT vec_id, v, cell, ROUND(${cosSql("v", "cv")}, 6) AS cos FROM e CROSS JOIN c),
        |a AS (SELECT vec_id, v, cell FROM (
        |    SELECT vec_id, v, cell,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
@@ -260,11 +283,8 @@ object Wave4 {
     * aggregation — nothing all-pairs. */
   private val rankBm25: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    val (tf, dfreq, n) = termStats(docs)
     val dl = docs.select(col("doc_id"), size(toks(col("text"))).cast("double").as("dl"))
-    val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val avgdl = dl.agg(avg("dl").as("avgdl"))
     val q = Seq("table", "spark", "query")
     tf.filter(col("token").isin(q: _*))
@@ -287,11 +307,8 @@ object Wave4 {
   }
 
   private val rankBm25Oracle =
-    s"""WITH terms AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+    s"""WITH $duckTermStats,
        |dl AS (SELECT doc_id, CAST(len($duckToks) AS DOUBLE) AS dl FROM documents),
-       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, token),
-       |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
-       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
        |a AS (SELECT avg(dl) AS avgdl FROM dl)
        |SELECT doc_id, CAST(round(SUM(CAST(round(
        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
@@ -363,9 +380,9 @@ object Wave4 {
        |  WHERE s IN (SELECT s FROM exsh) GROUP BY doc_id)
        |SELECT inc.doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
        |  coalesce(n_hit, 0) AS n_hit,
-       |  inc.h IN (SELECT h FROM exh) AS exact_dup,
+       |  coalesce(inc.h IN (SELECT h FROM exh), FALSE) AS exact_dup,
        |  round(coalesce(n_hit, 0) / CAST(greatest(len(sh), 1) AS DOUBLE), 6) AS containment,
-       |  NOT inc.h IN (SELECT h FROM exh)
+       |  NOT coalesce(inc.h IN (SELECT h FROM exh), FALSE)
        |    AND round(coalesce(n_hit, 0) / CAST(greatest(len(sh), 1) AS DOUBLE), 6) < 0.5 AS kept
        |FROM inc LEFT JOIN hits USING (doc_id)
        |ORDER BY doc_id""".stripMargin
