@@ -318,6 +318,74 @@ object Wave4 {
        |WHERE token IN ('table', 'spark', 'query')
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- vocab_build / tokenize_ids: text -> training token ids ----------
+
+  /** Frequency-ranked vocabulary: the top-256 corpus tokens, id'd by
+    * (frequency DESC, token ASC) — id 0 is reserved for unknowns. The
+    * induction step every tokenizer pipeline runs before numericizing.
+    *
+    * Scale shape: one partial-agg'd token count; the rank window runs on
+    * the AGGREGATED vocabulary (model-sized), never the corpus — a
+    * single-partition sort of a few thousand rows is the honest cost. */
+  private def vocabFrame(s: SparkSession, dir: String): DataFrame = {
+    val terms = t(s, dir, "documents")
+      .select(explode(toks(col("text"))).as("token"))
+    val freq = terms.groupBy("token").agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(desc("freq"), asc("token"))
+    freq.withColumn("token_id", row_number().over(w).cast("bigint"))
+      .filter(col("token_id") <= 256)
+  }
+
+  private val vocabBuild: Q = (s, dir) =>
+    vocabFrame(s, dir).select("token_id", "token", "freq").orderBy("token_id")
+
+  private val vocabBuildOracle =
+    s"""SELECT token_id, token, freq FROM (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS freq,
+       |    CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS BIGINT) AS token_id
+       |  FROM (SELECT unnest($duckToks) AS token FROM documents) GROUP BY token)
+       |WHERE token_id <= 256 ORDER BY token_id""".stripMargin
+
+  /** Numericization: every document's token stream mapped to vocabulary
+    * ids (0 = unknown), preserving order — the step between the curated
+    * corpus and chunk_stride/corpus_pack's fixed-context windows. The id
+    * sequence is rendered as a comma string (the gate hashes scalar
+    * cells only).
+    *
+    * Scale shape: the vocab is broadcast (model-sized); the corpus side
+    * is one posexplode + broadcast join + one groupBy(doc) re-assembly —
+    * a single corpus shuffle, and the position-ordered re-assembly uses
+    * array_sort of (pos, id) structs, not a window. */
+  private val tokenizeIds: Q = (s, dir) => {
+    val vocab = vocabFrame(s, dir).select(col("token"), col("token_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "token")))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .withColumn("id", coalesce(col("token_id"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_unk"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("pos"), col("id")))),
+          x => x.getField("id").cast("string"))).as("ids"))
+      .orderBy("doc_id")
+  }
+
+  private val tokenizeIdsOracle =
+    s"""WITH v AS (
+       |  SELECT token, token_id FROM (
+       |    SELECT token, CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS BIGINT) AS token_id
+       |    FROM (SELECT unnest($duckToks) AS token FROM documents) GROUP BY token)
+       |  WHERE token_id <= 256),
+       |p AS (SELECT doc_id, unnest(tk) AS token, generate_subscripts(tk, 1) AS pos
+       |      FROM (SELECT doc_id, $duckToks AS tk FROM documents)),
+       |j AS (SELECT doc_id, pos, coalesce(token_id, 0) AS id
+       |      FROM p LEFT JOIN v USING (token))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+       |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- dedup_incremental: incoming batch vs existing corpus ------------
 
   /** Incremental dedup: a NEW batch (doc_id >= 400) is checked against the
@@ -417,6 +485,8 @@ object Wave4 {
        |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "vocab_build" -> vocabBuild,
+    "tokenize_ids" -> tokenizeIds,
     "dedup_incremental" -> dedupIncremental,
     "corpus_stats" -> corpusStats,
     "decontaminate" -> decontaminate,
@@ -428,6 +498,8 @@ object Wave4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "vocab_build" -> vocabBuildOracle,
+    "tokenize_ids" -> tokenizeIdsOracle,
     "dedup_incremental" -> dedupIncrementalOracle,
     "corpus_stats" -> corpusStatsOracle,
     "decontaminate" -> decontaminateOracle,
