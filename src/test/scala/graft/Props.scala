@@ -157,3 +157,40 @@ object TopKProps extends Properties("topk-agg") {
       merged == model(es, k)
     }
 }
+
+/** Pure reference model of the chunk_stride 64/48 geometry (Wave4): the
+  * chunk-count formula, full token coverage, and the 16-token overlap
+  * accounting that Wave4Spec asserts on fixture data must hold for EVERY
+  * length, including the formula's seams (0, 64, 65, 112, 113). */
+object ChunkStrideProps extends Properties("chunk-stride") {
+  private val W = 64; private val S = 48
+
+  private def nChunks(len: Int): Int =
+    if (len <= W) 1 else (len - 17) / S + 1   // == ceil((len-64)/48)+1
+
+  /** Chunk i covers token positions [i*S+1, min(i*S+W, len)]. */
+  private def chunkSizes(len: Int): Seq[Int] =
+    (0 until nChunks(len)).map(i => math.max(0, math.min(i * S + W, len) - i * S))
+
+  private val lens = Gen.frequency(
+    4 -> Gen.chooseNum(0, 400),
+    1 -> Gen.oneOf(0, 1, 63, 64, 65, 111, 112, 113, 160, 161))
+
+  property("every token is covered and the last chunk reaches len") =
+    forAll(lens) { len =>
+      val n = nChunks(len)
+      // consecutive chunk starts are S apart with W >= S: no gaps; and the
+      // last chunk's reach (n-1)*S + W must cover the final token
+      len == 0 || (n - 1) * S + W >= len && (n - 1) * S + 1 <= len
+    }
+
+  property("total chunked tokens = len + 16 per extra chunk") =
+    forAll(lens) { len =>
+      chunkSizes(len).sum == len + (nChunks(len) - 1) * (W - S)
+    }
+
+  property("all chunks before the last are full") =
+    forAll(lens) { len =>
+      chunkSizes(len).dropRight(1).forall(_ == W)
+    }
+}
