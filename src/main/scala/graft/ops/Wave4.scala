@@ -402,15 +402,19 @@ object Wave4 {
     * one semi-join each, shuffling only the incoming batch. Containment,
     * unlike symmetric Jaccard, never needs the corpus doc's size — so no
     * corpus-side per-doc state at all. */
-  private val dedupIncremental: Q = (s, dir) => {
+  /** The incremental-dedup kernel over any (doc_id, text) frames — public
+    * so the spec can plant exact / near / fresh incoming docs and assert
+    * each verdict; the registered query splits the documents table at
+    * doc_id 400. */
+  def incrementalDedup(existingDocs: DataFrame, incomingDocs: DataFrame): DataFrame = {
     val sh3 = (tk: Column) => array_distinct(filter(
       transform(sequence(lit(0), greatest(size(tk) - 3, lit(0))),
         i => concat_ws(" ", slice(tk, i + 1, lit(3)))), x => x =!= ""))
-    val d = t(s, dir, "documents")
+    def prep(d: DataFrame) = d
       .select(col("doc_id"), sh3(toks(col("text"))).as("sh"),
         md5(lower(trim(col("text"))).cast("binary")).as("h"))
-    val existing = d.filter(col("doc_id") < 400)
-    val incoming = d.filter(col("doc_id") >= 400)
+    val existing = prep(existingDocs)
+    val incoming = prep(incomingDocs)
     val exShingles = existing.select(explode(col("sh")).as("sh")).distinct()
     val exHashes = existing.select(col("h")).distinct()
       .withColumn("is_exact", lit(true))
@@ -429,6 +433,11 @@ object Wave4 {
       .withColumn("kept",
         !col("exact_dup") && col("containment") < 0.5)
       .orderBy("doc_id")
+  }
+
+  private val dedupIncremental: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    incrementalDedup(d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400))
   }
 
   private val duckSh3 =

@@ -64,6 +64,28 @@ class Wave4Spec extends SparkSuite {
     assert(bad.count() === 0)
   }
 
+  test("dedup_incremental verdicts: exact dup, near dup, and fresh doc") {
+    import spark.implicits._
+    val existing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      // exact duplicate of doc 1 (case/whitespace-normalized)
+      (10L, "  Alpha beta GAMMA delta epsilon zeta eta theta "),
+      // near dup: 6-token prefix shared with doc 1 -> 4 of 5 shingles hit
+      (11L, "alpha beta gamma delta epsilon zeta QQQ RRR"),
+      // fresh: no shingle overlap at all
+      (12L, "nine ten eleven twelve thirteen fourteen")
+    ).toDF("doc_id", "text")
+    val out = Wave4.incrementalDedup(existing, incoming)
+      .select("doc_id", "exact_dup", "kept")
+      .as[(Long, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(out(0) === ((10L, true, false)), s"exact dup must drop: ${out(0)}")
+    assert(out(1) === ((11L, false, false)), s"near dup must drop via containment: ${out(1)}")
+    assert(out(2) === ((12L, false, true)), s"fresh doc must be kept: ${out(2)}")
+  }
+
   test("semdedup kept set is pairwise non-near within every cell") {
     // any near pair would have dropped its larger member, so the surviving
     // corpus must contain no within-cell pair at or above the threshold
