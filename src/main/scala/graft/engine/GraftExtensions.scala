@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // opt-in approximation mode: count(DISTINCT x) -> HLL++ sketch under
+    // spark.graft.approxDistinct (see graft.plans.ApproxDistinctRewrite)
+    e.injectOptimizerRule(graft.plans.ApproxDistinctRewrite)
+
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
