@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in approximation mode: count(DISTINCT x) -> HLL++ sketch under
     // spark.graft.approxDistinct (see graft.plans.ApproxDistinctRewrite)
     e.injectOptimizerRule(graft.plans.ApproxDistinctRewrite)
+    // opt-in banded range-join rewrite: abs(a-b) <= c theta joins become
+    // hash equi-joins on a band key under spark.graft.bandedRangeJoin
+    e.injectOptimizerRule(graft.plans.BandedRangeJoinRewrite)
 
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
