@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 10-20 s stop-the-world pauses; measured warm totals 71/90/115 s at
   // 8g vs 64 s at 48g). 32g keeps headroom for the OS page cache.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // the 160-query bench generates thousands of Janino classes across its
+  // two passes; the JVM's default 240 MB reserved code cache fills near
+  // the tail, JIT compilation shuts off, and late-alphabet queries run
+  // interpreted at 10-30x (measured: win_topk_per_group 0.25 s early-run
+  // vs 8.5 s at the warm-pass tail). 512 MB keeps compiled code resident.
+  "-XX:ReservedCodeCacheSize=512m",
 )
