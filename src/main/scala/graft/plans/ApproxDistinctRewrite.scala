@@ -32,7 +32,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
 case class ApproxDistinctRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def enabled: Boolean =
-    spark.conf.getOption("spark.graft.approxDistinct").exists(_.toBoolean)
+    spark.conf.getOption("spark.graft.approxDistinct")
+      .exists(_.trim.equalsIgnoreCase("true"))
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan

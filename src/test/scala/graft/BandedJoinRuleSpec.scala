@@ -35,6 +35,44 @@ class BandedJoinRuleSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.bandedRangeJoin")
   }
 
+  test("guard band keeps float-boundary pairs the double predicate admits") {
+    import spark.implicits._
+    // abs(5.0 - (-1e-20)) rounds to exactly 5.0 in doubles, so the plain
+    // theta join matches the pair — but the point's REAL band floor(-1e-20/5)
+    // is -1, outside the interval's unwidened range [0, 2]. The ±1 guard
+    // band must keep it. Also: a huge value whose x+c band saturates must
+    // not crash the generated Sequence (overflow clamp).
+    val interval = Seq((1L, 5.0), (2L, 1.5e308)).toDF("id", "x")
+    val point = Seq(-1e-20, 3.0).toDF("y")
+    def q() = interval.join(point, abs(col("x") - col("y")) <= 5.0)
+      .select("id", "y").orderBy("id", "y")
+    val baseline = q().collect()
+    assert(baseline.length === 2, baseline.mkString(","))
+    spark.conf.set("spark.graft.bandedRangeJoin", "true")
+    try {
+      assert(q().collect() === baseline)
+      assert(!q().queryExecution.executedPlan.toString.contains("NestedLoopJoin"))
+    } finally spark.conf.unset("spark.graft.bandedRangeJoin")
+  }
+
+  test("broadcast hint follows its side when orientation swaps the children") {
+    import spark.implicits._
+    val p = Seq((1L, 4.0), (2L, 100.0)).toDF("id", "value")
+    val v = Seq(3.0, 98.0).toDF("pv")
+    spark.conf.set("spark.graft.bandedRangeJoin", "true")
+    try {
+      // pv (the `a` side of abs(pv - value)) lives on the broadcast-hinted
+      // right child; after the rewrite flips children the hint must still
+      // broadcast v, not p
+      val df = p.join(broadcast(v), abs(col("pv") - col("value")) <= 5.0)
+        .orderBy("id", "pv")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoopJoin"), plan.take(600))
+      assert(df.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq ===
+        Seq((1L, 3.0), (2L, 98.0)))
+    } finally spark.conf.unset("spark.graft.bandedRangeJoin")
+  }
+
   test("equi joins and non-abs thetas are untouched by the flag") {
     spark.conf.set("spark.graft.bandedRangeJoin", "true")
     try {

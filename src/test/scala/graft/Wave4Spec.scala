@@ -73,7 +73,8 @@ class Wave4Spec extends SparkSuite {
     val incoming = Seq(
       // exact duplicate of doc 1 (case/whitespace-normalized)
       (10L, "  Alpha beta GAMMA delta epsilon zeta eta theta "),
-      // near dup: 6-token prefix shared with doc 1 -> 4 of 5 shingles hit
+      // near dup: 6-token prefix shared with doc 1 -> 4 of its 6 shingles
+      // hit (containment 0.67 >= 0.5)
       (11L, "alpha beta gamma delta epsilon zeta QQQ RRR"),
       // fresh: no shingle overlap at all
       (12L, "nine ten eleven twelve thirteen fourteen")
