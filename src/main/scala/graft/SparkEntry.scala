@@ -29,6 +29,7 @@ object SparkEntry {
     ops.Corpus.queries ++
     ops.Wave3.queries ++
     ops.Wave4.queries ++
+    ops.Behavior.queries ++
     sources.Formats.queries ++
     ops.Ivf.queries ++
     ops.Pq.queries
@@ -48,6 +49,7 @@ object SparkEntry {
     ops.Corpus.oracles ++
     ops.Wave3.oracles ++
     ops.Wave4.oracles ++
+    ops.Behavior.oracles ++
     sources.Formats.oracles ++
     ops.Ivf.oracles ++
     ops.Pq.oracles
