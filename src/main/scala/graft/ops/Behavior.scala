@@ -22,9 +22,9 @@ import graft.engine.Tables
   * Scale notes (100 TB): every operator shuffles at most twice and always
   * on `user_id` or a day-grain aggregate. The funnel is ONE shuffle —
   * stage timestamps are unbounded-frame partition constants, so the
-  * Window operators need no sort, and the cascade
-  * (signup → click → purchase) is three stacked projections over the
-  * same exchange. Retention and rolling-actives aggregate to
+  * Window operators cluster by user_id without any time-order sort, and
+  * the cascade (signup → click → purchase) is three stacked projections
+  * over the same exchange. Retention and rolling-actives aggregate to
   * (user × day) / (cohort × offset) grains that are many orders smaller
   * than the input; attribution and transitions are one window sort each.
   * Nothing here collects to the driver.
@@ -38,10 +38,11 @@ object Behavior {
 
   /** signup → click → purchase within 7 days of the user's FIRST signup,
     * stages strictly ordered. Stage anchors are conditional MINs over the
-    * whole user partition (unbounded frame — no window sort), each layer
-    * reusing the previous layer's anchor, so the whole funnel is one
-    * exchange on user_id followed by narrow projections. Output is the
-    * stage-count summary row. */
+    * whole user partition (unbounded frames — the windows cluster by
+    * user_id but never time-sort), each layer reusing the previous
+    * layer's anchor, so the whole funnel is ONE exchange on user_id that
+    * the three Window operators and the per-user distinct all reuse.
+    * Output is the stage-count summary row. */
   private val funnel: Q = (s, dir) => funnelOf(ev(s, dir))
 
   private[graft] def funnelOf(events: DataFrame): DataFrame = {

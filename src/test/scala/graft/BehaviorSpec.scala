@@ -64,6 +64,29 @@ class BehaviorSpec extends SparkSuite {
     assert(r === Seq((d, 1L, 1L), (d + 6, 1L, 2L), (d + 7, 1L, 2L)))
   }
 
+  test("funnel plan: one exchange, no window sort (unbounded-frame cascade)") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "signup", 0.0),
+      (2L, "2024-01-02 10:00:00", 1L, "click", 0.0))
+    val staged = Behavior.funnelOf(e)
+    staged.collect()
+    val full = staged.queryExecution.executedPlan.toString
+    // AdaptiveSparkPlan's toString appends the pre-AQE "Initial Plan";
+    // assert on the final plan section only
+    val plan = full.split("== Initial Plan ==").head
+    // one exchange partitions by user_id and is reused by all three
+    // stacked Window operators AND the per-user distinct (back-to-back
+    // HashAggregates, no re-exchange); the final single-row agg adds only
+    // a SinglePartition exchange
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).length
+    assert(userExchanges === 1, s"expected 1 user_id exchange:\n${plan.take(2000)}")
+    // the Windows cluster by user_id only — no (ts, event_id) time-order
+    // sort anywhere (unbounded frames need none)
+    assert(!"Sort \\[[^\\]]*ts#".r.findFirstIn(plan).isDefined,
+      s"unbounded-frame windows must not time-sort:\n${plan.take(2000)}")
+  }
+
   test("retention: day_offset 0 holds every user once; transitions shares sum to 1 per src") {
     val e = ev(
       (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
