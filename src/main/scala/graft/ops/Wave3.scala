@@ -46,7 +46,15 @@ object Wave3 {
     * marks the dependent round's cache for rebuild, which recomputes the
     * full lineage anyway (measured 55 s). Two propagation hops run per
     * materialized superstep — per-round fixed cost (checkpoint +
-    * convergence check) dominates on shallow dup graphs. */
+    * convergence check) dominates on shallow dup graphs.
+    *
+    * Convergence check: min-label propagation is MONOTONE — a node's
+    * label only ever decreases — and the node set is fixed, so the
+    * rounds' label state is unchanged iff the label SUM is unchanged.
+    * One scalar aggregate on the already-checkpointed frame replaces the
+    * new-vs-old join per superstep (the sum is exact DECIMAL(38,0):
+    * bigint doc-id sums overflow double above ~2^53 rows·ids and a long
+    * above ~2^63/id, either of which could mask a decrease). */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.toDF("i", "j")
       .union(pairs.toDF("i", "j").select(col("j"), col("i")))
@@ -56,8 +64,11 @@ object Wave3 {
         .select(col("e.dst").as("v"), col("l.lbl").as("lbl"))
       l.union(prop).groupBy("v").agg(min("lbl").as("lbl"))
     }
+    def labelSum(l: DataFrame): Option[java.math.BigDecimal] =
+      Option(l.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
     var lbl = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint()
+    var prevSum = labelSum(lbl)
     var converged = false
     var supersteps = 0
     try {
@@ -67,8 +78,12 @@ object Wave3 {
       // labeled as their own component (wrongly kept by dedup_keep).
       while (!converged && supersteps < 64) {
         val next = hop(hop(lbl)).localCheckpoint()
-        converged = next.as("n").join(lbl.as("o"), col("n.v") === col("o.v"))
-          .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+        val s = labelSum(next)
+        converged = (s, prevSum) match {
+          case (Some(a), Some(b)) => a.compareTo(b) == 0
+          case (a, b) => a == b // empty graph: None == None on round 1
+        }
+        prevSum = s
         lbl = next
         supersteps += 1
       }

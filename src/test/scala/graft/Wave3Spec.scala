@@ -7,6 +7,19 @@ import graft.ops.Wave3
 /** Properties of the round-3 wave beyond the DuckDB differential gate. */
 class Wave3Spec extends SparkSuite {
 
+  test("connectedComponents labels a deep chain in multiple supersteps") {
+    import spark.implicits._
+    // a 12-node path (diameter 11 -> 6 two-hop supersteps) plus an
+    // isolated self-contained pair; every node must take the chain head's
+    // label, exercising repeated rounds of the monotone-sum convergence
+    val chain = (100L until 111L).map(i => (i, i + 1))
+    val pairs = (chain :+ ((500L, 501L))).toDF("i", "j")
+    val comp = Wave3.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((100L to 111L).forall(comp(_) === 100L), comp.toString)
+    assert(comp(500L) === 500L && comp(501L) === 500L)
+  }
+
   test("dedup_components has converged (labels are a fixed point)") {
     val comp = Wave3.queries("dedup_components")(spark, sf)
       .withColumnRenamed("component", "lbl").persist()
