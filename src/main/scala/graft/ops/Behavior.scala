@@ -16,7 +16,7 @@ import graft.engine.Tables
   * Conventions shared with [[StreamingQueries]]: timestamps are emitted
   * as epoch seconds (engine-portable; `events.ts` has no sub-microsecond
   * component so Spark's micros truncation is lossless), days are
-  * `unix_timestamp div 86400`, double sums go through DECIMAL(18,2), and
+  * `floor(epoch seconds / 86400)`, double sums go through DECIMAL(18,2), and
   * every per-user window orders by `(ts, event_id)` for a total order.
   *
   * Scale notes (100 TB): every operator shuffles at most twice and always
@@ -33,6 +33,16 @@ object Behavior {
 
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
+
+  /** Epoch day of `ts` as bigint. FLOOR of a double division, not integer
+    * DIV: DIV truncates toward zero, which disagrees with the oracle's
+    * FLOOR (and with itself across the epoch) for pre-1970 timestamps.
+    * Epoch seconds are far below 2^53, so the double math is exact. */
+  private val dayCol =
+    expr("CAST(FLOOR(unix_timestamp(ts) / 86400.0) AS BIGINT)")
+
+  /** The DuckDB twin of [[dayCol]]. */
+  private val daySql = "CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)"
 
   // ---- events_funnel: strict ordered 3-stage funnel ---------------------
 
@@ -91,8 +101,7 @@ object Behavior {
   private val retention: Q = (s, dir) => retentionOf(ev(s, dir))
 
   private[graft] def retentionOf(events: DataFrame): DataFrame = {
-    val e = events.select(col("user_id"),
-      expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)").as("day"))
+    val e = events.select(col("user_id"), dayCol.as("day"))
     val first = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
     e.join(first, "user_id")
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
@@ -101,8 +110,8 @@ object Behavior {
   }
 
   private val retentionOracle =
-    """WITH d AS (
-      |  SELECT user_id, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day FROM events),
+    s"""WITH d AS (
+      |  SELECT user_id, $daySql AS day FROM events),
       |f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
       |SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
       |       CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
@@ -190,10 +199,11 @@ object Behavior {
 
   private[graft] def rollingActiveOf(events: DataFrame): DataFrame = {
     val pairs = events
-      .select(expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)").as("day"),
-        col("user_id"))
+      .select(dayCol.as("day"), col("user_id"))
       .distinct()
-    val dau = pairs.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+    // pairs is already distinct on (day, user_id) — plain count, no
+    // second dedup aggregate
+    val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
     val wau = pairs
       .select(explode(expr("sequence(day, day + 6)")).as("day"), col("user_id"))
       .distinct()
@@ -202,8 +212,8 @@ object Behavior {
   }
 
   private val rollingActiveOracle =
-    """WITH pairs AS (
-      |  SELECT DISTINCT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day, user_id
+    s"""WITH pairs AS (
+      |  SELECT DISTINCT $daySql AS day, user_id
       |  FROM events),
       |dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
       |        FROM pairs GROUP BY day),

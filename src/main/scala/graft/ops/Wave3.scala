@@ -54,7 +54,9 @@ object Wave3 {
     * One scalar aggregate on the already-checkpointed frame replaces the
     * new-vs-old join per superstep (the sum is exact DECIMAL(38,0):
     * bigint doc-id sums overflow double above ~2^53 rows·ids and a long
-    * above ~2^63/id, either of which could mask a decrease). */
+    * above ~2^63/id, either of which could mask a decrease; past 10^38
+    * the decimal itself nulls out and the loop fails loudly rather than
+    * faking convergence). */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.toDF("i", "j")
       .union(pairs.toDF("i", "j").select(col("j"), col("i")))
@@ -64,12 +66,17 @@ object Wave3 {
         .select(col("e.dst").as("v"), col("l.lbl").as("lbl"))
       l.union(prop).groupBy("v").agg(min("lbl").as("lbl"))
     }
-    def labelSum(l: DataFrame): Option[java.math.BigDecimal] =
-      Option(l.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
+    // a NULL sum (decimal overflow under non-ANSI eval) must FAIL, not
+    // silently compare equal across rounds and fake convergence
+    def labelSum(l: DataFrame): java.math.BigDecimal = {
+      val s = l.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      require(s != null, "connectedComponents: label sum overflowed decimal(38,0)")
+      s
+    }
     var lbl = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint()
-    var prevSum = labelSum(lbl)
-    var converged = false
+    var converged = lbl.isEmpty // no edges -> no nodes: already done
+    var prevSum = if (converged) null else labelSum(lbl)
     var supersteps = 0
     try {
       // 64 supersteps = 128 hops >= any realistic dup-graph diameter; the
@@ -79,10 +86,7 @@ object Wave3 {
       while (!converged && supersteps < 64) {
         val next = hop(hop(lbl)).localCheckpoint()
         val s = labelSum(next)
-        converged = (s, prevSum) match {
-          case (Some(a), Some(b)) => a.compareTo(b) == 0
-          case (a, b) => a == b // empty graph: None == None on round 1
-        }
+        converged = s.compareTo(prevSum) == 0
         prevSum = s
         lbl = next
         supersteps += 1

@@ -1,7 +1,5 @@
 package graft
 
-import java.sql.Timestamp
-
 import org.apache.spark.sql.functions._
 import graft.ops.Behavior
 
@@ -9,8 +7,6 @@ import graft.ops.Behavior
   * funnel stage ordering and the 7-day cutoff, attribution's 'none'
   * bucket, and the trailing-7-day window edges of rolling actives. */
 class BehaviorSpec extends SparkSuite {
-
-  private def ts(s: String) = Timestamp.valueOf(s)
 
   private def ev(rows: (Long, String, Long, String, Double)*) = {
     import spark.implicits._
