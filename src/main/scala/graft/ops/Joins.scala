@@ -157,6 +157,39 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** LARGE-large point-in-interval join, banded by interval SPLITTING:
+    * each purchase opens a variable-length attention window
+    * [ts, ts + (1 + event_id % 4) * 15 min]; count the view events whose
+    * timestamp falls inside each window. The asymmetric cousin of
+    * joinRangeBanded: intervals here have per-row lengths, so instead of
+    * a fixed ±c guard the interval SPLITS into the W-sized segments it
+    * spans (ceil(len/W) + 1 bands — at most 2 for these windows with
+    * W = 1 h) and the point keys by floor(pt/W). The exact BETWEEN
+    * re-verifies inside the band, and each (point, interval) pair meets
+    * in exactly one band — the point's — so no dedup. All band math is
+    * integer epoch seconds: no float rounding, no guard bands. At 100 TB
+    * choose W near the P99 interval length — longer outliers just
+    * explode to proportionally more segments instead of breaking the
+    * bound (this is the IP-range / session-window lookup shape). */
+  private val joinIntervalPoint: Q = (s, dir) => {
+    val W = 3600L
+    def bandOf(c: org.apache.spark.sql.Column) = floor(c / W).cast("long")
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("ts").cast("long").as("pt"))
+      .withColumn("b", bandOf(col("pt")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts").cast("long").as("istart"))
+      .withColumn("iend", col("istart") + (lit(1) + col("event_id") % 4) * 900L)
+    purchases
+      .select(col("event_id"), col("istart"), col("iend"),
+        explode(sequence(bandOf(col("istart")), bandOf(col("iend")))).as("b"))
+      .join(views, "b")
+      .filter(col("pt") >= col("istart") && col("pt") <= col("iend"))
+      .groupBy("event_id").agg(count(lit(1)).as("n_views"))
+      .orderBy("event_id")
+  }
+
   /** As-of join: for each event, the latest order date at-or-before the
     * event time for that user (SURVEY §2.3 join_asof). Composed from a
     * conditional equi-join on the user key + max-aggregate: the equi key
@@ -228,6 +261,7 @@ object Joins {
     "join_outer" -> joinOuter,
     "join_theta_range" -> joinThetaRange,
     "join_range_banded" -> joinRangeBanded,
+    "join_interval_point" -> joinIntervalPoint,
     "join_asof" -> joinAsof
   )
 
@@ -256,6 +290,14 @@ object Joins {
         |FROM (SELECT event_id, value FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT value AS pv FROM events WHERE event_type = 'view') v
         |  ON abs(v.pv - p.value) <= 5
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+    "join_interval_point" ->
+      """SELECT p.event_id, CAST(COUNT(*) AS BIGINT) AS n_views
+        |FROM (SELECT event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS istart,
+        |             CAST(FLOOR(epoch(ts)) AS BIGINT) + (1 + event_id % 4) * 900 AS iend
+        |      FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS pt FROM events WHERE event_type = 'view') v
+        |  ON v.pt >= p.istart AND v.pt <= p.iend
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
     "join_asof" ->
       "SELECT e.event_id, e.user_id, CAST((SELECT MAX(o.o_orderdate) FROM orders o WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS DATE) AS asof_date FROM events e ORDER BY e.event_id",

@@ -61,6 +61,15 @@ class RelationalSpec extends SparkSuite {
     assert(p.contains("HashJoin"), s"expected a hash equi-join on the band key:\n${p.take(800)}")
   }
 
+  test("interval-point join plans as an equi hash join, never nested-loop") {
+    val df = graft.ops.Joins.queries("join_interval_point")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop"),
+      s"interval splitting must not fall back to a nested-loop join:\n${p.take(800)}")
+    assert(p.contains("HashJoin"), s"expected a hash equi-join on the band key:\n${p.take(800)}")
+  }
+
   test("approx_percentile sketch lands within its rank-error bound of exact") {
     import org.apache.spark.sql.functions._
     // accuracy=1000 → rank error ≤ n/1000; assert the approx value sits
