@@ -190,6 +190,32 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** The BandedRangeJoinRewrite optimizer rule driven through the
+    * differential gate: the DECLARATIVE abs-range join — exactly what a
+    * user writes — runs with `spark.graft.bandedRangeJoin=true`, eagerly
+    * materialized via localCheckpoint so the rewrite fires while the
+    * flag is set (Verify/Bench execute lazily after this function
+    * returns, when the flag is already reset — leaking it would rewrite
+    * unrelated queries' plans). A 10% hash sample keeps the pair count
+    * bench-sized; the rule's exact in-band re-verification makes the
+    * output byte-identical to the plain theta-join semantics the oracle
+    * computes. Plan-shape evidence lives in BandedJoinRuleSpec; this
+    * query pins RESULT equivalence cross-engine. */
+  private val ruleBandedJoin: Q = (s, dir) => {
+    s.conf.set("spark.graft.bandedRangeJoin", "true")
+    try {
+      val ev = t(s, dir, "events").filter(col("event_id") % 10 === 0)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("value"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("value").as("pv"))
+      p.join(v, abs(col("pv") - col("value")) <= lit(5.0))
+        .groupBy("event_id").agg(count(lit(1)).as("n_near"))
+        .orderBy("event_id")
+        .localCheckpoint()
+    } finally s.conf.unset("spark.graft.bandedRangeJoin")
+  }
+
   /** As-of join: for each event, the latest order date at-or-before the
     * event time for that user (SURVEY §2.3 join_asof). Composed from a
     * conditional equi-join on the user key + max-aggregate: the equi key
@@ -262,6 +288,7 @@ object Joins {
     "join_theta_range" -> joinThetaRange,
     "join_range_banded" -> joinRangeBanded,
     "join_interval_point" -> joinIntervalPoint,
+    "rule_banded_join" -> ruleBandedJoin,
     "join_asof" -> joinAsof
   )
 
@@ -298,6 +325,12 @@ object Joins {
         |      FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS pt FROM events WHERE event_type = 'view') v
         |  ON v.pt >= p.istart AND v.pt <= p.iend
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+    "rule_banded_join" ->
+      """SELECT p.event_id, CAST(COUNT(*) AS BIGINT) AS n_near
+        |FROM (SELECT event_id, value FROM events WHERE event_type = 'purchase' AND event_id % 10 = 0) p
+        |JOIN (SELECT value AS pv FROM events WHERE event_type = 'view' AND event_id % 10 = 0) v
+        |  ON abs(v.pv - p.value) <= 5
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
     "join_asof" ->
       "SELECT e.event_id, e.user_id, CAST((SELECT MAX(o.o_orderdate) FROM orders o WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS DATE) AS asof_date FROM events e ORDER BY e.event_id",
