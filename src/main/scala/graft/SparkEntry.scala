@@ -29,6 +29,7 @@ object SparkEntry {
     ops.Corpus.queries ++
     ops.Wave3.queries ++
     ops.Wave4.queries ++
+    ops.Wave5.queries ++
     ops.Behavior.queries ++
     sources.Formats.queries ++
     ops.Ivf.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
     ops.Corpus.oracles ++
     ops.Wave3.oracles ++
     ops.Wave4.oracles ++
+    ops.Wave5.oracles ++
     ops.Behavior.oracles ++
     sources.Formats.oracles ++
     ops.Ivf.oracles ++

@@ -26,6 +26,10 @@ object Native {
   def lshBuckets(v: Column, planes: Int, tables: Int): Column =
     GraftNative.lshBuckets(v, planes, tables)
 
+  /** Per-subspace PQ code: fused argmin-L2 over a codebook object. */
+  def pqCode(v: Column, codebook: Array[Array[Float]]): Column =
+    GraftNative.pqCode(v, codebook)
+
   /** Bounded top-k (value, count) aggregate, best-first. */
   def topKCountAgg(value: Column, cnt: Column, k: Int): Column =
     GraftNative.topKCountAgg(value, cnt, k)

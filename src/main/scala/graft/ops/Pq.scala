@@ -48,20 +48,17 @@ object Pq {
     slice(col("embedding"), i * subDim + 1, subDim).as(s"sub_$i")
 
   /** Per-subspace argmin-L2 code: with the row's ||x_m||^2 constant,
-    * argmin ||x_m - c||^2 = argmax (dot(x_m, c) - ||c||^2 / 2). Scores
-    * are k fused native dot products per subspace — a narrow codegen'd
-    * projection, no join/shuffle (the Ivf.assign pattern). Ties break to
-    * the lowest code. */
-  private def codeCol(sub: String, codebook: Array[Array[Float]]) = {
-    val scores = codebook.map { c =>
-      val half = c.map(v => v.toDouble * v.toDouble).sum / 2.0
-      Native.dotF(col(sub), array(c.map(lit(_)): _*).cast("array<float>")) - lit(half)
-    }
-    val mx = greatest(scores: _*)
-    scores.zipWithIndex.tail.foldLeft(when(scores.head === mx, 0)) {
-      case (acc, (sc, j)) => acc.when(sc === mx, j)
-    }.cast("int")
-  }
+    * argmin ||x_m - c||^2 = argmax (dot(x_m, c) - ||c||^2 / 2), computed
+    * by the native PqCode expression — ONE fused loop per row with the
+    * codebook as a reference object, ties to the lowest code. The
+    * previous composed form (k dot-product columns re-evaluated through
+    * greatest + a when-chain, codebook inlined as float literals) grew
+    * the m-subspace encode projection's generated source past what
+    * Janino compiles in reasonable time — sim_pq stalled minutes INSIDE
+    * codegen compilation at sf0.1; the math is unchanged (identical
+    * double accumulation order, same tie-break). */
+  private def codeCol(sub: String, codebook: Array[Array[Float]]) =
+    Native.pqCode(col(sub), codebook)
 
   /** Train the m codebooks: deterministic init (k lowest vec_ids'
     * subvectors), then `iters` Lloyd rounds. Each round is ONE narrow

@@ -285,6 +285,64 @@ case class ZValue(children: Seq[Expression], bits: Int)
       newChildren: IndexedSeq[Expression]): ZValue = copy(children = newChildren)
 }
 
+/** Per-subspace product-quantization code: argmin-L2 over a codebook,
+  * computed as argmax_j (dot(x, c_j) − ||c_j||²/2) in ONE fused loop
+  * with the codebook carried as a reference object. The composed form
+  * this replaced built k dot-product columns and re-evaluated each in a
+  * greatest + when-chain argmax — 2·k expression nodes per subspace,
+  * each inlining a subDim-float array literal, and the m-subspace
+  * encode projection's generated source grew past what Janino compiles
+  * in reasonable time (observed minutes-long compile stalls in
+  * sim_pq at sf0.1). Here the generated code is a single method call
+  * regardless of m·k, and each score is evaluated exactly once.
+  *
+  * Double math is identical to the composed DotF form: products widen
+  * to double, accumulate in array order, half-norm subtracted last;
+  * strict `>` keeps the LOWEST code on exact ties — same as the
+  * when-chain's first match (ops/Pq.scala). */
+case class PqCode(child: Expression, codebook: Array[Array[Float]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(codebook.nonEmpty, "pq_code: empty codebook")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "pq_code"
+
+  @transient private lazy val halfNorms: Array[Double] =
+    codebook.map(c => c.map(v => v.toDouble * v.toDouble).sum / 2.0)
+
+  def compute(a: Any): Int = {
+    val x = a.asInstanceOf[ArrayData]
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var j = 0
+    while (j < codebook.length) {
+      val c = codebook(j)
+      var s = 0.0
+      var d = 0
+      while (d < c.length) {
+        s += x.getFloat(d).toDouble * c(d)
+        d += 1
+      }
+      s -= halfNorms(j)
+      if (s > bestScore) { bestScore = s; best = j }
+      j += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCode", this, classOf[PqCode].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.compute($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCode =
+    copy(child = newChild)
+}
+
 /** Column bridge used by graft.functions.Native. */
 object GraftNative {
   def simhashAgg(h: Column): Column =
@@ -308,6 +366,9 @@ object GraftNative {
 
   def lshBuckets(v: Column, planes: Int, tables: Int): Column =
     ExpressionUtils.column(LshBuckets(ExpressionUtils.expression(v), planes, tables))
+
+  def pqCode(v: Column, codebook: Array[Array[Float]]): Column =
+    ExpressionUtils.column(PqCode(ExpressionUtils.expression(v), codebook))
 
   def zvalue(bits: Int, cols: Column*): Column =
     ExpressionUtils.column(ZValue(
