@@ -51,7 +51,7 @@ object Extras {
     * and read it back, hash-checked against the declared-registry oracle
     * (a lossy write would diverge). */
   private val sinkRoundtrip: Q = (s, dir) => {
-    val root = sys.props("java.io.tmpdir") + s"/graft-scratch-${s.sparkContext.applicationId}/sink"
+    val root = graft.engine.Fs.freshScratch(s, "sink")
     val store = new ParquetStore(root)
     store.overwrite(Profiler.schemaInformation(s, dir), "SchemaInformation")
     store.read(s, "SchemaInformation").orderBy("tableName", "columnName")
@@ -63,7 +63,7 @@ object Extras {
     * Rows-only check (file counts are env-dependent at the margins). */
   private val maintenanceOptimize: Q = (s, dir) => {
     import s.implicits._
-    val root = sys.props("java.io.tmpdir") + s"/graft-scratch-${s.sparkContext.applicationId}/opt"
+    val root = graft.engine.Fs.freshScratch(s, "opt")
     val store = new ParquetStore(root)
     store.overwrite(Tables.load(s, dir, "part").repartition(8), "part")
     val c = store.compact(s, "part", targetBytes = 1073741824L)
@@ -82,7 +82,7 @@ object Extras {
     * DuckDB-checkable half of maintenance_optimize (whose file-count
     * metrics are engine-specific and stay rows-only). */
   private val maintenanceOptimizeContent: Q = (s, dir) => {
-    val root = sys.props("java.io.tmpdir") + s"/graft-scratch-${s.sparkContext.applicationId}/optc"
+    val root = graft.engine.Fs.freshScratch(s, "optc")
     val store = new ParquetStore(root)
     store.overwrite(Tables.load(s, dir, "part").repartition(8), "part")
     store.compact(s, "part", targetBytes = 1073741824L)

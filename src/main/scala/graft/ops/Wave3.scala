@@ -796,8 +796,7 @@ object Wave3 {
     * derives the same delta from the source table directly, so the
     * version pointer, snapshot isolation, and the diff all verify. */
   private val sinkTimeTravel: Q = (s, dir) => {
-    val root = sys.props("java.io.tmpdir") +
-      s"/graft-scratch-${s.sparkContext.applicationId}/timetravel"
+    val root = graft.engine.Fs.freshScratch(s, "timetravel")
     val store = new graft.engine.VersionedStore(root)
     val base = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"), year(col("o_orderdate")).as("oyear"))
@@ -824,8 +823,7 @@ object Wave3 {
     * readable (history row count asserted in-query via the final
     * filter's complement living in v1). */
   private val sinkDelete: Q = (s, dir) => {
-    val root = sys.props("java.io.tmpdir") +
-      s"/graft-scratch-${s.sparkContext.applicationId}/delete"
+    val root = graft.engine.Fs.freshScratch(s, "delete")
     val store = new graft.engine.VersionedStore(root)
     val base = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"), year(col("o_orderdate")).as("oyear"))
@@ -848,16 +846,9 @@ object Wave3 {
     * are manifest-pruned scans; at 100 TB the count could come straight
     * from manifest stats without touching data. The oracle derives each
     * version's expected cardinality from the source table alone. */
-  /** Each invocation builds a FRESH store (counter-suffixed root): the
-    * result is the whole history, so reusing a root would accumulate
-    * versions across invocations (Bench runs every query twice per JVM)
-    * and drift from the oracle's fixed three rows. */
-  private val sinkHistoryRuns = new java.util.concurrent.atomic.AtomicLong(0)
-
   private val sinkHistory: Q = (s, dir) => {
     import s.implicits._
-    val root = sys.props("java.io.tmpdir") +
-      s"/graft-scratch-${s.sparkContext.applicationId}/history-${sinkHistoryRuns.incrementAndGet()}"
+    val root = graft.engine.Fs.freshScratch(s, "history")
     val store = new graft.engine.VersionedStore(root)
     val base = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
@@ -916,8 +907,7 @@ object Wave3 {
     * v2 stays in history. The restore itself moves no data: the new
     * manifest references v1's files verbatim. */
   private val sinkRestore: Q = (s, dir) => {
-    val root = sys.props("java.io.tmpdir") +
-      s"/graft-scratch-${s.sparkContext.applicationId}/restore"
+    val root = graft.engine.Fs.freshScratch(s, "restore")
     val store = new graft.engine.VersionedStore(root)
     val base = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"), year(col("o_orderdate")).as("oyear"))
@@ -940,8 +930,7 @@ object Wave3 {
     * that intent (insert/update/delete per key) from the two snapshots.
     * The oracle re-derives the same change set from the source table. */
   private val sinkCdc: Q = (s, dir) => {
-    val root = sys.props("java.io.tmpdir") +
-      s"/graft-scratch-${s.sparkContext.applicationId}/cdc"
+    val root = graft.engine.Fs.freshScratch(s, "cdc")
     val store = new graft.engine.VersionedStore(root)
     val base = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"), year(col("o_orderdate")).as("oyear"))
@@ -1016,8 +1005,7 @@ object Wave3 {
     * partitioned lake. The oracle reconstructs the expected post-state:
     * 1996 rows discounted, every other year original. */
   private val sinkDynamicPartition: Q = (s, dir) => {
-    val tmp = sys.props("java.io.tmpdir") +
-      s"/graft-scratch-${s.sparkContext.applicationId}/dynpart/orders"
+    val tmp = graft.engine.Fs.freshScratch(s, "dynpart") + "/orders"
     val base = t(s, dir, "orders").withColumn("oyear", year(col("o_orderdate")))
     base.write.mode(SaveMode.Overwrite).partitionBy("oyear").parquet(tmp)
     // overwrite JUST the 1996 partition with adjusted prices (an exact
