@@ -78,15 +78,63 @@ object Formats {
       .orderBy("o_orderkey")
   }
 
+  /** orders (incl. timestamp_ntz) → ORC → back; oracle = original. ORC
+    * is the columnar alternative a mixed lake interops with — same
+    * vectorized scan, pushdown, and NTZ timestamp treatment as parquet
+    * in Spark, exercised losslessly end to end. */
+  private val orcRoundtrip: Q = (s, dir) => {
+    val src = Tables.load(s, dir, "orders")
+    val tmp = scratch(s, "orc/orders")
+    src.write.mode(SaveMode.Overwrite).orc(tmp)
+    s.read.schema(src.schema).orc(tmp).orderBy("o_orderkey")
+  }
+
+  /** Opaque-object ingest via the binaryFile source — HOW image/audio/
+    * video corpora enter a lake: one row per object (path, length,
+    * content bytes), content never parsed by the engine. Fixture: the
+    * region names written as individual .bin files (model-sized —
+    * 5 rows — so the driver-side file write is a fixture builder, not a
+    * data path), read back whole-file and verified byte-exact via
+    * length + md5 against the source table. At 100 TB the same scan
+    * shape holds: files pack into tasks under maxPartitionBytes,
+    * pathGlobFilter/recursiveFileLookup prune at listing time, and the
+    * decode seam downstream is multimodal_decode's typed mapPartitions
+    * (ops/Multimodal.scala). */
+  private val binaryFileSource: Q = (s, dir) => {
+    val root = new java.io.File(graft.engine.Fs.freshScratch(s, "binfile"))
+    root.mkdirs()
+    Tables.load(s, dir, "region")
+      .select(col("r_regionkey"), col("r_name")).collect()
+      .foreach { r =>
+        val f = new java.io.FileOutputStream(
+          new java.io.File(root, s"r_${r.getInt(0)}.bin"))
+        try f.write(r.getString(1).getBytes("UTF-8")) finally f.close()
+      }
+    s.read.format("binaryFile").load(root.getAbsolutePath)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("fname"),
+        col("length"),
+        md5(col("content")).as("content_md5"))
+      .orderBy("fname")
+  }
+
   val queries: Map[String, Q] = Map(
     "source_csv_roundtrip" -> csvRoundtrip,
     "source_json_roundtrip" -> jsonRoundtrip,
+    "source_orc_roundtrip" -> orcRoundtrip,
+    "source_binaryfile" -> binaryFileSource,
     "source_partitioned" -> partitionedPrune
   )
 
   val oracles: Map[String, String] = Map(
     "source_csv_roundtrip" -> "SELECT * FROM customer ORDER BY c_custkey",
     "source_json_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    "source_orc_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    "source_binaryfile" ->
+      """SELECT concat('r_', r_regionkey, '.bin') AS fname,
+        |  CAST(octet_length(encode(r_name)) AS BIGINT) AS length,
+        |  md5(r_name) AS content_md5
+        |FROM region ORDER BY fname""".stripMargin,
     "source_partitioned" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(YEAR(o_orderdate) AS BIGINT) AS oyear
         |FROM orders WHERE YEAR(o_orderdate) = 1996 ORDER BY o_orderkey""".stripMargin
