@@ -97,19 +97,25 @@ object Wave5 {
     * The ntile runs over (mean_lp, doc_id) so the order is total and
     * both engines cut identical bins.
     *
-    * Scale shape: the score is the linear unigramLp pipeline; the ntile
-    * is ONE per-language window sort over doc-grain rows (already far
-    * smaller than the corpus text), and the report is a hash aggregate
-    * of that — the same cost class as any global ordering step. The
-    * doc-grain sort is range-partitioned by Spark at scale; nothing
-    * driver-sided. */
+    * Scale shape: the score is the linear unigramLp pipeline, and the
+    * per-language ranking deliberately does NOT use
+    * `ntile(4) OVER (PARTITION BY lang ...)` — that hash-partitions by
+    * language, and a web corpus is mostly ONE language, so the window
+    * serializes onto a single task at scale. Ranks.perGroupRank range-
+    * partitions on (lang, score, doc_id) instead (balanced regardless
+    * of language skew) and reconstructs the identical per-language rank
+    * from partition offsets; Ranks.ntileExpr then cuts the same 4
+    * stages in closed form. Byte-equivalence with the window form is
+    * pinned by RanksSpec; the DuckDB oracle still uses plain ntile. */
   private val corpusCurriculum: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val scored = unigramLp(docs)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-    val staged = scored.withColumn("stage",
-      ntile(4).over(Window.partitionBy(col("lang"))
-        .orderBy(col("mean_lp"), col("doc_id"))))
+    val ranked = Ranks.perGroupRank(scored, Seq("lang"),
+      Seq(col("mean_lp"), col("doc_id")), rankCol = "rk", nCol = "n_lang",
+      partitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
+    val staged = ranked.withColumn("stage",
+      Ranks.ntileExpr(col("rk"), col("n_lang"), 4))
     staged.groupBy("lang", "stage")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tok").as("tok_total"),

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Ranks
+
+/** The two-phase distributed rank must be BYTE-identical to the
+  * single-partition window form it replaces — on the real fixture and
+  * on a frame with one overwhelmingly dominant group (the skew case the
+  * rewrite exists for). */
+class RanksSpec extends SparkSuite {
+
+  private def windowForm(df: org.apache.spark.sql.DataFrame) = df
+    .withColumn("rk_w", row_number().over(
+      Window.partitionBy("lang").orderBy(col("mean_lp"), col("doc_id"))))
+    .withColumn("n_w", count(lit(1)).over(Window.partitionBy("lang")))
+    .withColumn("stage_w", ntile(4).over(
+      Window.partitionBy("lang").orderBy(col("mean_lp"), col("doc_id"))))
+
+  private def compare(df: org.apache.spark.sql.DataFrame): Unit = {
+    val two = Ranks.perGroupRank(df, Seq("lang"),
+      Seq(col("mean_lp"), col("doc_id")), "rk", "n_lang", partitions = 7)
+      .withColumn("stage", Ranks.ntileExpr(col("rk"), col("n_lang"), 4))
+    val diff = two.join(windowForm(df), Seq("lang", "doc_id", "mean_lp"))
+      .filter(col("rk") =!= col("rk_w") || col("n_lang") =!= col("n_w") ||
+        col("stage") =!= col("stage_w"))
+    assert(diff.count() === 0)
+    assert(two.count() === df.count())
+  }
+
+  test("two-phase per-group rank + closed-form ntile == the window form on the fixture") {
+    val docs = graft.engine.Tables.load(spark, sf, "documents")
+    val scored = graft.ops.Wave5.unigramLp(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    compare(scored)
+  }
+
+  test("two-phase rank survives one dominant group spanning many partitions") {
+    import spark.implicits._
+    // 997 of 1009 rows in ONE group: the window form serializes this
+    // group into a single task; the range form spreads it over 7
+    val rows = (1L to 997L).map(i => ("en", i, (i % 13).toDouble)) ++
+      (1L to 12L).map(i => ("fr", 10000L + i, i.toDouble))
+    compare(rows.toDF("lang", "doc_id", "mean_lp"))
+  }
+
+  test("closed-form ntile matches SQL ntile bucket sizes for n not divisible by k") {
+    import spark.implicits._
+    val df = (1L to 10L).map(r => (r, 10L)).toDF("rk", "n")
+    val got = df.select(Ranks.ntileExpr(col("rk"), col("n"), 4).as("b"))
+      .as[Int].collect().toSeq
+    assert(got === Seq(1, 1, 1, 2, 2, 2, 3, 3, 4, 4))
+  }
+}
