@@ -37,49 +37,68 @@ object Ranks {
     * needs. Shuffles the frame twice (range + pid-local window), never
     * creates a per-group task. */
   def perGroupRank(df: DataFrame, group: Seq[String], order: Seq[Column],
-      rankCol: String, nCol: String, partitions: Int): DataFrame = {
+      rankCol: String, nCol: String, partitions: Int): DataFrame =
+    twoPhase(df, group, order, lit(1L), rankCol, Some(nCol), partitions)
+
+  /** Adds `sumCol` = the inclusive running sum of `value` within each
+    * group under `order` — `SUM(value) OVER (PARTITION BY group ORDER BY
+    * order ROWS UNBOUNDED PRECEDING)` without the per-group window task.
+    * `value` must be non-null integral (the driver-side prefix offsets
+    * are exact long sums). */
+  def perGroupPrefixSum(df: DataFrame, group: Seq[String], order: Seq[Column],
+      value: Column, sumCol: String, partitions: Int): DataFrame =
+    twoPhase(df, group, order, value, sumCol, None, partitions)
+
+  /** Shared two-phase core: range-partition on (group, order), collect
+    * the (partition × group) value sums — ONE model-sized collect, from
+    * which every per-group prefix offset (and group total) derives
+    * driver-side — then local windowing inside each balanced partition
+    * plus a broadcast offset join. */
+  private def twoPhase(df: DataFrame, group: Seq[String], order: Seq[Column],
+      value: Column, outCol: String, totalCol: Option[String],
+      partitions: Int): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val fullOrder = group.map(col) ++ order
     val ranged = df.repartitionByRange(partitions, fullOrder: _*)
       .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", value.cast("long"))
     // one balanced task per range partition; localCheckpoint pins the
-    // partitioning so the count job and the rank job see identical pids
+    // partitioning so the sum job and the window job see identical pids
     // (and the range shuffle runs once)
     val pinned = ranged.localCheckpoint()
-    // ONE model-sized collect — (partition × group) counts, from which
-    // every offset and every group total derives driver-side
     val keyCols = col("__pid") +: group.map(col)
-    val counts = pinned.groupBy(keyCols: _*).agg(count(lit(1)).as("__c"))
+    val sums = pinned.groupBy(keyCols: _*).agg(sum("__v").as("__s"))
       .collect()
     val keyOf: Row => Seq[Any] = r => group.indices.map(i => r.get(1 + i))
-    val byGroup = counts.groupBy(keyOf)
-    val nByGroup = byGroup.map { case (k, rs) =>
+    val byGroup = sums.groupBy(keyOf)
+    val totByGroup = byGroup.map { case (k, rs) =>
       k -> rs.map(_.getLong(rs.head.length - 1)).sum }
-    // rows preceding (pid, group) within its group = counts of the same
+    // value preceding (pid, group) within its group = sums of the same
     // group in lower pids (range partitioning puts them wholly earlier)
-    val offRows = counts.map { r =>
+    val offRows = sums.map { r =>
       val k = keyOf(r)
       val pid = r.getInt(0)
       val off = byGroup(k).filter(_.getInt(0) < pid)
         .map(_.getLong(r.length - 1)).sum
-      Row.fromSeq(r.toSeq.init ++ Seq(off, nByGroup(k)))
+      Row.fromSeq(r.toSeq.init ++ (off +: totalCol.map(_ => totByGroup(k)).toSeq))
     }
     val offSchema = StructType(
-      pinned.select(keyCols: _*).schema.fields :+
-        StructField("__off", LongType, nullable = false) :+
-        StructField(nCol, LongType, nullable = false))
+      pinned.select(keyCols: _*).schema.fields ++
+        (StructField("__off", LongType, nullable = false) +:
+          totalCol.map(StructField(_, LongType, nullable = false)).toSeq))
     val offDf = pinned.sparkSession.createDataFrame(
       java.util.Arrays.asList(offRows: _*), offSchema)
-    // local per-group rank inside the (balanced) range partition + the
-    // partition's per-group prefix offset = the per-group rank
-    val local = row_number().over(
-      Window.partitionBy(keyCols: _*).orderBy(order: _*))
+    // local per-group running sum inside the (balanced) range partition
+    // + the partition's per-group prefix offset = the per-group value
+    val local = sum(col("__v")).over(
+      Window.partitionBy(keyCols: _*).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     pinned
       .withColumn("__local", local)
       .join(broadcast(offDf), "__pid" +: group)
-      .withColumn(rankCol, col("__off") + col("__local"))
-      .drop("__pid", "__local", "__off")
+      .withColumn(outCol, col("__off") + col("__local"))
+      .drop("__pid", "__v", "__local", "__off")
   }
 
   /** Closed-form ntile over a (rank, n) pair — the arithmetic twin of

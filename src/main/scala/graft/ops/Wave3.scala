@@ -331,12 +331,15 @@ object Wave3 {
     * parallelizes across strata at 100 TB instead of serializing on a
     * global order. */
   private val corpusPack: Q = (s, dir) => {
-    val w = Window.partitionBy("lang", "source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "documents")
+    // the running sum is two-phase (Ranks.perGroupPrefixSum), not a
+    // per-stratum window: a dominant (lang, source) stratum would
+    // serialize its whole token stream into one window task at scale
+    val base = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"),
         size(toks(col("text"))).cast("bigint").as("n_tok"))
-      .withColumn("cum_tok", sum("n_tok").over(w))
+    Ranks.perGroupPrefixSum(base, Seq("lang", "source"), Seq(col("doc_id")),
+        col("n_tok"), "cum_tok",
+        partitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
       .withColumn("pack_id", floor((col("cum_tok") - col("n_tok")) / 512).cast("bigint"))
       .orderBy("doc_id")
   }
@@ -364,10 +367,10 @@ object Wave3 {
     *
     * Scale shape: one narrow map (token count + hash), two model-sized
     * aggregates (global token total, per-source weight sum) broadcast
-    * back, and ONE window partitioned by source — sources fill in
-    * parallel; nothing serializes on a global order. At 100 TB the only
-    * shuffle is the per-source window sort, and AQE splits a skewed
-    * source's sort across its quota prefix only. */
+    * back, and a TWO-PHASE running fill (Ranks.perGroupPrefixSum): the
+    * cumulative sum range-partitions on (source, h, doc_id), so even a
+    * source holding most of the corpus fills across many balanced
+    * tasks instead of one per-source window task. */
   private val corpusMix: Q = (s, dir) => {
     val base = t(s, dir, "documents").select(
       col("doc_id"), col("source"),
@@ -379,13 +382,15 @@ object Wave3 {
     // DISTINCT source set (each source counted once, not per row)
     val tot = base.agg(sum("n_tok").as("tot_tok"))
     val wsum = base.select("source", "w").distinct().agg(sum("w").as("w_sum"))
-    val win = Window.partitionBy("source").orderBy("h", "doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base
+    // two-phase running fill (Ranks.perGroupPrefixSum): a source holding
+    // most of the corpus would otherwise fill inside ONE window task
+    val cum = Ranks.perGroupPrefixSum(base, Seq("source"),
+      Seq(col("h"), col("doc_id")), col("n_tok"), "cum_tok",
+      partitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
+    cum
       .crossJoin(broadcast(tot)).crossJoin(broadcast(wsum))
       .withColumn("quota",
         floor(lit(2.0) * col("tot_tok") * col("w") / (lit(5.0) * col("w_sum"))).cast("bigint"))
-      .withColumn("cum_tok", sum("n_tok").over(win))
       .filter(col("cum_tok") - col("n_tok") < col("quota"))
       .select("source", "doc_id", "n_tok", "w", "quota", "cum_tok")
       .orderBy("source", "doc_id")

@@ -44,6 +44,22 @@ class RanksSpec extends SparkSuite {
     compare(rows.toDF("lang", "doc_id", "mean_lp"))
   }
 
+  test("two-phase prefix sum == the running-window form, including one dominant group") {
+    import spark.implicits._
+    val rows = (1L to 997L).map(i => ("en", i, (i % 7) + 1L)) ++
+      (1L to 12L).map(i => ("fr", 10000L + i, i))
+    val df = rows.toDF("lang", "doc_id", "n_tok")
+    val two = Ranks.perGroupPrefixSum(df, Seq("lang"), Seq(col("doc_id")),
+      col("n_tok"), "cum", partitions = 7)
+    val win = df.withColumn("cum_w", sum("n_tok").over(
+      Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val diff = two.join(win, Seq("lang", "doc_id"))
+      .filter(col("cum") =!= col("cum_w"))
+    assert(diff.count() === 0)
+    assert(two.count() === df.count())
+  }
+
   test("closed-form ntile matches SQL ntile bucket sizes for n not divisible by k") {
     import spark.implicits._
     val df = (1L to 10L).map(r => (r, 10L)).toDF("rk", "n")
