@@ -30,6 +30,7 @@ object SparkEntry {
     ops.Wave3.queries ++
     ops.Wave4.queries ++
     ops.Wave5.queries ++
+    ops.Wave6.queries ++
     ops.Behavior.queries ++
     sources.Formats.queries ++
     ops.Ivf.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
     ops.Wave3.oracles ++
     ops.Wave4.oracles ++
     ops.Wave5.oracles ++
+    ops.Wave6.oracles ++
     ops.Behavior.oracles ++
     sources.Formats.oracles ++
     ops.Ivf.oracles ++

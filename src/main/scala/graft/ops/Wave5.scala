@@ -72,8 +72,10 @@ object Wave5 {
   private val textUnigramLp: Q = (s, dir) =>
     unigramLp(t(s, dir, "documents")).orderBy("doc_id")
 
-  /** Shared CTE prefix computing the same decimal-summed per-doc score. */
-  private val duckLp =
+  /** Shared CTE prefix computing the same decimal-summed per-doc score.
+    * (Package-visible: Wave6's adaptive filter thresholds the same
+    * score, so its oracle reuses this prefix verbatim.) */
+  private[ops] val duckLpCte =
     s"""terms AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, token),
        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM terms GROUP BY token),
@@ -85,7 +87,7 @@ object Wave5 {
        |       FROM ad GROUP BY doc_id)""".stripMargin
 
   private val textUnigramLpOracle =
-    s"""WITH $duckLp
+    s"""WITH $duckLpCte
        |SELECT doc_id, n_tok, mean_lp FROM lp ORDER BY doc_id""".stripMargin
 
   // ---- corpus_curriculum: quality-ordered training curriculum ----------
@@ -125,7 +127,7 @@ object Wave5 {
   }
 
   private val corpusCurriculumOracle =
-    s"""WITH $duckLp,
+    s"""WITH $duckLpCte,
        |staged AS (SELECT lang, ntile(4) OVER (PARTITION BY lang ORDER BY mean_lp, doc_id) AS stage,
        |             n_tok, mean_lp
        |           FROM lp JOIN documents USING (doc_id))

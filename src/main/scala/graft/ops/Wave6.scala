@@ -1,0 +1,563 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.SparkEntry.Q
+import graft.engine.Tables
+
+/** Round-4 analytics wave: reshaping (pivot), whole-profile correlation,
+  * trailing-window anomaly flags, OHLC downsampling, equi-depth
+  * histograms, and adaptive (percentile-thresholded) corpus filtering.
+  *
+  * The reference's surface is SQL analytics over warehouse tables
+  * (dbc:cmd2-21); these extend the same fixtures with the reporting /
+  * data-quality layers a warehouse on top of that notebook grows next.
+  * Every float output follows the cross-engine determinism discipline:
+  * exact integer/decimal moments first, double arithmetic last, rounded
+  * at the boundary.
+  */
+object Wave6 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- agg_pivot: long-to-wide reshaping ------------------------------
+
+  /** Daily event matrix: one row per day, one column per event type —
+    * the `groupBy(...).pivot(...)` long-to-wide reshape (the reporting
+    * form of stream_tumbling's long output). The pivot values are
+    * DECLARED, not discovered: at 100 TB an undeclared pivot first runs
+    * a distinct scan over the fact table just to learn the column set,
+    * and a high-cardinality key would explode the schema — declaring the
+    * (model-sized) value list keeps the plan a single hash aggregation,
+    * partial-agg'd under one exchange on the group key.
+    */
+  private val types = Seq("click", "error", "purchase", "signup", "view")
+
+  private val aggPivot: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("event_type"))
+    ev.groupBy("d")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types) // absent (day, type) combos surface as NULL counts
+      .orderBy("d")
+  }
+
+  private val aggPivotOracle =
+    """SELECT CAST(ts AS DATE) AS d,
+      |  CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
+      |  CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error,
+      |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+      |  CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup,
+      |  CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view
+      |FROM events GROUP BY 1 ORDER BY d""".stripMargin
+
+  // ---- profile_corr_matrix: all-pairs column correlation --------------
+
+  /** Pairwise Pearson correlation over lineitem's numeric measure
+    * columns — the profiler's "which columns move together" panel.
+    *
+    * ONE aggregation pass computes every moment (n, Σx, Σx², Σxy for all
+    * 6 pairs). Pearson r is invariant under positive linear scaling, so
+    * the 2-decimal fixture columns are scaled to EXACT integers (×100)
+    * first and every moment is an order-independent integer sum —
+    * DECIMAL(38,0) here, HUGEINT in the oracle — making the shuffled
+    * state 15 numbers, not data, with no float accumulation anywhere.
+    * The correlations are then derived on the model-sized aggregate in
+    * double and rounded. Adding columns grows the aggregate width
+    * (k² moments), never the number of passes — the right trade until
+    * k² outgrows a row, which a 51-column warehouse is nowhere near.
+    */
+  private val corrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private val profileCorrMatrix: Q = (s, dir) => {
+    val dec = corrCols.map(c =>
+      round(col(c) * 100).cast(DecimalType(19, 0)).as(c))
+    val li = t(s, dir, "lineitem").select(dec: _*)
+    val moments =
+      Seq(count(lit(1)).as("n")) ++
+        corrCols.map(c => sum(col(c)).as(s"s_$c")) ++
+        corrCols.map(c => sum(col(c) * col(c)).as(s"ss_$c")) ++
+        corrCols.combinations(2).map { case Seq(a, b) =>
+          sum(col(a) * col(b)).as(s"sp_${a}_$b")
+        }.toSeq
+    val agg = li.agg(moments.head, moments.tail: _*)
+    val pairRows = corrCols.combinations(2).map { case Seq(a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        col("n").cast("double").as("n"),
+        col(s"s_$a").cast("double").as("sx"),
+        col(s"s_$b").cast("double").as("sy"),
+        col(s"ss_$a").cast("double").as("sxx"),
+        col(s"ss_$b").cast("double").as("syy"),
+        col(s"sp_${a}_$b").cast("double").as("sxy"))
+    }.toSeq
+    agg.select(explode(array(pairRows: _*)).as("p"))
+      .select(col("p.*"))
+      .select(col("col_x"), col("col_y"), col("n").cast("long").as("n_rows"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_xy"))
+      .orderBy("col_x", "col_y")
+  }
+
+  private val profileCorrMatrixOracle = {
+    def i(c: String) = s"CAST(CAST(round($c * 100) AS BIGINT) AS HUGEINT)"
+    val mom =
+      Seq("CAST(count(*) AS DOUBLE) AS n") ++
+        corrCols.map(c => s"CAST(SUM(${i(c)}) AS DOUBLE) AS s_$c") ++
+        corrCols.map(c => s"CAST(SUM(${i(c)} * ${i(c)}) AS DOUBLE) AS ss_$c") ++
+        corrCols.combinations(2).map { case Seq(a, b) =>
+          s"CAST(SUM(${i(a)} * ${i(b)}) AS DOUBLE) AS sp_${a}_$b"
+        }.toSeq
+    val pairs = corrCols.combinations(2).map { case Seq(a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(n AS BIGINT) AS n_rows,
+         |  round((n * sp_${a}_$b - s_$a * s_$b) /
+         |    sqrt((n * ss_$a - s_$a * s_$a) * (n * ss_$b - s_$b * s_$b)), 6) AS corr_xy
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (SELECT ${mom.mkString(", ")} FROM lineitem)
+       |$pairs
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
+  // ---- events_anomaly: trailing-window z-score flags -------------------
+
+  /** Daily per-type event-count anomalies: each (type, day) count is
+    * z-scored against the mean/stddev of the TRAILING 7 observed days
+    * (exclusive), flagged when |z| > 2 — the volume-regression monitor a
+    * pipeline runs after every ingest.
+    *
+    * Determinism: counts are integers, so the trailing sums are exact in
+    * double (< 2^53); mean/variance/z are derived per-row from exact
+    * moments with the explicit two-pass-free formula — identical IEEE
+    * arithmetic both engines — and rounded at the output. Windows need
+    * ≥3 prior days, else the row reports NULL z (both engines agree by
+    * construction).
+    *
+    * Scale shape: one hash aggregation to the (type, day) grain — the
+    * window then runs over a DAYS×TYPES-sized frame, not raw events, so
+    * the window sort is model-sized. The 7-row frame bounds state.
+    */
+  private val eventsAnomaly: Q = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    val st = daily
+      .withColumn("n_prev", count(lit(1)).over(w).cast("double"))
+      .withColumn("s_prev", sum(col("cnt")).over(w).cast("double"))
+      .withColumn("ss_prev", sum(col("cnt") * col("cnt")).over(w).cast("double"))
+    val mean = col("s_prev") / col("n_prev")
+    val variance = (col("ss_prev") - col("s_prev") * col("s_prev") / col("n_prev")) /
+      (col("n_prev") - lit(1.0))
+    val z = when(col("n_prev") >= 3 && variance > 0,
+      (col("cnt").cast("double") - mean) / sqrt(variance))
+    st.select(col("event_type"), col("d"), col("cnt"),
+        when(col("n_prev") >= 3, round(mean, 6)).as("mean_prev"),
+        round(z, 6).as("z"),
+        coalesce(abs(z) > 2, lit(false)).as("is_anomaly"))
+      .orderBy("event_type", "d")
+  }
+
+  private val eventsAnomalyOracle =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, d, cnt,
+      |    CAST(count(*) OVER w AS DOUBLE) AS n_prev,
+      |    CAST(SUM(cnt) OVER w AS DOUBLE) AS s_prev,
+      |    CAST(SUM(cnt * cnt) OVER w AS DOUBLE) AS ss_prev
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |zs AS (
+      |  SELECT event_type, d, cnt, n_prev, s_prev / n_prev AS mean_raw,
+      |    CASE WHEN n_prev >= 3 AND (ss_prev - s_prev * s_prev / n_prev) / (n_prev - 1.0) > 0
+      |         THEN (CAST(cnt AS DOUBLE) - s_prev / n_prev) /
+      |              sqrt((ss_prev - s_prev * s_prev / n_prev) / (n_prev - 1.0))
+      |    END AS z_raw
+      |  FROM st)
+      |SELECT event_type, d, cnt,
+      |  CASE WHEN n_prev >= 3 THEN round(mean_raw, 6) END AS mean_prev,
+      |  round(z_raw, 6) AS z,
+      |  COALESCE(abs(z_raw) > 2, FALSE) AS is_anomaly
+      |FROM zs ORDER BY event_type, d""".stripMargin
+
+  // ---- timeseries_resample: OHLC downsampling --------------------------
+
+  /** Per-(type, day) OHLC resample of the event value series: open/close
+    * are the first/last values in (ts, event_id) order, high/low the
+    * extremes, plus count and a decimal-summed volume.
+    *
+    * Scale shape: ONE hash aggregation, no window sort — open/close ride
+    * a lexicographic struct min/max (the (ts, event_id, value) triple),
+    * so first/last-in-order costs the same as min/max. The (ts,
+    * event_id) key is a total order, so both engines pick identical
+    * rows. Volume rounds each addend to 6 and sums in DECIMAL(18,6),
+    * keeping the float sum independent of partial-aggregation order.
+    */
+  private val timeseriesResample: Q = (s, dir) => {
+    val ev = t(s, dir, "events").select(
+      col("event_type"), to_date(col("ts")).as("d"),
+      col("ts"), col("event_id"), col("value"))
+    ev.groupBy("event_type", "d")
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high_raw"),
+        min(col("value")).as("low_raw"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("value"), 6).cast(DecimalType(18, 6))).as("vol"))
+      .select(col("event_type"), col("d"),
+        round(col("o.value"), 6).as("open"),
+        round(col("high_raw"), 6).as("high"),
+        round(col("low_raw"), 6).as("low"),
+        round(col("c.value"), 6).as("close"),
+        col("n_events"),
+        round(col("vol").cast("double"), 6).as("volume"))
+      .orderBy("event_type", "d")
+  }
+
+  private val timeseriesResampleOracle =
+    """WITH base AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, ts, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY ts, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM events)
+      |SELECT event_type, d,
+      |  round(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+      |  round(MAX(value), 6) AS high,
+      |  round(MIN(value), 6) AS low,
+      |  round(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS volume
+      |FROM base GROUP BY event_type, d ORDER BY event_type, d""".stripMargin
+
+  /** Whitespace/punct token split — identical to LlmPipeline.tokens /
+    * Wave4.toks / Wave5.toks (pinned by the text_* oracles). */
+  private def toks(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
+  private val duckToks =
+    "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x->x<>'')"
+
+  // ---- corpus_adaptive_filter: percentile-thresholded quality gate -----
+
+  /** Adaptive corpus filtering: instead of a fixed quality cutoff, each
+    * language keeps documents scoring ABOVE ITS OWN 20th percentile of
+    * the unigram-LM signal — the per-stratum adaptive thresholding a
+    * multilingual pipeline needs because absolute scores aren't
+    * comparable across languages.
+    *
+    * The per-language thresholds are exact interpolated percentiles
+    * (both engines interpolate linearly over the same sorted doubles, so
+    * the filter boundary is bit-identical — the agg_percentiles
+    * contract); the threshold table is language-cardinality-sized and
+    * broadcast back, so the gate itself is a narrow filter. Reported per
+    * language: the threshold, total/kept doc counts, and kept token
+    * volume.
+    *
+    * Scale shape: the score is Wave5's linear unigramLp pipeline; the
+    * percentile aggregation shuffles (lang, score)-grain rows once.
+    * percentile() is exact (sort-based within each language group) — at
+    * 100 TB swap in approx_percentile for a sketch-sized state with the
+    * same plan shape (the agg_approx_percentile twin pins that path).
+    */
+  private val corpusAdaptiveFilter: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val scored = Wave5.unigramLp(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val thr = scored.groupBy("lang")
+      .agg(expr("percentile(mean_lp, 0.2)").as("thr"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .groupBy("lang")
+      .agg(
+        round(first(col("thr")), 6).as("thr_p20"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("mean_lp") >= col("thr"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("mean_lp") >= col("thr"), col("n_tok")).otherwise(0L)).as("tok_kept"))
+      .orderBy("lang")
+  }
+
+  private val corpusAdaptiveFilterOracle = {
+    val lp = Wave5.duckLpCte
+    s"""WITH $lp,
+       |scored AS (SELECT lp.doc_id, lp.n_tok, lp.mean_lp, d.lang
+       |           FROM lp JOIN documents d USING (doc_id)),
+       |thr AS (SELECT lang, quantile_cont(mean_lp, 0.2) AS thr FROM scored GROUP BY lang)
+       |SELECT lang, round(any_value(thr), 6) AS thr_p20,
+       |  CAST(count(*) AS BIGINT) AS n_total,
+       |  CAST(SUM(CASE WHEN mean_lp >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN mean_lp >= thr THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept
+       |FROM scored JOIN thr USING (lang)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ---- profile_equidepth: equi-depth histogram -------------------------
+
+  /** Equi-depth 10-bucket histogram of l_extendedprice: every bucket
+    * holds the same row count (±1) and reports its [lo, hi] value range
+    * — the complement of profile_numeric_bins' equi-WIDTH bins, and the
+    * histogram shape optimizers and drift monitors actually want on
+    * skewed columns (equi-width collapses under a heavy tail).
+    *
+    * Bucket assignment needs each row's GLOBAL rank — the classic
+    * single-task window cliff. Ranks.perGroupRank with an EMPTY group
+    * runs it as a distributed total-order rank: range partition on the
+    * full (value, tiebreak) key, one model-sized per-partition counts
+    * collect, local ranks + broadcast offsets; ntileExpr then cuts the
+    * same buckets as ntile(10) in closed form. The tiebreaker
+    * (orderkey, linenumber) makes the order total, so both engines bin
+    * identically even where equal prices straddle a boundary.
+    */
+  private val profileEquidepth: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = Ranks.perGroupRank(li, Seq.empty,
+      Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+      rankCol = "rk", nCol = "n_all",
+      partitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
+    ranked
+      .withColumn("bucket", Ranks.ntileExpr(col("rk"), col("n_all"), 10).cast("int"))
+      .groupBy("bucket")
+      .agg(
+        round(min(col("l_extendedprice")), 6).as("lo"),
+        round(max(col("l_extendedprice")), 6).as("hi"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("bucket")
+  }
+
+  private val profileEquidepthOracle =
+    """WITH ranked AS (
+      |  SELECT l_extendedprice,
+      |    ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+      |  FROM lineitem)
+      |SELECT CAST(bucket AS INT) AS bucket,
+      |  round(MIN(l_extendedprice), 6) AS lo,
+      |  round(MAX(l_extendedprice), 6) AS hi,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM ranked GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---- text_cooccur: apriori-pruned co-occurrence mining ---------------
+
+  /** Token co-occurrence: the top-20 pairs of FREQUENT tokens (document
+    * frequency ≥ 5% of the corpus) appearing together in ≥ 2% of
+    * documents — collocation mining with the a-priori prune: only tokens
+    * that clear the singleton support enter the pair join, so the
+    * quadratic step runs over each document's few frequent-token ids,
+    * never its raw vocabulary. Both thresholds are RELATIVE (scalar doc
+    * count broadcast from a 1-row aggregate), so the same query scales
+    * with the corpus.
+    *
+    * Scale shape: explode → per-doc distinct (one hash agg) → df counts
+    * (vocabulary-sized) → semi-join keeps frequent tokens → self-join on
+    * doc_id (per-doc frequent sets are small by construction) → pair
+    * counts (pair-vocabulary-sized) → global top-20 via
+    * TakeOrderedAndProject. Nothing all-pairs across documents.
+    */
+  private val textCooccur: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val td = docs
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("token"))
+    val freq = td.groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= col("n_docs") * 0.05)
+      .select("token")
+    val ft = td.join(broadcast(freq), Seq("token"))
+    val pairs = ft.as("a").join(ft.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))
+      .select(col("a.token").as("t1"), col("b.token").as("t2"))
+    pairs.groupBy("t1", "t2").agg(count(lit(1)).as("n_docs_both"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("n_docs_both") >= col("n_docs") * 0.02)
+      .select("t1", "t2", "n_docs_both")
+      .orderBy(col("n_docs_both").desc, col("t1"), col("t2"))
+      .limit(20)
+  }
+
+  private val textCooccurOracle =
+    s"""WITH td AS (
+       |  SELECT DISTINCT doc_id, unnest($duckToks) AS token FROM documents),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |freq AS (SELECT token FROM td GROUP BY token
+       |         HAVING count(*) >= (SELECT n_docs FROM n) * 0.05),
+       |ft AS (SELECT doc_id, token FROM td SEMI JOIN freq USING (token))
+       |SELECT a.token AS t1, b.token AS t2, CAST(count(*) AS BIGINT) AS n_docs_both
+       |FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
+       |GROUP BY a.token, b.token
+       |HAVING count(*) >= (SELECT n_docs FROM n) * 0.02
+       |ORDER BY n_docs_both DESC, t1, t2 LIMIT 20""".stripMargin
+
+  // ---- join_fuzzy: edit-distance join against a dictionary -------------
+
+  /** Fuzzy dictionary join: corpus tokens within Levenshtein distance 2
+    * of a top-100 dictionary term (but not the term itself) — the
+    * typo/variant-mining join behind spell-normalization of a crawl.
+    *
+    * Scale shape: both join sides are VOCABULARY-sized aggregates of the
+    * corpus, never documents — the left side is distinct tokens with
+    * their corpus counts, the right the model-sized dictionary (top-100
+    * by corpus count, total-ordered tie-break), broadcast. A cheap
+    * length-band conjunct (|len(a)-len(b)| ≤ 2, a necessary condition
+    * for distance 2) prunes candidates before the O(len²) levenshtein
+    * verifies — the classic block-then-verify shape, with the block
+    * predicate cheap enough to run inside the broadcast loop.
+    */
+  private val joinFuzzy: Q = (s, dir) => {
+    val terms = t(s, dir, "documents")
+      .select(explode(toks(col("text"))).as("token"))
+    val counts = terms.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val dict = counts
+      .orderBy(col("cnt").desc, col("token")).limit(100)
+      .select(col("token").as("dict_term"))
+    counts.join(broadcast(dict),
+        abs(length(col("token")) - length(col("dict_term"))) <= 2 &&
+        col("token") =!= col("dict_term") &&
+        levenshtein(col("token"), col("dict_term")) <= 2)
+      .select(col("dict_term"), col("token").as("variant"),
+        levenshtein(col("token"), col("dict_term")).as("dist"),
+        col("cnt").as("variant_cnt"))
+      .orderBy("dict_term", "variant")
+  }
+
+  private val joinFuzzyOracle =
+    s"""WITH terms AS (SELECT unnest($duckToks) AS token FROM documents),
+       |counts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM terms GROUP BY token),
+       |dict AS (SELECT token AS dict_term FROM counts
+       |         ORDER BY cnt DESC, token LIMIT 100)
+       |SELECT d.dict_term, c.token AS variant,
+       |  CAST(levenshtein(c.token, d.dict_term) AS INT) AS dist, c.cnt AS variant_cnt
+       |FROM counts c JOIN dict d
+       |  ON abs(length(c.token) - length(d.dict_term)) <= 2
+       | AND c.token <> d.dict_term
+       | AND levenshtein(c.token, d.dict_term) <= 2
+       |ORDER BY dict_term, variant""".stripMargin
+
+  // ---- text_textrank: PageRank keyword extraction ----------------------
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    * PageRank over the token co-occurrence graph — nodes are frequent
+    * tokens (document frequency ≥ 5%), undirected edges weighted by the
+    * number of documents where both tokens appear (support ≥ 2%), and 8
+    * damped power iterations (d = 0.85) rank tokens by graph centrality.
+    * The top-20 tokens by rank are the extracted corpus keywords.
+    *
+    * Cross-engine determinism for an ITERATIVE float computation: each
+    * superstep's per-edge contribution round(r·w/W, 9) is summed in
+    * DECIMAL(20,9) (order-independent), the damped combination runs in
+    * double on the exact decimal sum, and the new rank is re-rounded to
+    * 9 — so both engines walk bit-identical iterates. The oracle unrolls
+    * the same 8 supersteps as chained CTEs (aggregation is not legal in
+    * a recursive CTE term).
+    *
+    * Scale shape: the graph is VOCABULARY²-bounded, built from one
+    * corpus scan (the apriori-pruned pair pipeline of text_cooccur);
+    * every iteration is one broadcast join of the rank vector against
+    * the edge list + one hash aggregation on dst, localCheckpoint'ed so
+    * the 8-superstep lineage never re-plans (the dedup_components
+    * pattern). Node count and initial rank are the only driver-side
+    * values — model-sized scalars.
+    */
+  private val damping = 0.85
+  private val trIters = 8
+
+  private val textTextrank: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val nDocsRow = docs.agg(count(lit(1))).collect()(0).getLong(0)
+    val td = docs
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("token"))
+    val freq = td.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= nDocsRow * 0.05)
+      .select("token")
+    val ft = td.join(broadcast(freq), Seq("token"))
+    val pairCounts = ft.as("a").join(ft.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))
+      .groupBy(col("a.token").as("t1"), col("b.token").as("t2"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= nDocsRow * 0.02)
+    // undirected: each pair contributes both directions
+    val edges = pairCounts.select(col("t1").as("src"), col("t2").as("dst"), col("w"))
+      .union(pairCounts.select(col("t2").as("src"), col("t1").as("dst"), col("w")))
+      .localCheckpoint()
+    val wsum = edges.groupBy("src").agg(sum("w").as("wt"))
+    val ew = edges.join(wsum, "src").localCheckpoint()
+    val nNodes = edges.select("src").distinct().count()
+    val r0 = BigDecimal(1.0 / nNodes)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val base = (1.0 - damping) / nNodes
+    var rank = edges.select(col("src").as("token")).distinct()
+      .withColumn("r", lit(r0))
+    for (_ <- 1 to trIters) {
+      val contrib = round(col("r") * col("w") / col("wt"), 9)
+        .cast(DecimalType(20, 9))
+      rank = ew.join(broadcast(rank), ew("src") === rank("token"))
+        .groupBy(col("dst"))
+        .agg(sum(contrib).as("m"))
+        .select(col("dst").as("token"),
+          round(lit(base) + lit(damping) * col("m").cast("double"), 9).as("r"))
+        .localCheckpoint()
+    }
+    rank.select(col("token"), col("r").as("rank_score"))
+      .orderBy(col("rank_score").desc, col("token"))
+      .limit(20)
+  }
+
+  private val textTextrankOracle = {
+    val graph =
+      s"""td AS (SELECT DISTINCT doc_id, unnest($duckToks) AS token FROM documents),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |freq AS (SELECT token FROM td GROUP BY token
+         |         HAVING count(*) >= (SELECT n_docs FROM nd) * 0.05),
+         |ft AS (SELECT doc_id, token FROM td SEMI JOIN freq USING (token)),
+         |pc AS (SELECT a.token AS t1, b.token AS t2, count(*) AS w
+         |       FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
+         |       GROUP BY a.token, b.token
+         |       HAVING count(*) >= (SELECT n_docs FROM nd) * 0.02),
+         |edges AS (SELECT t1 AS src, t2 AS dst, w FROM pc
+         |          UNION ALL SELECT t2, t1, w FROM pc),
+         |wsum AS (SELECT src, SUM(w) AS wt FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS token FROM edges),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |r0 AS (SELECT token, round(1.0 / (SELECT n FROM nn), 9) AS r FROM nodes)""".stripMargin
+    val steps = (1 to trIters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS token,
+         |    round((1.0 - $damping) / (SELECT n FROM nn) +
+         |      $damping * CAST(SUM(CAST(round(r.r * e.w / ws.wt, 9) AS DECIMAL(20,9))) AS DOUBLE), 9) AS r
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.token JOIN wsum ws ON e.src = ws.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graph,
+       |$steps
+       |SELECT token, r AS rank_score FROM r$trIters
+       |ORDER BY rank_score DESC, token LIMIT 20""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_textrank" -> textTextrank,
+    "corpus_adaptive_filter" -> corpusAdaptiveFilter,
+    "profile_equidepth" -> profileEquidepth,
+    "text_cooccur" -> textCooccur,
+    "join_fuzzy" -> joinFuzzy,
+    "agg_pivot" -> aggPivot,
+    "profile_corr_matrix" -> profileCorrMatrix,
+    "events_anomaly" -> eventsAnomaly,
+    "timeseries_resample" -> timeseriesResample
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_textrank" -> textTextrankOracle,
+    "corpus_adaptive_filter" -> corpusAdaptiveFilterOracle,
+    "profile_equidepth" -> profileEquidepthOracle,
+    "text_cooccur" -> textCooccurOracle,
+    "join_fuzzy" -> joinFuzzyOracle,
+    "agg_pivot" -> aggPivotOracle,
+    "profile_corr_matrix" -> profileCorrMatrixOracle,
+    "events_anomaly" -> eventsAnomalyOracle,
+    "timeseries_resample" -> timeseriesResampleOracle
+  )
+}

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Wave6
+
+/** Wave-6 analytics operators: the semantic laws the DuckDB differential
+  * gate cannot express — mass preservation under reshaping, agreement
+  * with Spark's own estimators, window-form equivalence, graph-rank
+  * invariants. */
+class Wave6Spec extends SparkSuite {
+
+  test("agg_pivot preserves event mass: wide row sums equal the long counts") {
+    val wide = Wave6.queries("agg_pivot")(spark, sf)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wideTotal = wide
+      .select(types.map(c => sum(col(c)).cast("long")).reduce(_ + _).as("t"))
+      .collect()(0).getLong(0)
+    val longTotal = graft.engine.Tables.load(spark, sf, "events").count()
+    assert(wideTotal === longTotal)
+    // no NULL cells survive the fill
+    val anyNull = types.map(c => col(c).isNull).reduce(_ || _)
+    assert(wide.filter(anyNull).count() === 0)
+  }
+
+  test("profile_corr_matrix agrees with Spark's builtin corr estimator") {
+    val out = Wave6.queries("profile_corr_matrix")(spark, sf).collect()
+    assert(out.length === 6) // C(4,2) pairs
+    val li = graft.engine.Tables.load(spark, sf, "lineitem")
+    out.foreach { r =>
+      val (x, y, c) = (r.getString(0), r.getString(1), r.getDouble(3))
+      assert(c >= -1.0 && c <= 1.0, s"corr($x,$y)=$c out of range")
+      val builtin = li.agg(corr(col(x), col(y))).collect()(0).getDouble(0)
+      assert(math.abs(c - builtin) < 1e-6, s"corr($x,$y): $c vs builtin $builtin")
+    }
+  }
+
+  test("events_anomaly: z is NULL below 3 prior days and matches a direct computation") {
+    val out = Wave6.queries("events_anomaly")(spark, sf).persist()
+    // the first 3 rows of every type have <3 trailing observations
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val early = out.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    assert(early.filter(col("z").isNotNull).count() === 0)
+    assert(early.filter(col("is_anomaly")).count() === 0)
+    // recompute z directly for the 4th row of one type (3 prior days)
+    val rows = out.filter(col("event_type") === "click").orderBy("d")
+      .select("cnt", "z").collect()
+    if (rows.length >= 4 && !rows(3).isNullAt(1)) {
+      val prev = rows.slice(0, 3).map(_.getLong(0).toDouble)
+      val n = prev.length.toDouble
+      val mean = prev.sum / n
+      val variance = (prev.map(x => x * x).sum - prev.sum * prev.sum / n) / (n - 1.0)
+      val z = (rows(3).getLong(0).toDouble - mean) / math.sqrt(variance)
+      assert(math.abs(rows(3).getDouble(1) - z) < 1e-5)
+    }
+    out.unpersist()
+  }
+
+  test("timeseries_resample equals the window row_number form, and OHLC bounds hold") {
+    val out = Wave6.queries("timeseries_resample")(spark, sf).persist()
+    assert(out.filter(col("low") > col("high")).count() === 0)
+    assert(out.filter(col("open") > col("high") || col("open") < col("low")).count() === 0)
+    assert(out.filter(col("close") > col("high") || col("close") < col("low")).count() === 0)
+    // window-form twin: first/last value by (ts, event_id) per (type, day)
+    val ev = graft.engine.Tables.load(spark, sf, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        col("ts"), col("event_id"), col("value"))
+    val wa = Window.partitionBy("event_type", "d").orderBy(col("ts"), col("event_id"))
+    val twin = ev
+      .withColumn("o", first(col("value")).over(wa))
+      .withColumn("c", last(col("value")).over(
+        wa.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .groupBy("event_type", "d")
+      .agg(round(first(col("o")), 6).as("open2"), round(first(col("c")), 6).as("close2"))
+    val joined = out.select("event_type", "d", "open", "close")
+      .join(twin, Seq("event_type", "d"))
+    assert(joined.count() === out.count())
+    assert(joined.filter(col("open") =!= col("open2") || col("close") =!= col("close2"))
+      .count() === 0)
+    out.unpersist()
+  }
+
+  test("profile_equidepth: buckets are balanced, ordered, and cover every row") {
+    val out = Wave6.queries("profile_equidepth")(spark, sf).persist()
+    assert(out.count() === 10)
+    val sizes = out.select("n_rows").collect().map(_.getLong(0))
+    assert(sizes.max - sizes.min <= 1, s"unbalanced: ${sizes.toSeq}")
+    assert(sizes.sum === graft.engine.Tables.load(spark, sf, "lineitem").count())
+    // boundaries are monotone: bucket k's hi <= bucket k+1's lo would be
+    // too strict under ties — but lo <= hi within and lo is non-decreasing
+    val rows = out.orderBy("bucket").select("lo", "hi").collect()
+    rows.foreach(r => assert(r.getDouble(0) <= r.getDouble(1)))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(0) <= b.getDouble(0) && a.getDouble(1) <= b.getDouble(1))
+    case _ => }
+    out.unpersist()
+  }
+
+  test("text_cooccur: apriori bound — a pair never outcounts either member's df") {
+    val pairs = Wave6.queries("text_cooccur")(spark, sf).persist()
+    val docs = graft.engine.Tables.load(spark, sf, "documents")
+    val df = docs
+      .select(col("doc_id"),
+        explode(array_distinct(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          x => x =!= ""))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val checked = pairs
+      .join(df.withColumnRenamed("token", "t1").withColumnRenamed("df", "df1"), "t1")
+      .join(df.withColumnRenamed("token", "t2").withColumnRenamed("df", "df2"), "t2")
+    assert(checked.count() === pairs.count())
+    assert(checked.filter(col("n_docs_both") > least(col("df1"), col("df2")))
+      .count() === 0)
+    pairs.unpersist()
+  }
+
+  test("join_fuzzy: every variant verifies its edit distance and is not a dictionary hit of itself") {
+    val out = Wave6.queries("join_fuzzy")(spark, sf).collect()
+    assert(out.nonEmpty, "fixture vocabulary should contain distance<=2 variants")
+    out.foreach { r =>
+      val (d, v, dist) = (r.getString(0), r.getString(1), r.getInt(2))
+      assert(d != v)
+      assert(dist >= 1 && dist <= 2)
+      // driver-side Levenshtein re-verification
+      val dp = Array.tabulate(d.length + 1, v.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to d.length; j <- 1 to v.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (d(i - 1) == v(j - 1)) 0 else 1))
+      assert(dp(d.length)(v.length) === dist, s"distance($d,$v)")
+    }
+  }
+
+  test("corpus_adaptive_filter keeps ~80% of each language (p20 threshold law)") {
+    val out = Wave6.queries("corpus_adaptive_filter")(spark, sf).collect()
+    out.foreach { r =>
+      val (lang, total, kept) = (r.getString(0), r.getLong(2), r.getLong(3))
+      // >= 80% minus the boundary row(s); <= 100%
+      assert(kept <= total)
+      assert(kept.toDouble / total >= 0.75, s"$lang kept $kept/$total")
+      assert(kept.toDouble / total <= 0.90, s"$lang kept $kept/$total — threshold not binding")
+    }
+  }
+
+  test("text_textrank: ranks are a probability-like distribution concentrated on hub tokens") {
+    val out = Wave6.queries("text_textrank")(spark, sf).persist()
+    val scores = out.select("rank_score").collect().map(_.getDouble(0))
+    assert(scores.forall(_ > 0))
+    // PageRank mass conservation: full vector sums to ~1 (top-20 is a
+    // subset, so bound from above; with a small vocab the top-20 IS most
+    // of the graph)
+    assert(scores.sum <= 1.0 + 1e-6)
+    assert(scores.sum >= 0.5, s"top-20 mass ${scores.sum} — graph larger than expected")
+    // hub tokens (highest degree×weight) outrank leaves: top score strictly
+    // above the uniform initialization
+    assert(scores.max > 1.0 / 60, s"max ${scores.max} not above uniform")
+    out.unpersist()
+  }
+}
