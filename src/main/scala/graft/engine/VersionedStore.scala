@@ -573,6 +573,89 @@ class VersionedStore(root: String) {
     * reference-counted, exactly like Delta's vacuum walking the log. The
     * live version is always retained. Also sweeps `_stage_*` leftovers
     * of crashed writers. */
+  // ---- record-level key index (point-lookup acceleration) --------------
+
+  private def indexDir(name: String, keyCol: String) =
+    new java.io.File(tdir(name), s"_index_$keyCol")
+
+  /** Build the record-level key→file index for the CURRENT version — the
+    * Hudi record-index / Delta bloom-filter-index analog. The index is a
+    * parquet table of distinct (k, file) pairs, range-clustered and
+    * sorted on `k` so a point probe prunes index row groups by footer
+    * stats; it is stamped with the version it describes and becomes
+    * stale (never wrong) when a new version commits.
+    *
+    * Cost shape: ONE column-pruned scan of the table (the key column
+    * plus the file identity pseudo-column), one distinct shuffle at the
+    * (key, file) grain. At 100 TB the index is keys×16-bytes-ish — data-
+    * proportional but column-narrow; rebuild is incremental by design if
+    * driven per-commit (non-shared files only), though this
+    * implementation rebuilds whole — the spec pins staleness semantics
+    * so an incremental builder can swap in without API change. */
+  def buildKeyIndex(spark: SparkSession, name: String, keyCol: String): Long = {
+    import org.apache.spark.sql.functions._
+    val v = currentVersion(name).getOrElse(sys.error(s"no committed version for $name"))
+    val (schema, files) = manifest(name, v)
+    require(schema.fieldNames.contains(keyCol), s"no column $keyCol in $name")
+    val target = new java.io.File(indexDir(name, keyCol), s"v$v")
+    if (!new java.io.File(target, "_SUCCESS").exists) {
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(StructField("k", schema(keyCol).dataType),
+            StructField("file", org.apache.spark.sql.types.StringType))))
+          .write.mode(SaveMode.Overwrite).parquet(target.getAbsolutePath)
+      else
+        spark.read.schema(nullable(schema)).parquet(files.map(absPath(name, _)): _*)
+          .select(col(keyCol).as("k"), col("_metadata.file_name").as("file"))
+          .distinct()
+          .repartitionByRange(col("k")).sortWithinPartitions("k")
+          .write.mode(SaveMode.Overwrite).parquet(target.getAbsolutePath)
+    }
+    v
+  }
+
+  /** Data files a point probe must read, via the key index: None when no
+    * index exists for the CURRENT version (stale or never built) —
+    * caller falls back to a full scan; the list preserves manifest
+    * order. The index probe itself is `k IN (...)` over the sorted index
+    * parquet (row-group pruned), and the collect is candidate-file-sized
+    * — the per-lookup driver footprint of a Delta log replay. */
+  private[graft] def lookupFiles(spark: SparkSession, name: String,
+      keyCol: String, keys: Seq[Any]): Option[Seq[String]] = {
+    import org.apache.spark.sql.functions._
+    currentVersion(name).flatMap { v =>
+      val target = new java.io.File(indexDir(name, keyCol), s"v$v")
+      if (!new java.io.File(target, "_SUCCESS").exists) None
+      else {
+        val hit = spark.read.parquet(target.getAbsolutePath)
+          .filter(col("k").isin(keys: _*))
+          .select("file").distinct()
+          .collect().map(_.getString(0)).toSet
+        Some(manifest(name, v)._2.filter(hit))
+      }
+    }
+  }
+
+  /** Point lookup: rows of the current version whose `keyCol` is in
+    * `keys`, reading ONLY index-pinned data files when a fresh index
+    * exists (else the filtered full scan, where file-stats pruning still
+    * applies through the scan's pushed predicate). Index-served and
+    * fallback paths return identical rows by construction — the index
+    * maps every (key, file) containment exactly. */
+  def lookup(spark: SparkSession, name: String, keyCol: String,
+      keys: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pred = col(keyCol).isin(keys: _*)
+    lookupFiles(spark, name, keyCol, keys) match {
+      case Some(files) =>
+        val (schema, _) = manifest(name, currentVersion(name).get)
+        if (files.isEmpty) emptyDf(spark, schema)
+        else spark.read.schema(schema)
+          .parquet(files.map(absPath(name, _)): _*).filter(pred)
+      case None => read(spark, name).filter(pred)
+    }
+  }
+
   def vacuumVersions(name: String, keep: Int): Seq[Long] = {
     require(keep >= 1, "must keep at least the live version")
     val live = currentVersion(name).toSeq
@@ -584,6 +667,15 @@ class VersionedStore(root: String) {
       fd.listFiles.filter(f => !referenced.contains(f.getName)).foreach(_.delete())
     tdir(name).listFiles.filter(f => f.isDirectory && f.getName.startsWith("_stage_"))
       .foreach(Fs.deleteRec)
+    // key-index snapshots of vacuumed versions can never serve again
+    val kept = history(name).toSet
+    tdir(name).listFiles.filter(f => f.isDirectory && f.getName.startsWith("_index_"))
+      .foreach { id =>
+        id.listFiles.filter { d =>
+          d.isDirectory && d.getName.startsWith("v") &&
+            d.getName.drop(1).toLongOption.exists(!kept.contains(_))
+        }.foreach(Fs.deleteRec)
+      }
     drop
   }
 }

@@ -537,7 +537,36 @@ object Wave6 {
        |ORDER BY rank_score DESC, token LIMIT 20""".stripMargin
   }
 
+  // ---- sink_point_lookup: indexed point reads from the store -----------
+
+  /** Point lookup through the record-level key index: a range-clustered
+    * commit, `buildKeyIndex`, then a 5-key probe that reads ONLY the
+    * data files the index pins (VersionedStoreSpec pins the file
+    * accounting; this query pins the ANSWER against the source table).
+    * This is the Hudi record-index / Delta bloom-index shape: at 100 TB
+    * a key probe costs one index row-group probe + the few containing
+    * data files, not a table scan.
+    */
+  private val lookupKeys: Seq[Any] = Seq(7L, 77L, 777L, 7777L, 77777L)
+
+  private val sinkPointLookup: Q = (s, dir) => {
+    val root = graft.engine.Fs.freshScratch(s, "ptlookup")
+    val store = new graft.engine.VersionedStore(root)
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    store.write(base.repartitionByRange(8, col("c_custkey")), "customer")
+    store.buildKeyIndex(s, "customer", "c_custkey")
+    store.lookup(s, "customer", "c_custkey", lookupKeys)
+      .orderBy("c_custkey")
+  }
+
+  private val sinkPointLookupOracle =
+    s"""SELECT c_custkey, c_name, c_acctbal FROM customer
+       |WHERE c_custkey IN (${lookupKeys.mkString(", ")})
+       |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sink_point_lookup" -> sinkPointLookup,
     "text_textrank" -> textTextrank,
     "corpus_adaptive_filter" -> corpusAdaptiveFilter,
     "profile_equidepth" -> profileEquidepth,
@@ -550,6 +579,7 @@ object Wave6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "sink_point_lookup" -> sinkPointLookupOracle,
     "text_textrank" -> textTextrankOracle,
     "corpus_adaptive_filter" -> corpusAdaptiveFilterOracle,
     "profile_equidepth" -> profileEquidepthOracle,

@@ -286,4 +286,64 @@ class VersionedStoreSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(rev === Set((1L, "update")))
   }
+
+  test("key index pins point lookups to exactly the containing files") {
+    val store = freshStore()
+    // 4 range-disjoint files: keys 0-24, 25-49, 50-74, 75-99
+    val base = spark.range(100).select(col("id").as("k"),
+      (col("id") * 10).as("v"))
+    store.write(base.repartitionByRange(4, col("k")), "t")
+    store.buildKeyIndex(spark, "t", "k")
+    // a one-key probe resolves to ONE data file
+    val files = store.lookupFiles(spark, "t", "k", Seq(7L)).get
+    assert(files.size === 1, s"expected 1 file, got $files")
+    // lookup returns exactly the filtered rows
+    val hit = store.lookup(spark, "t", "k", Seq(7L, 80L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hit === Set((7L, 70L), (80L, 800L)))
+    // keys from different files → both files, nothing more
+    val two = store.lookupFiles(spark, "t", "k", Seq(7L, 80L)).get
+    assert(two.size === 2)
+    // absent key → zero files, empty result
+    assert(store.lookupFiles(spark, "t", "k", Seq(1000L)).get.isEmpty)
+    assert(store.lookup(spark, "t", "k", Seq(1000L)).count() === 0)
+  }
+
+  test("key index goes stale on commit and lookup falls back to the full scan") {
+    val store = freshStore()
+    import spark.implicits._
+    store.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .repartitionByRange(2, col("k")), "t")
+    store.buildKeyIndex(spark, "t", "k")
+    assert(store.lookupFiles(spark, "t", "k", Seq(1L)).isDefined)
+    // new commit (upsert) → the v1 index must refuse to serve
+    store.upsert(spark, "t", Seq((1L, "a2")).toDF("k", "v"), Seq("k"))
+    assert(store.lookupFiles(spark, "t", "k", Seq(1L)).isEmpty)
+    // fallback still answers correctly (fresh value, not the indexed one)
+    val got = store.lookup(spark, "t", "k", Seq(1L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "a2")))
+    // rebuild re-arms the index at v2
+    store.buildKeyIndex(spark, "t", "k")
+    assert(store.lookupFiles(spark, "t", "k", Seq(1L)).isDefined)
+    val got2 = store.lookup(spark, "t", "k", Seq(1L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got2 === Set((1L, "a2")))
+  }
+
+  test("vacuum drops key-index snapshots of vacuumed versions") {
+    val root = java.nio.file.Files.createTempDirectory("graft-versions").toString
+    val store = new VersionedStore(root)
+    import spark.implicits._
+    store.write(Seq((1L, "a")).toDF("k", "v"), "t")                 // v1
+    store.buildKeyIndex(spark, "t", "k")
+    store.write(Seq((1L, "b")).toDF("k", "v"), "t")                 // v2
+    store.buildKeyIndex(spark, "t", "k")
+    store.vacuumVersions("t", keep = 1)
+    val idx = new java.io.File(s"$root/t/_index_k")
+    val dirs = idx.listFiles.filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs === Set("v2"), s"stale index snapshots not collected: $dirs")
+    // the surviving index still serves
+    assert(store.lookupFiles(spark, "t", "k", Seq(1L)).isDefined)
+  }
 }
