@@ -75,25 +75,38 @@ object Wave6 {
   private val corrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   private val profileCorrMatrix: Q = (s, dir) => {
-    val dec = corrCols.map(c =>
-      round(col(c) * 100).cast(DecimalType(19, 0)).as(c))
+    // Everything per-row AND per-accumulator stays in LONG: scaled
+    // values are ~1e7, so products are ~1e14 (exact in long); product
+    // sums would reach ~1e20, so each product sum is SPLIT into hi/lo
+    // long sums by 1e9 (both parts stay < 2^63 up to ~10^10 rows — the
+    // 100 TB lineitem envelope) and recombined in double at the end:
+    // hi·1e9 + lo, identical IEEE steps in the oracle. No decimal, no
+    // float accumulation — the aggregate is 25 long adders.
+    val B = 1000000000L
+    val dec = corrCols.map(c => round(col(c) * 100).cast("long").as(c))
     val li = t(s, dir, "lineitem").select(dec: _*)
+    val prods = corrCols.map(c => (Seq(c, c), s"q_$c")) ++
+      corrCols.combinations(2).map { case Seq(a, b) => (Seq(a, b), s"p_${a}_$b") }.toSeq
+    val withP = li.select(corrCols.map(col) ++
+      prods.map { case (Seq(a, b), nm) => (col(a) * col(b)).as(nm) }: _*)
     val moments =
       Seq(count(lit(1)).as("n")) ++
         corrCols.map(c => sum(col(c)).as(s"s_$c")) ++
-        corrCols.map(c => sum(col(c) * col(c)).as(s"ss_$c")) ++
-        corrCols.combinations(2).map { case Seq(a, b) =>
-          sum(col(a) * col(b)).as(s"sp_${a}_$b")
-        }.toSeq
-    val agg = li.agg(moments.head, moments.tail: _*)
+        prods.flatMap { case (_, nm) => Seq(
+          sum(expr(s"$nm DIV $B")).as(s"${nm}_hi"),
+          sum(col(nm) % B).as(s"${nm}_lo"))
+        }
+    val agg = withP.agg(moments.head, moments.tail: _*)
+    def recomb(nm: String): Column =
+      col(s"${nm}_hi").cast("double") * B.toDouble + col(s"${nm}_lo").cast("double")
     val pairRows = corrCols.combinations(2).map { case Seq(a, b) =>
       struct(lit(a).as("col_x"), lit(b).as("col_y"),
         col("n").cast("double").as("n"),
         col(s"s_$a").cast("double").as("sx"),
         col(s"s_$b").cast("double").as("sy"),
-        col(s"ss_$a").cast("double").as("sxx"),
-        col(s"ss_$b").cast("double").as("syy"),
-        col(s"sp_${a}_$b").cast("double").as("sxy"))
+        recomb(s"q_$a").as("sxx"),
+        recomb(s"q_$b").as("syy"),
+        recomb(s"p_${a}_$b").as("sxy"))
     }.toSeq
     agg.select(explode(array(pairRows: _*)).as("p"))
       .select(col("p.*"))
@@ -105,13 +118,18 @@ object Wave6 {
   }
 
   private val profileCorrMatrixOracle = {
-    def i(c: String) = s"CAST(CAST(round($c * 100) AS BIGINT) AS HUGEINT)"
+    val B = 1000000000L
+    def i(c: String) = s"CAST(round($c * 100) AS BIGINT)"
+    // mirror the hi/lo long-sum split and the double recombination
+    // hi*1e9 + lo step for step (integer sums exact, IEEE ops identical)
+    def rec(p: String) =
+      s"(CAST(SUM(($p) // $B) AS DOUBLE) * ${B.toDouble} + CAST(SUM(($p) % $B) AS DOUBLE))"
     val mom =
       Seq("CAST(count(*) AS DOUBLE) AS n") ++
         corrCols.map(c => s"CAST(SUM(${i(c)}) AS DOUBLE) AS s_$c") ++
-        corrCols.map(c => s"CAST(SUM(${i(c)} * ${i(c)}) AS DOUBLE) AS ss_$c") ++
+        corrCols.map(c => s"${rec(s"${i(c)} * ${i(c)}")} AS ss_$c") ++
         corrCols.combinations(2).map { case Seq(a, b) =>
-          s"CAST(SUM(${i(a)} * ${i(b)}) AS DOUBLE) AS sp_${a}_$b"
+          s"${rec(s"${i(a)} * ${i(b)}")} AS sp_${a}_$b"
         }.toSeq
     val pairs = corrCols.combinations(2).map { case Seq(a, b) =>
       s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(n AS BIGINT) AS n_rows,
@@ -494,12 +512,16 @@ object Wave6 {
     for (_ <- 1 to trIters) {
       val contrib = round(col("r") * col("w") / col("wt"), 9)
         .cast(DecimalType(20, 9))
+      // no per-superstep checkpoint: the rank frame is VOCABULARY-sized,
+      // and each iteration's broadcast materializes its subtree exactly
+      // once inside the single final job — 8 nested levels of linear
+      // work beats 8 separate checkpoint jobs. (Data-sized iterative
+      // frames — dedup_components — still checkpoint per superstep.)
       rank = ew.join(broadcast(rank), ew("src") === rank("token"))
         .groupBy(col("dst"))
         .agg(sum(contrib).as("m"))
         .select(col("dst").as("token"),
           round(lit(base) + lit(damping) * col("m").cast("double"), 9).as("r"))
-        .localCheckpoint()
     }
     rank.select(col("token"), col("r").as("rank_score"))
       .orderBy(col("rank_score").desc, col("token"))
