@@ -290,9 +290,80 @@ class VersionedStore(root: String) {
     * genuinely replaces the table, so nothing is shareable) and move the
     * pointer to it. */
   def write(df: DataFrame, name: String): Long = {
+    validateChecks(df, name)
     val next = currentVersion(name).getOrElse(0L) + 1L
     commitManifest(name, next, df.schema, stageWithStats(df, name, next))
     next
+  }
+
+  // ---- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analog) -----
+
+  private def checksFile(name: String) = new java.io.File(tdir(name), "_checks")
+
+  /** Declared CHECK constraints: (name, SQL predicate) pairs, applied to
+    * every row entering new data files (write and upsert commits). */
+  def checks(name: String): Seq[(String, String)] = {
+    val f = checksFile(name)
+    if (!f.exists) Seq.empty
+    else java.nio.file.Files.readAllLines(f.toPath).asScala.toSeq
+      .filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1))
+      }
+  }
+
+  /** Add (or replace) a CHECK constraint. Like Delta's ADD CONSTRAINT,
+    * the predicate must already hold for every row of the live snapshot
+    * — validated here with one aggregate scan — after which every
+    * write/upsert validates its incoming rows and REFUSES the commit
+    * (nothing staged, table unchanged) on any violation. */
+  def addCheck(spark: SparkSession, name: String, checkName: String,
+      predicate: String): Unit = {
+    require(!checkName.contains('\t') && !checkName.contains('\n') &&
+      !predicate.contains('\n'), "constraint names/predicates are single-line")
+    if (currentVersion(name).isDefined)
+      validateWith(read(spark, name), Seq(checkName -> predicate), name)
+    val all = checks(name).filterNot(_._1 == checkName) :+ (checkName -> predicate)
+    val tmp = new java.io.File(tdir(name), "_checks.tmp")
+    tdir(name).mkdirs()
+    java.nio.file.Files.writeString(tmp.toPath,
+      all.map { case (n, p) => s"$n\t$p" }.mkString("", "\n", "\n"))
+    java.nio.file.Files.move(tmp.toPath, checksFile(name).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  def dropCheck(name: String, checkName: String): Unit = {
+    val rest = checks(name).filterNot(_._1 == checkName)
+    if (rest.isEmpty) { checksFile(name).delete(); () }
+    else {
+      java.nio.file.Files.writeString(checksFile(name).toPath,
+        rest.map { case (n, p) => s"$n\t$p" }.mkString("", "\n", "\n"))
+      ()
+    }
+  }
+
+  /** All declared checks in ONE aggregate over `df` (violation counts,
+    * not row dumps — the commit-path cost is a single extra pass of the
+    * incoming rows, zero when no checks exist). A NULL predicate result
+    * is a violation, per SQL CHECK's NOT(coalesce(p, false)) refusal
+    * reading — Delta's WriteIntoDelta does the same. */
+  private def validateChecks(df: DataFrame, name: String): Unit =
+    validateWith(df, checks(name), name)
+
+  private def validateWith(df: DataFrame, cs: Seq[(String, String)],
+      name: String): Unit = {
+    if (cs.isEmpty) return
+    import org.apache.spark.sql.functions._
+    val aggs = cs.map { case (n, p) =>
+      sum(when(!coalesce(expr(p), lit(false)), 1L).otherwise(0L)).as(n) }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val bad = cs.zipWithIndex.collect {
+      case ((n, p), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"$n [$p]: ${row.getLong(i)} row(s)"
+    }
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"CHECK constraint violation on '$name': ${bad.mkString("; ")}")
   }
 
   /** Widen `df` to `cols`, adding NULL-typed columns it lacks (the
@@ -366,6 +437,7 @@ class VersionedStore(root: String) {
       addTxn: Option[(String, Long)]): Long =
     currentVersion(name) match {
       case None =>
+        validateChecks(rawSource, name)
         val next = 1L
         commitManifest(name, next, rawSource.schema,
           stageWithStats(rawSource, name, next), addTxn)
@@ -403,6 +475,11 @@ class VersionedStore(root: String) {
                 source.schema.fields.filterNot(f => tSchema.fieldNames.contains(f.name))
               (align(rewriteTarget, all), align(source, all), StructType(all))
             }
+          // CHECK constraints vet the incoming rows BEFORE anything
+          // stages — a refused merge leaves no orphan files behind.
+          // (Rows carried over from hit files were vetted when they
+          // entered, like Delta, so only the source pays the pass.)
+          validateChecks(mSource, name)
           val staged = stageWithStats(Merge.upsert(mTarget, mSource, keys), name, next)
           commitManifest(name, next, outSchema, keep ++ staged, addTxn)
           next

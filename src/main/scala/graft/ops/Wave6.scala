@@ -587,7 +587,122 @@ object Wave6 {
        |WHERE c_custkey IN (${lookupKeys.mkString(", ")})
        |ORDER BY c_custkey""".stripMargin
 
+  // ---- sink_checked: CHECK-constrained commits --------------------------
+
+  /** CHECK constraints on the versioned store (Delta ADD CONSTRAINT):
+    * declare a balance floor, prove a violating merge is REFUSED with
+    * the table untouched, then land a clean merge. The returned state
+    * pins both halves cross-engine: the violating row is absent, the
+    * clean update is present, and the `refused` flag rode the exception
+    * path. Enforcement costs one aggregate pass over INCOMING rows only
+    * — at 100 TB the constraint never re-scans the table (only
+    * addCheck's one-time declaration scan does).
+    */
+  private val sinkChecked: Q = (s, dir) => {
+    val root = graft.engine.Fs.freshScratch(s, "checked")
+    val store = new graft.engine.VersionedStore(root)
+    val base = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    store.write(base.repartitionByRange(4, col("c_custkey")), "c")
+    store.addCheck(s, "c", "bal_floor", "c_acctbal >= -1000.0")
+    import s.implicits._
+    val refused =
+      try {
+        store.upsert(s, "c", Seq((1L, -99999.0)).toDF("c_custkey", "c_acctbal"),
+          Seq("c_custkey"))
+        false
+      } catch { case _: IllegalStateException => true }
+    store.upsert(s, "c", Seq((1L, 0.0), (2L, 111.25)).toDF("c_custkey", "c_acctbal"),
+      Seq("c_custkey"))
+    store.read(s, "c").filter(col("c_custkey") <= 20)
+      .select(col("c_custkey"), round(col("c_acctbal"), 6).as("bal"),
+        lit(refused).as("refused"))
+      .orderBy("c_custkey")
+  }
+
+  private val sinkCheckedOracle =
+    """SELECT c_custkey,
+      |  round(CASE WHEN c_custkey = 1 THEN 0.0
+      |             WHEN c_custkey = 2 THEN 111.25
+      |             ELSE c_acctbal END, 6) AS bal,
+      |  TRUE AS refused
+      |FROM customer WHERE c_custkey <= 20 ORDER BY c_custkey""".stripMargin
+
+  // ---- corpus_split: deterministic train/val/test partition ------------
+
+  /** Content-hash train/val/test split (98/1/1): each document's
+    * md5-residue bucket (mod 100) routes it to a split — the
+    * sample_hash convention, so membership is reproducible across
+    * engines, re-runs, and cluster layouts, and a document can never
+    * change split when the corpus grows (leakage-stable, which a
+    * row_number split is NOT). One narrow map + one hash aggregation;
+    * the reported per-split volumes are the budget sheet a training run
+    * starts from.
+    */
+  private val corpusSplit: Q = (s, dir) => {
+    val bucket = pmod(conv(substring(md5(col("text").cast("binary")), 1, 15),
+      16, 10).cast("bigint"), lit(100))
+    t(s, dir, "documents")
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tok"),
+        when(bucket <= 97, "train").when(bucket === 98, "val")
+          .otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_total"))
+      .orderBy("split")
+  }
+
+  private val corpusSplitOracle =
+    s"""WITH b AS (
+       |  SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tok,
+       |    CASE WHEN CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 <= 97 THEN 'train'
+       |         WHEN CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 = 98 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS tok_total
+       |FROM b GROUP BY split ORDER BY split""".stripMargin
+
+  // ---- sample_balanced: per-label balanced downsample ------------------
+
+  /** Class-balanced downsampling: every label keeps exactly
+    * min-class-count rows (the first m by vec_id within each label) —
+    * the rebalancing step before training on skewed labels. The
+    * per-label rank deliberately avoids `row_number() OVER (PARTITION BY
+    * label)`: one dominant class would serialize into a single window
+    * task, so Ranks.perGroupRank range-partitions on (label, vec_id)
+    * and reconstructs identical ranks from broadcast offsets. The
+    * min-class count is a label-cardinality aggregate broadcast as a
+    * scalar. Reported per label: kept count and exact id-sum so the
+    * gate pins WHICH rows were kept, not just how many.
+    */
+  private val sampleBalanced: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val ranked = Ranks.perGroupRank(emb, Seq("label"), Seq(col("vec_id")),
+      rankCol = "rk", nCol = "n_label",
+      partitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
+    val minCount = ranked.agg(min("n_label")).collect()(0).getLong(0)
+    ranked.filter(col("rk") <= minCount)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("vec_id").as("id_sum"),
+        max("vec_id").as("id_max"))
+      .orderBy("label")
+  }
+
+  private val sampleBalancedOracle =
+    """WITH ranked AS (
+      |  SELECT label, vec_id,
+      |    row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rk
+      |  FROM embeddings),
+      |m AS (SELECT MIN(c) AS mc FROM (SELECT count(*) AS c FROM embeddings GROUP BY label))
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_kept,
+      |  CAST(SUM(vec_id) AS BIGINT) AS id_sum, CAST(MAX(vec_id) AS BIGINT) AS id_max
+      |FROM ranked, m WHERE rk <= mc
+      |GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "corpus_split" -> corpusSplit,
+    "sample_balanced" -> sampleBalanced,
+    "sink_checked" -> sinkChecked,
     "sink_point_lookup" -> sinkPointLookup,
     "text_textrank" -> textTextrank,
     "corpus_adaptive_filter" -> corpusAdaptiveFilter,
@@ -601,6 +716,9 @@ object Wave6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_split" -> corpusSplitOracle,
+    "sample_balanced" -> sampleBalancedOracle,
+    "sink_checked" -> sinkCheckedOracle,
     "sink_point_lookup" -> sinkPointLookupOracle,
     "text_textrank" -> textTextrankOracle,
     "corpus_adaptive_filter" -> corpusAdaptiveFilterOracle,

@@ -287,6 +287,54 @@ class VersionedStoreSpec extends SparkSuite {
     assert(rev === Set((1L, "update")))
   }
 
+  test("CHECK constraints refuse violating commits and leave the table unchanged") {
+    val store = freshStore()
+    store.write(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal"), "t")
+    store.addCheck(spark, "t", "bal_nonneg", "bal >= 0")
+    // violating upsert → refused, version and content untouched
+    val ex = intercept[IllegalStateException] {
+      store.upsert(spark, "t", Seq((3L, -5.0)).toDF("k", "bal"), Seq("k"))
+    }
+    assert(ex.getMessage.contains("bal_nonneg"))
+    assert(store.currentVersion("t") === Some(1L))
+    assert(store.read(spark, "t").count() === 2L)
+    // a NULL predicate result is a violation too (SQL CHECK refusal form)
+    intercept[IllegalStateException] {
+      store.upsert(spark, "t",
+        Seq((4L, null.asInstanceOf[java.lang.Double])).toDF("k", "bal"), Seq("k"))
+    }
+    // clean rows still flow
+    store.upsert(spark, "t", Seq((3L, 5.0)).toDF("k", "bal"), Seq("k"))
+    assert(store.read(spark, "t").count() === 3L)
+    // violating overwrite is refused as well
+    intercept[IllegalStateException] {
+      store.write(Seq((1L, -1.0)).toDF("k", "bal"), "t")
+    }
+    assert(store.currentVersion("t") === Some(2L))
+  }
+
+  test("addCheck validates existing data and constraints persist across reopen") {
+    val root = java.nio.file.Files.createTempDirectory("graft-versions").toString
+    val store = new VersionedStore(root)
+    store.write(Seq((1L, -3.0)).toDF("k", "bal"), "t")
+    // cannot declare a constraint the live snapshot already violates
+    intercept[IllegalStateException] {
+      store.addCheck(spark, "t", "bal_nonneg", "bal >= 0")
+    }
+    assert(store.checks("t").isEmpty)
+    store.addCheck(spark, "t", "k_positive", "k > 0")
+    // a NEW handle on the same root still enforces (constraints are
+    // table metadata, not session state)
+    val reopened = new VersionedStore(root)
+    assert(reopened.checks("t") === Seq("k_positive" -> "k > 0"))
+    intercept[IllegalStateException] {
+      reopened.upsert(spark, "t", Seq((0L, 1.0)).toDF("k", "bal"), Seq("k"))
+    }
+    reopened.dropCheck("t", "k_positive")
+    reopened.upsert(spark, "t", Seq((0L, 1.0)).toDF("k", "bal"), Seq("k"))
+    assert(reopened.read(spark, "t").count() === 2L)
+  }
+
   test("key index pins point lookups to exactly the containing files") {
     val store = freshStore()
     // 4 range-disjoint files: keys 0-24, 25-49, 50-74, 75-99

@@ -141,6 +141,33 @@ class Wave6Spec extends SparkSuite {
     }
   }
 
+  test("corpus_split covers every document exactly once, train dominating") {
+    val out = Wave6.queries("corpus_split")(spark, sf).collect()
+    val total = graft.engine.Tables.load(spark, sf, "documents").count()
+    assert(out.map(_.getLong(1)).sum === total)
+    val bySplit = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit("train").toDouble / total >= 0.9)
+  }
+
+  test("sample_balanced keeps exactly the min-class count per label — the smallest ids") {
+    val out = Wave6.queries("sample_balanced")(spark, sf).persist()
+    val kept = out.select("n_kept").collect().map(_.getLong(0)).distinct
+    assert(kept.length === 1, s"unbalanced kept counts: ${kept.toSeq}")
+    val emb = graft.engine.Tables.load(spark, sf, "embeddings")
+    val minClass = emb.groupBy("label").count()
+      .agg(min("count")).collect()(0).getLong(0)
+    assert(kept.head === minClass)
+    // window-form twin pins WHICH rows: same per-label id sums
+    val w = Window.partitionBy("label").orderBy("vec_id")
+    val twin = emb.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= minClass)
+      .groupBy("label").agg(sum("vec_id").as("id_sum2"))
+    val joined = out.join(twin, "label")
+    assert(joined.filter(col("id_sum") =!= col("id_sum2")).count() === 0)
+    out.unpersist()
+  }
+
   test("text_textrank: ranks are a probability-like distribution concentrated on hub tokens") {
     val out = Wave6.queries("text_textrank")(spark, sf).persist()
     val scores = out.select("rank_score").collect().map(_.getDouble(0))
