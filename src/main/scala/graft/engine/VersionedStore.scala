@@ -669,26 +669,56 @@ class VersionedStore(root: String) {
     * driven per-commit (non-shared files only), though this
     * implementation rebuilds whole — the spec pins staleness semantics
     * so an incremental builder can swap in without API change. */
-  def buildKeyIndex(spark: SparkSession, name: String, keyCol: String): Long = {
+  def buildKeyIndex(spark: SparkSession, name: String, keyCol: String): Long =
+    buildKeyIndexDetailed(spark, name, keyCol)._1
+
+  /** As [[buildKeyIndex]], also reporting how many data files were
+    * actually SCANNED. Maintenance is INCREMENTAL: index entries for
+    * files shared with the newest prior index snapshot carry over by an
+    * index-to-index copy (file-pruned parquet read of the old index —
+    * no data file touched), and only files new to this version are
+    * scanned. At 0.1% churn a refresh costs ~0.1% of the table plus an
+    * index rewrite — the same cost law as the store's own upsert. */
+  def buildKeyIndexDetailed(spark: SparkSession, name: String,
+      keyCol: String): (Long, Int) = {
     import org.apache.spark.sql.functions._
     val v = currentVersion(name).getOrElse(sys.error(s"no committed version for $name"))
     val (schema, files) = manifest(name, v)
     require(schema.fieldNames.contains(keyCol), s"no column $keyCol in $name")
-    val target = new java.io.File(indexDir(name, keyCol), s"v$v")
-    if (!new java.io.File(target, "_SUCCESS").exists) {
-      if (files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-          StructType(Seq(StructField("k", schema(keyCol).dataType),
-            StructField("file", org.apache.spark.sql.types.StringType))))
-          .write.mode(SaveMode.Overwrite).parquet(target.getAbsolutePath)
-      else
-        spark.read.schema(nullable(schema)).parquet(files.map(absPath(name, _)): _*)
-          .select(col(keyCol).as("k"), col("_metadata.file_name").as("file"))
-          .distinct()
-          .repartitionByRange(col("k")).sortWithinPartitions("k")
-          .write.mode(SaveMode.Overwrite).parquet(target.getAbsolutePath)
+    val idir = indexDir(name, keyCol)
+    val target = new java.io.File(idir, s"v$v")
+    if (new java.io.File(target, "_SUCCESS").exists) return (v, 0)
+    // newest prior snapshot whose version is still in history (its
+    // manifest tells us exactly which files it indexed)
+    val prior: Option[(Long, java.io.File)] =
+      Option(idir.listFiles).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && new java.io.File(d, "_SUCCESS").exists)
+        .flatMap(d => d.getName.drop(1).toLongOption.map(_ -> d))
+        .filter { case (pv, _) => pv != v && history(name).contains(pv) }
+        .sortBy(-_._1).headOption
+    val covered: Set[String] = prior match {
+      case Some((pv, _)) => manifest(name, pv)._2.toSet.intersect(files.toSet)
+      case None => Set.empty
     }
-    v
+    val fresh = files.filterNot(covered)
+    val scanned =
+      if (fresh.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(StructField("k", nullable(schema)(keyCol).dataType),
+            StructField("file", org.apache.spark.sql.types.StringType))))
+      else spark.read.schema(nullable(schema)).parquet(fresh.map(absPath(name, _)): _*)
+        .select(col(keyCol).as("k"), col("_metadata.file_name").as("file"))
+        .distinct()
+    val carried = prior match {
+      case Some((_, pdir)) if covered.nonEmpty =>
+        spark.read.parquet(pdir.getAbsolutePath)
+          .filter(col("file").isin(covered.toSeq: _*))
+      case _ => scanned.limit(0)
+    }
+    scanned.union(carried)
+      .repartitionByRange(col("k")).sortWithinPartitions("k")
+      .write.mode(SaveMode.Overwrite).parquet(target.getAbsolutePath)
+    (v, fresh.size)
   }
 
   /** Data files a point probe must read, via the key index: None when no

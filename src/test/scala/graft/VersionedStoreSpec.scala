@@ -379,6 +379,27 @@ class VersionedStoreSpec extends SparkSuite {
     assert(got2 === Set((1L, "a2")))
   }
 
+  test("index refresh is incremental: only files new to the version are scanned") {
+    val store = freshStore()
+    val base = spark.range(100).select(col("id").as("k"), (col("id") * 10).as("v"))
+    store.write(base.repartitionByRange(4, col("k")), "t")          // v1: 4 files
+    val (_, scanned1) = store.buildKeyIndexDetailed(spark, "t", "k")
+    assert(scanned1 === 4)
+    // upsert touching ONE file's key range → v2 shares 3 files
+    store.upsert(spark, "t", Seq((7L, 777L)).toDF("k", "v"), Seq("k"))
+    val (v2, scanned2) = store.buildKeyIndexDetailed(spark, "t", "k")
+    assert(v2 === 2L)
+    assert(scanned2 === 1, s"refresh scanned $scanned2 files, expected 1")
+    // the incrementally-built index serves correctly: updated + untouched keys
+    val hit = store.lookup(spark, "t", "k", Seq(7L, 80L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hit === Set((7L, 777L), (80L, 800L)))
+    // and still pins single-file probes
+    assert(store.lookupFiles(spark, "t", "k", Seq(80L)).get.size === 1)
+    // re-invocation on the same version is a no-op
+    assert(store.buildKeyIndexDetailed(spark, "t", "k")._2 === 0)
+  }
+
   test("vacuum drops key-index snapshots of vacuumed versions") {
     val root = java.nio.file.Files.createTempDirectory("graft-versions").toString
     val store = new VersionedStore(root)
