@@ -699,7 +699,164 @@ object Wave6 {
       |FROM ranked, m WHERE rk <= mc
       |GROUP BY label ORDER BY label""".stripMargin
 
+  // ---- profile_psi: population-stability drift between periods ---------
+
+  /** Population Stability Index between the first and second half of
+    * the event stream (split at the median day), per event type, over
+    * 10 equal-width value bands: PSI = Σ (p_i − q_i)·ln(p_i / q_i) —
+    * the standard drift monitor for "did this column's distribution
+    * move". Bands are fixed from the GLOBAL value range (two scalar
+    * aggregates broadcast), counts per (type, period, band) are one hash
+    * aggregation, and the PSI combines on the model-sized band table.
+    * Empty cells take the standard 1e-6 floor so the log is defined.
+    *
+    * Determinism: band populations are integer counts; p, q, each
+    * addend, and the decimal-summed PSI follow the round-then-sum
+    * discipline. The split day comes from an exact percentile over
+    * DISTINCT days (model-sized), so both engines cut identical halves.
+    */
+  private val profilePsi: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("value"))
+    val bounds = ev.agg(min("value").as("vmin"), max("value").as("vmax"),
+      expr("percentile(datediff(d, DATE '1970-01-01'), 0.5)").as("mid"))
+    val banded = ev.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        when(datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("double") <= col("mid"), "p1").otherwise("p2").as("period"),
+        least(floor((col("value") - col("vmin")) /
+          ((col("vmax") - col("vmin")) / 10.0)).cast("int"), lit(9)).as("band"))
+    val cnt = banded.groupBy("event_type", "period", "band")
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("event_type", "period").agg(sum("n").as("nt"))
+    val rates = cnt.join(tot, Seq("event_type", "period"))
+      .select(col("event_type"), col("band"), col("period"),
+        greatest(col("n").cast("double") / col("nt").cast("double"),
+          lit(1e-6)).as("rate"))
+    val wide = rates.groupBy("event_type", "band")
+      .agg(
+        coalesce(max(when(col("period") === "p1", col("rate"))), lit(1e-6)).as("p"),
+        coalesce(max(when(col("period") === "p2", col("rate"))), lit(1e-6)).as("q"))
+    wide
+      .select(col("event_type"),
+        round((col("p") - col("q")) * log(col("p") / col("q")), 9)
+          .cast(DecimalType(18, 9)).as("addend"))
+      .groupBy("event_type")
+      .agg(round(sum(col("addend")).cast("double"), 6).as("psi"),
+        count(lit(1)).as("n_bands"))
+      .orderBy("event_type")
+  }
+
+  private val profilePsiOracle =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, value FROM events),
+      |bounds AS (
+      |  SELECT MIN(value) AS vmin, MAX(value) AS vmax,
+      |    quantile_cont(datediff('day', DATE '1970-01-01', d), 0.5) AS mid
+      |  FROM ev),
+      |banded AS (
+      |  SELECT event_type,
+      |    CASE WHEN CAST(datediff('day', DATE '1970-01-01', d) AS DOUBLE) <= mid
+      |         THEN 'p1' ELSE 'p2' END AS period,
+      |    LEAST(CAST(FLOOR((value - vmin) / ((vmax - vmin) / 10.0)) AS INT), 9) AS band
+      |  FROM ev, bounds),
+      |cnt AS (SELECT event_type, period, band, count(*) AS n
+      |        FROM banded GROUP BY 1, 2, 3),
+      |tot AS (SELECT event_type, period, SUM(n) AS nt FROM cnt GROUP BY 1, 2),
+      |rates AS (
+      |  SELECT c.event_type, c.band, c.period,
+      |    GREATEST(CAST(c.n AS DOUBLE) / CAST(t.nt AS DOUBLE), 1e-6) AS rate
+      |  FROM cnt c JOIN tot t USING (event_type, period)),
+      |wide AS (
+      |  SELECT event_type, band,
+      |    COALESCE(MAX(CASE WHEN period = 'p1' THEN rate END), 1e-6) AS p,
+      |    COALESCE(MAX(CASE WHEN period = 'p2' THEN rate END), 1e-6) AS q
+      |  FROM rates GROUP BY event_type, band)
+      |SELECT event_type,
+      |  round(CAST(SUM(CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS psi,
+      |  CAST(count(*) AS BIGINT) AS n_bands
+      |FROM wide GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- chunk_sentences: sentence-aware context chunking ----------------
+
+  /** Sentence-aware chunking with hard-wrap overflow — the production
+    * RAG-prep shape: documents split on sentence boundaries ([.!?]+
+    * runs); a sentence longer than the wrap width (24 tokens) is
+    * hard-wrapped into ≤24-token pieces (long sentences MUST split or
+    * they'd blow the context budget); pieces then pack in order into
+    * 32-token chunks via the exclusive-prefix floor rule. Each chunk
+    * reports piece/token counts and an md5 fingerprint of its ordered
+    * re-joined text (the retrieval unit's content address). The fixture
+    * corpus has no sentence punctuation, so every doc exercises the
+    * wrap-then-pack path end to end; punctuated text takes the
+    * boundary-respecting path through the same plan.
+    *
+    * Scale shape: two narrow posexplodes (sentences, tokens), hash
+    * aggregation back to pieces, ONE per-doc window for the exclusive
+    * prefix sum (documents are bounded — chunk_stride's envelope), and
+    * one final hash aggregation; ordered re-joins ride sort_array inside
+    * the aggregates, never extra windows.
+    */
+  private val wrapW = 24
+  private val chunkB = 32
+
+  private val chunkSentences: Q = (s, dir) => {
+    val sents = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(
+        filter(transform(split(col("text"), "[.!?]+"), x => trim(x)), x => x =!= ""))
+        .as(Seq("sidx", "sent")))
+    val pieces = sents
+      .select(col("doc_id"), col("sidx"),
+        posexplode(toks(col("sent"))).as(Seq("tpos", "token")))
+      .withColumn("piece", floor(col("tpos") / wrapW).cast("int"))
+      .groupBy("doc_id", "sidx", "piece")
+      .agg(count(lit(1)).as("n_tok"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("tpos"), col("token")))),
+          x => x.getField("token")), " ").as("ptext"))
+    val w = Window.partitionBy("doc_id").orderBy("sidx", "piece")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pieces
+      .withColumn("before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("chunk", floor(col("before") / chunkB).cast("int"))
+      .groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("n_pieces"), sum("n_tok").as("n_tok"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("sidx"), col("piece"), col("ptext")))),
+          x => x.getField("ptext")), " ").cast("binary")).as("fp"))
+      .orderBy("doc_id", "chunk")
+  }
+
+  private val chunkSentencesOracle =
+    s"""WITH sents AS (
+       |  SELECT doc_id, generate_subscripts(ss, 1) - 1 AS sidx, unnest(ss) AS sent
+       |  FROM (SELECT doc_id,
+       |          list_filter(list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)), x -> x <> '') AS ss
+       |        FROM documents)),
+       |toks AS (
+       |  SELECT doc_id, sidx, generate_subscripts(tk, 1) - 1 AS tpos, unnest(tk) AS token
+       |  FROM (SELECT doc_id, sidx,
+       |          list_filter(string_split_regex(lower(sent),'[^a-z0-9]+'), x->x<>'') AS tk
+       |        FROM sents)),
+       |pieces AS (
+       |  SELECT doc_id, sidx, CAST(FLOOR(tpos / $wrapW) AS INT) AS piece,
+       |    CAST(count(*) AS BIGINT) AS n_tok,
+       |    string_agg(token, ' ' ORDER BY tpos) AS ptext
+       |  FROM toks GROUP BY doc_id, sidx, FLOOR(tpos / $wrapW)),
+       |cum AS (
+       |  SELECT doc_id, sidx, piece, n_tok, ptext,
+       |    COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY sidx, piece
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+       |  FROM pieces)
+       |SELECT doc_id, CAST(FLOOR(before / $chunkB) AS INT) AS chunk,
+       |  CAST(count(*) AS BIGINT) AS n_pieces, CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+       |  md5(string_agg(ptext, ' ' ORDER BY sidx, piece)) AS fp
+       |FROM cum GROUP BY doc_id, FLOOR(before / $chunkB)
+       |ORDER BY doc_id, chunk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "chunk_sentences" -> chunkSentences,
+    "profile_psi" -> profilePsi,
     "corpus_split" -> corpusSplit,
     "sample_balanced" -> sampleBalanced,
     "sink_checked" -> sinkChecked,
@@ -716,6 +873,8 @@ object Wave6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "chunk_sentences" -> chunkSentencesOracle,
+    "profile_psi" -> profilePsiOracle,
     "corpus_split" -> corpusSplitOracle,
     "sample_balanced" -> sampleBalancedOracle,
     "sink_checked" -> sinkCheckedOracle,

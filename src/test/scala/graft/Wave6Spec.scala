@@ -168,6 +168,35 @@ class Wave6Spec extends SparkSuite {
     out.unpersist()
   }
 
+  test("profile_psi: non-negative by construction, both halves populated") {
+    val out = Wave6.queries("profile_psi")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // every PSI addend (p-q)·ln(p/q) is >= 0, so the sum must be
+      assert(r.getDouble(1) >= 0.0, s"${r.getString(0)} psi ${r.getDouble(1)}")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 10)
+    }
+  }
+
+  test("chunk_sentences preserves token mass, numbers chunks contiguously, bounds chunk size") {
+    val out = Wave6.queries("chunk_sentences")(spark, sf).persist()
+    val docs = graft.engine.Tables.load(spark, sf, "documents")
+    val tokTotal = docs.select(
+      sum(size(filter(split(lower(col("text")), "[^a-z0-9]+"), x => x =!= "")))
+        .cast("long")).collect()(0).getLong(0)
+    assert(out.agg(sum("n_tok")).collect()(0).getLong(0) === tokTotal)
+    // chunks are 0..k-1 per doc with no gaps
+    val gaps = out.groupBy("doc_id")
+      .agg(min("chunk").as("lo"), max("chunk").as("hi"), count(lit(1)).as("n"))
+      .filter(col("lo") =!= 0 || col("hi") =!= col("n") - 1)
+    assert(gaps.count() === 0)
+    // a chunk never exceeds budget + wrap - 1 tokens (the floor-rule bound)
+    assert(out.filter(col("n_tok") > 32 + 24 - 1).count() === 0)
+    // wrapping engaged on this corpus: some doc has multiple chunks
+    assert(out.groupBy("doc_id").count().filter(col("count") > 1).count() > 0)
+    out.unpersist()
+  }
+
   test("text_textrank: ranks are a probability-like distribution concentrated on hub tokens") {
     val out = Wave6.queries("text_textrank")(spark, sf).persist()
     val scores = out.select("rank_score").collect().map(_.getDouble(0))
