@@ -290,9 +290,10 @@ class VersionedStore(root: String) {
     * genuinely replaces the table, so nothing is shareable) and move the
     * pointer to it. */
   def write(df: DataFrame, name: String): Long = {
-    validateChecks(df, name)
     val next = currentVersion(name).getOrElse(0L) + 1L
-    commitManifest(name, next, df.schema, stageWithStats(df, name, next))
+    val staged = stageWithStats(df, name, next)
+    validateStaged(df.sparkSession, name, df.schema, staged.map(_.file))
+    commitManifest(name, next, df.schema, staged)
     next
   }
 
@@ -306,9 +307,25 @@ class VersionedStore(root: String) {
     val f = checksFile(name)
     if (!f.exists) Seq.empty
     else java.nio.file.Files.readAllLines(f.toPath).asScala.toSeq
-      .filter(_.nonEmpty).map { l =>
+      // a tab-less line cannot be a constraint (writes are atomic, but
+      // never let a damaged file wedge every commit to the table)
+      .filter(l => l.nonEmpty && l.contains('\t')).map { l =>
         val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1))
       }
+  }
+
+  /** Atomic one-file rewrite shared by add/dropCheck: stage to a tmp
+    * sibling, ATOMIC_MOVE into place — a crash leaves either the old or
+    * the new constraint set, never a truncated file. */
+  private def writeChecks(name: String, all: Seq[(String, String)]): Unit = {
+    val tmp = new java.io.File(tdir(name), "_checks.tmp")
+    tdir(name).mkdirs()
+    java.nio.file.Files.writeString(tmp.toPath,
+      all.map { case (n, p) => s"$n\t$p" }.mkString("", "\n", "\n"))
+    java.nio.file.Files.move(tmp.toPath, checksFile(name).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
   }
 
   /** Add (or replace) a CHECK constraint. Like Delta's ADD CONSTRAINT,
@@ -322,34 +339,41 @@ class VersionedStore(root: String) {
       !predicate.contains('\n'), "constraint names/predicates are single-line")
     if (currentVersion(name).isDefined)
       validateWith(read(spark, name), Seq(checkName -> predicate), name)
-    val all = checks(name).filterNot(_._1 == checkName) :+ (checkName -> predicate)
-    val tmp = new java.io.File(tdir(name), "_checks.tmp")
-    tdir(name).mkdirs()
-    java.nio.file.Files.writeString(tmp.toPath,
-      all.map { case (n, p) => s"$n\t$p" }.mkString("", "\n", "\n"))
-    java.nio.file.Files.move(tmp.toPath, checksFile(name).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    ()
+    writeChecks(name, checks(name).filterNot(_._1 == checkName) :+
+      (checkName -> predicate))
   }
 
   def dropCheck(name: String, checkName: String): Unit = {
     val rest = checks(name).filterNot(_._1 == checkName)
     if (rest.isEmpty) { checksFile(name).delete(); () }
-    else {
-      java.nio.file.Files.writeString(checksFile(name).toPath,
-        rest.map { case (n, p) => s"$n\t$p" }.mkString("", "\n", "\n"))
-      ()
-    }
+    else writeChecks(name, rest)
   }
 
-  /** All declared checks in ONE aggregate over `df` (violation counts,
-    * not row dumps — the commit-path cost is a single extra pass of the
-    * incoming rows, zero when no checks exist). A NULL predicate result
-    * is a violation, per SQL CHECK's NOT(coalesce(p, false)) refusal
-    * reading — Delta's WriteIntoDelta does the same. */
-  private def validateChecks(df: DataFrame, name: String): Unit =
-    validateWith(df, checks(name), name)
+  /** All declared checks in ONE aggregate over the STAGED data files
+    * (violation counts, not row dumps — the commit-path cost is one
+    * parquet pass of the incoming rows, zero when no checks exist). A
+    * NULL predicate result is a violation, per SQL CHECK's
+    * NOT(coalesce(p, false)) refusal reading — Delta's WriteIntoDelta
+    * does the same.
+    *
+    * Validating the staged FILES, not the incoming plan, is load-
+    * bearing: a nondeterministic source (rand(), current_timestamp)
+    * would otherwise be evaluated once for validation and AGAIN for
+    * staging, and the staged draw could violate what the validated draw
+    * passed. On violation the staged files are deleted before the
+    * refusal propagates — no orphans, table untouched. */
+  private def validateStaged(spark: SparkSession, name: String,
+      schema: StructType, files: Seq[String]): Unit = {
+    val cs = checks(name)
+    if (cs.isEmpty || files.isEmpty) return
+    try validateWith(
+      spark.read.schema(nullable(schema)).parquet(files.map(absPath(name, _)): _*),
+      cs, name)
+    catch { case e: IllegalStateException =>
+      files.foreach(f => new java.io.File(absPath(name, f)).delete())
+      throw e
+    }
+  }
 
   private def validateWith(df: DataFrame, cs: Seq[(String, String)],
       name: String): Unit = {
@@ -437,10 +461,10 @@ class VersionedStore(root: String) {
       addTxn: Option[(String, Long)]): Long =
     currentVersion(name) match {
       case None =>
-        validateChecks(rawSource, name)
         val next = 1L
-        commitManifest(name, next, rawSource.schema,
-          stageWithStats(rawSource, name, next), addTxn)
+        val staged = stageWithStats(rawSource, name, next)
+        validateStaged(spark, name, rawSource.schema, staged.map(_.file))
+        commitManifest(name, next, rawSource.schema, staged, addTxn)
         next
       case Some(cur) =>
         import org.apache.spark.sql.functions.col
@@ -475,12 +499,12 @@ class VersionedStore(root: String) {
                 source.schema.fields.filterNot(f => tSchema.fieldNames.contains(f.name))
               (align(rewriteTarget, all), align(source, all), StructType(all))
             }
-          // CHECK constraints vet the incoming rows BEFORE anything
-          // stages — a refused merge leaves no orphan files behind.
-          // (Rows carried over from hit files were vetted when they
-          // entered, like Delta, so only the source pays the pass.)
-          validateChecks(mSource, name)
           val staged = stageWithStats(Merge.upsert(mTarget, mSource, keys), name, next)
+          // CHECK constraints vet the staged merge output (carried rows
+          // were vetted when they entered or by addCheck's declaration
+          // scan, so only churn-sized files pay the pass); a violation
+          // deletes the staged files and refuses — table untouched.
+          validateStaged(spark, name, outSchema, staged.map(_.file))
           commitManifest(name, next, outSchema, keep ++ staged, addTxn)
           next
         } finally { source.unpersist(); () }
@@ -644,12 +668,6 @@ class VersionedStore(root: String) {
     }.reduce(_ union _)
   }
 
-  /** Retention: drop all but the latest `keep` manifests (Delta VACUUM
-    * for history), then garbage-collect every data file no retained
-    * manifest references — file sharing means deletion must be
-    * reference-counted, exactly like Delta's vacuum walking the log. The
-    * live version is always retained. Also sweeps `_stage_*` leftovers
-    * of crashed writers. */
   // ---- record-level key index (point-lookup acceleration) --------------
 
   private def indexDir(name: String, keyCol: String) =
@@ -696,10 +714,9 @@ class VersionedStore(root: String) {
         .flatMap(d => d.getName.drop(1).toLongOption.map(_ -> d))
         .filter { case (pv, _) => pv != v && history(name).contains(pv) }
         .sortBy(-_._1).headOption
-    val covered: Set[String] = prior match {
-      case Some((pv, _)) => manifest(name, pv)._2.toSet.intersect(files.toSet)
-      case None => Set.empty
-    }
+    val priorFiles: Set[String] =
+      prior.map { case (pv, _) => manifest(name, pv)._2.toSet }.getOrElse(Set.empty)
+    val covered = priorFiles.intersect(files.toSet)
     val fresh = files.filterNot(covered)
     val scanned =
       if (fresh.isEmpty)
@@ -711,8 +728,13 @@ class VersionedStore(root: String) {
         .distinct()
     val carried = prior match {
       case Some((_, pdir)) if covered.nonEmpty =>
-        spark.read.parquet(pdir.getAbsolutePath)
-          .filter(col("file").isin(covered.toSeq: _*))
+        // exclusion list = prior files DROPPED from this manifest —
+        // churn-sized by construction, unlike `covered`, which is
+        // table-sized at the low-churn envelope and would bloat the
+        // plan as an isin literal list
+        val dropped = (priorFiles -- files.toSet).toSeq
+        val old = spark.read.parquet(pdir.getAbsolutePath)
+        if (dropped.isEmpty) old else old.filter(!col("file").isin(dropped: _*))
       case _ => scanned.limit(0)
     }
     scanned.union(carried)
@@ -763,6 +785,12 @@ class VersionedStore(root: String) {
     }
   }
 
+  /** Retention: drop all but the latest `keep` manifests (Delta VACUUM
+    * for history), then garbage-collect every data file no retained
+    * manifest references — file sharing means deletion must be
+    * reference-counted, exactly like Delta's vacuum walking the log. The
+    * live version is always retained. Also sweeps `_stage_*` leftovers
+    * of crashed writers. */
   def vacuumVersions(name: String, keep: Int): Seq[Long] = {
     require(keep >= 1, "must keep at least the live version")
     val live = currentVersion(name).toSeq

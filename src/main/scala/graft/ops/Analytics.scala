@@ -62,9 +62,9 @@ object Analytics {
     * layout (seeded `df.sample` is neither). */
   private val sampleHash: Q = (s, dir) =>
     t(s, dir, "lineitem")
-      .filter(pmod(conv(substring(md5(
-          concat_ws("#", col("l_orderkey"), col("l_linenumber")).cast("binary")),
-          1, 15), 16, 10).cast("bigint"), lit(10)) === 0)
+      .filter(Hashing.md5Bucket(
+        concat_ws("#", col("l_orderkey"), col("l_linenumber")).cast("binary"),
+        10) === 0)
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .orderBy("l_orderkey", "l_linenumber")
 

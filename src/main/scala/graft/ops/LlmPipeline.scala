@@ -109,8 +109,7 @@ object LlmPipeline {
   /** Cross-engine 60-bit hash: top 15 hex digits of md5, as a bigint —
     * computable identically in DuckDB, unlike xxhash64. */
   def h15(p: Int, sh: Column): Column =
-    conv(substring(md5(concat(lit(p.toString), lit("#"), sh).cast("binary")), 1, 15), 16, 10)
-      .cast("bigint")
+    Hashing.md5Long(concat(lit(p.toString), lit("#"), sh).cast("binary"))
 
   /** MinHash+LSH with a portable hash: the ENTIRE pipeline — shingling,
     * 32 permutation min-hashes, 8-band bucketing, candidate join,
@@ -143,8 +142,7 @@ object LlmPipeline {
     // (measured ~3.5x cheaper at sf0.1).
     val sg = d.select(col("doc_id"), explode(shingles).as("sh"))
       .withColumn("h",
-        conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10)
-          .cast("bigint") % lit(minhashHBits))
+        Hashing.md5Long(col("sh").cast("binary")) % lit(minhashHBits))
     val mins = minhashPerms.take(k).zipWithIndex.map { case ((a, b), p) =>
       min((lit(a) * col("h") + lit(b)) % lit(minhashP)).as(s"m$p") }
     val sig = sg.groupBy("doc_id").agg(mins.head, mins.tail: _*)

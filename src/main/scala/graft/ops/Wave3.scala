@@ -305,8 +305,7 @@ object Wave3 {
     * content-hash residue as sample_hash — deterministic, engine- and
     * layout-independent, a narrow map evaluated at the scan. */
   private val sampleStratified: Q = (s, dir) => {
-    val h = pmod(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
-      16, 10).cast("bigint"), lit(100))
+    val h = Hashing.md5Bucket(col("doc_id").cast("string").cast("binary"), 100)
     t(s, dir, "documents")
       .withColumn("bucket", h)
       .filter(col("bucket") < when(col("lang") === "en", 10).otherwise(50))

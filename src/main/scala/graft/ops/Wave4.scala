@@ -99,7 +99,7 @@ object Wave4 {
     * serializing on one global ORDER BY. */
   private val shuffleGlobal: Q = (s, dir) => {
     val h = md5(col("doc_id").cast("string").cast("binary"))
-    val shard = pmod(conv(substring(h, 1, 15), 16, 10).cast("bigint"), lit(8))
+    val shard = pmod(Hashing.md5HexLong(h), lit(8))
     val w = Window.partitionBy("shard").orderBy("h", "doc_id")
     t(s, dir, "documents")
       .select(col("doc_id"), h.as("h"), shard.as("shard"))

@@ -64,25 +64,29 @@ object Wave6 {
     * ONE aggregation pass computes every moment (n, Σx, Σx², Σxy for all
     * 6 pairs). Pearson r is invariant under positive linear scaling, so
     * the 2-decimal fixture columns are scaled to EXACT integers (×100)
-    * first and every moment is an order-independent integer sum —
-    * DECIMAL(38,0) here, HUGEINT in the oracle — making the shuffled
-    * state 15 numbers, not data, with no float accumulation anywhere.
-    * The correlations are then derived on the model-sized aggregate in
-    * double and rounded. Adding columns grows the aggregate width
-    * (k² moments), never the number of passes — the right trade until
-    * k² outgrows a row, which a 51-column warehouse is nowhere near.
+    * first and every moment is an order-independent integer sum — pure
+    * LONG accumulators (product sums split hi/mid/lo, see the inline
+    * note), making the shuffled state 35 longs, not data, with no
+    * decimal or float accumulation anywhere. The correlations are then
+    * derived on the model-sized aggregate in double and rounded. Adding
+    * columns grows the aggregate width (k² moments), never the number
+    * of passes — the right trade until k² outgrows a row, which a
+    * 51-column warehouse is nowhere near.
     */
   private val corrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   private val profileCorrMatrix: Q = (s, dir) => {
     // Everything per-row AND per-accumulator stays in LONG: scaled
     // values are ~1e7, so products are ~1e14 (exact in long); product
-    // sums would reach ~1e20, so each product sum is SPLIT into hi/lo
-    // long sums by 1e9 (both parts stay < 2^63 up to ~10^10 rows — the
-    // 100 TB lineitem envelope) and recombined in double at the end:
-    // hi·1e9 + lo, identical IEEE steps in the oracle. No decimal, no
-    // float accumulation — the aggregate is 25 long adders.
-    val B = 1000000000L
+    // sums would reach ~1e26 at the 100 TB row count (~6e11 lineitem
+    // rows), so each product sum is SPLIT into THREE long sums —
+    // hi = p div 1e9 (≤ ~1.7e5/row), mid = (p mod 1e9) div 1e3
+    // (< 1e6/row), lo = p mod 1e3 (< 1e3/row) — every accumulator
+    // stays under 2^63 out to ~5e13 rows. Recombination runs in double
+    // at the end (hi·1e9 + mid·1e3 + lo), identical IEEE steps in the
+    // oracle. No decimal, no float accumulation — 35 long adders.
+    val B1 = 1000000000L
+    val B2 = 1000L
     val dec = corrCols.map(c => round(col(c) * 100).cast("long").as(c))
     val li = t(s, dir, "lineitem").select(dec: _*)
     val prods = corrCols.map(c => (Seq(c, c), s"q_$c")) ++
@@ -93,12 +97,15 @@ object Wave6 {
       Seq(count(lit(1)).as("n")) ++
         corrCols.map(c => sum(col(c)).as(s"s_$c")) ++
         prods.flatMap { case (_, nm) => Seq(
-          sum(expr(s"$nm DIV $B")).as(s"${nm}_hi"),
-          sum(col(nm) % B).as(s"${nm}_lo"))
+          sum(expr(s"$nm DIV $B1")).as(s"${nm}_hi"),
+          sum(expr(s"($nm % $B1) DIV $B2")).as(s"${nm}_mid"),
+          sum(col(nm) % B2).as(s"${nm}_lo"))
         }
     val agg = withP.agg(moments.head, moments.tail: _*)
     def recomb(nm: String): Column =
-      col(s"${nm}_hi").cast("double") * B.toDouble + col(s"${nm}_lo").cast("double")
+      col(s"${nm}_hi").cast("double") * B1.toDouble +
+        col(s"${nm}_mid").cast("double") * B2.toDouble +
+        col(s"${nm}_lo").cast("double")
     val pairRows = corrCols.combinations(2).map { case Seq(a, b) =>
       struct(lit(a).as("col_x"), lit(b).as("col_y"),
         col("n").cast("double").as("n"),
@@ -118,12 +125,16 @@ object Wave6 {
   }
 
   private val profileCorrMatrixOracle = {
-    val B = 1000000000L
+    val B1 = 1000000000L
+    val B2 = 1000L
     def i(c: String) = s"CAST(round($c * 100) AS BIGINT)"
-    // mirror the hi/lo long-sum split and the double recombination
-    // hi*1e9 + lo step for step (integer sums exact, IEEE ops identical)
+    // mirror the hi/mid/lo long-sum split and the double recombination
+    // hi*1e9 + mid*1e3 + lo step for step (integer sums exact, IEEE ops
+    // identical)
     def rec(p: String) =
-      s"(CAST(SUM(($p) // $B) AS DOUBLE) * ${B.toDouble} + CAST(SUM(($p) % $B) AS DOUBLE))"
+      s"(CAST(SUM(($p) // $B1) AS DOUBLE) * ${B1.toDouble} + " +
+        s"CAST(SUM((($p) % $B1) // $B2) AS DOUBLE) * ${B2.toDouble} + " +
+        s"CAST(SUM(($p) % $B2) AS DOUBLE))"
     val mom =
       Seq("CAST(count(*) AS DOUBLE) AS n") ++
         corrCols.map(c => s"CAST(SUM(${i(c)}) AS DOUBLE) AS s_$c") ++
@@ -639,8 +650,7 @@ object Wave6 {
     * starts from.
     */
   private val corpusSplit: Q = (s, dir) => {
-    val bucket = pmod(conv(substring(md5(col("text").cast("binary")), 1, 15),
-      16, 10).cast("bigint"), lit(100))
+    val bucket = Hashing.md5Bucket(col("text").cast("binary"), 100)
     t(s, dir, "documents")
       .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tok"),
         when(bucket <= 97, "train").when(bucket === 98, "val")
@@ -712,8 +722,8 @@ object Wave6 {
     *
     * Determinism: band populations are integer counts; p, q, each
     * addend, and the decimal-summed PSI follow the round-then-sum
-    * discipline. The split day comes from an exact percentile over
-    * DISTINCT days (model-sized), so both engines cut identical halves.
+    * discipline. The split day is the exact ROW-weighted median event
+    * day (one scalar percentile), so both engines cut identical halves.
     */
   private val profilePsi: Q = (s, dir) => {
     val ev = t(s, dir, "events")
