@@ -387,22 +387,29 @@ object Wave6 {
     * counts (pair-vocabulary-sized) → global top-20 via
     * TakeOrderedAndProject. Nothing all-pairs across documents.
     */
-  private val textCooccur: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
+  /** Shared pair machinery for text_cooccur / text_keyphrases: frequent
+    * tokens (df ≥ 5% of docs) and their supported co-occurrence pairs
+    * (≥ 2% of docs), with document frequencies attached. */
+  private def freqPairs(docs: DataFrame): (DataFrame, DataFrame) = {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val td = docs
       .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("token"))
-    val freq = td.groupBy("token").agg(count(lit(1)).as("df"))
+    val df = td.groupBy("token").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
-      .filter(col("df") >= col("n_docs") * 0.05)
-      .select("token")
+    val freq = df.filter(col("df") >= col("n_docs") * 0.05).select("token")
     val ft = td.join(broadcast(freq), Seq("token"))
     val pairs = ft.as("a").join(ft.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))
       .select(col("a.token").as("t1"), col("b.token").as("t2"))
-    pairs.groupBy("t1", "t2").agg(count(lit(1)).as("n_docs_both"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("n_docs_both"))
       .crossJoin(broadcast(nDocs))
       .filter(col("n_docs_both") >= col("n_docs") * 0.02)
+    (df, pairs)
+  }
+
+  private val textCooccur: Q = (s, dir) => {
+    val (_, pairs) = freqPairs(t(s, dir, "documents"))
+    pairs
       .select("t1", "t2", "n_docs_both")
       .orderBy(col("n_docs_both").desc, col("t1"), col("t2"))
       .limit(20)
@@ -864,7 +871,188 @@ object Wave6 {
        |FROM cum GROUP BY doc_id, FLOOR(before / $chunkB)
        |ORDER BY doc_id, chunk""".stripMargin
 
+  // ---- text_keyphrases: PMI collocation ranking ------------------------
+
+  /** Keyphrase mining by pointwise mutual information: the top-15
+    * frequent co-occurring pairs ranked by PMI = ln(N·c12 / (c1·c2)) —
+    * pairs that appear together far MORE than their individual
+    * frequencies predict (the complement of raw-count collocation,
+    * which just surfaces common words). Shares the apriori-pruned pair
+    * machinery with text_cooccur; all counts are integer document
+    * frequencies, so the PMI doubles are identical cross-engine and
+    * round at the output.
+    */
+  private val textKeyphrases: Q = (s, dir) => {
+    val (df, pairs) = freqPairs(t(s, dir, "documents"))
+    val d1 = df.select(col("token").as("t1"), col("df").as("c1"))
+    val d2 = df.select(col("token").as("t2"), col("df").as("c2"))
+    pairs
+      .join(broadcast(d1), "t1").join(broadcast(d2), "t2")
+      .select(col("t1"), col("t2"), col("n_docs_both"),
+        round(log(col("n_docs").cast("double") * col("n_docs_both") /
+          (col("c1").cast("double") * col("c2"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("t1"), col("t2"))
+      .limit(15)
+  }
+
+  private val textKeyphrasesOracle =
+    s"""WITH td AS (
+       |  SELECT DISTINCT doc_id, unnest($duckToks) AS token FROM documents),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |df AS (SELECT token, count(*) AS df FROM td GROUP BY token),
+       |freq AS (SELECT token FROM df WHERE df >= (SELECT n_docs FROM n) * 0.05),
+       |ft AS (SELECT doc_id, token FROM td SEMI JOIN freq USING (token)),
+       |pairs AS (
+       |  SELECT a.token AS t1, b.token AS t2, count(*) AS n_docs_both
+       |  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
+       |  GROUP BY a.token, b.token
+       |  HAVING count(*) >= (SELECT n_docs FROM n) * 0.02)
+       |SELECT t1, t2, CAST(n_docs_both AS BIGINT) AS n_docs_both,
+       |  round(ln(CAST((SELECT n_docs FROM n) AS DOUBLE) * n_docs_both /
+       |    (CAST(d1.df AS DOUBLE) * d2.df)), 6) AS pmi
+       |FROM pairs
+       |JOIN df d1 ON pairs.t1 = d1.token
+       |JOIN df d2 ON pairs.t2 = d2.token
+       |ORDER BY pmi DESC, t1, t2 LIMIT 15""".stripMargin
+
+  // ---- join_asof_nearest: nearest-in-time join -------------------------
+
+  /** Nearest as-of join (pandas merge_asof direction='nearest'): each
+    * event matches the user's order with the SMALLEST time distance in
+    * either direction, ties to the earlier date — completing the as-of
+    * family (join_asof is the backward half). Selection rides a
+    * lexicographic struct-min over (distance, date) inside the same
+    * key-partitioned aggregate as join_asof — no window, no second
+    * shuffle, per-key fan-out bounded by orders-per-customer; the
+    * union+window form (asOfJoinWindow run in both directions) remains
+    * the skew path at scale.
+    */
+  private val joinAsofNearest: Q = (s, dir) => {
+    val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      to_date(col("ts")).as("ed"))
+    val o = t(s, dir, "orders").select(col("o_custkey"),
+      col("o_orderdate").cast("date").as("od"))
+    e.join(o, col("user_id") === col("o_custkey"), "left")
+      .withColumn("dist", abs(datediff(col("od"), col("ed"))))
+      .groupBy("event_id", "user_id")
+      .agg(min(struct(col("dist"), col("od"))).as("m"))
+      .select(col("event_id"), col("user_id"),
+        col("m.od").as("nearest_date"), col("m.dist").as("dist_days"))
+      .orderBy("event_id")
+  }
+
+  private val joinAsofNearestOracle =
+    """WITH c AS (
+      |  SELECT e.event_id, e.user_id, o.o_orderdate AS od,
+      |    abs(datediff('day', CAST(e.ts AS DATE), CAST(o.o_orderdate AS DATE))) AS dist,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY abs(datediff('day', CAST(e.ts AS DATE), CAST(o.o_orderdate AS DATE))),
+      |               o.o_orderdate) AS rn
+      |  FROM events e LEFT JOIN orders o ON e.user_id = o.o_custkey)
+      |SELECT event_id, user_id, CAST(od AS DATE) AS nearest_date,
+      |  CAST(dist AS INT) AS dist_days
+      |FROM c WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  // ---- profile_winsorized: robust (clipped) column statistics ----------
+
+  /** Winsorized statistics per group: l_extendedprice clipped to its
+    * group's exact [p5, p95] before the mean — the outlier-robust
+    * profile panel (a heavy tail moves a plain mean; the winsorized
+    * mean pins distribution shift instead). Two aggregations over the
+    * SAME shuffle key (percentiles, then clipped moments with the
+    * thresholds broadcast back); clipped addends round-then-DECIMAL-sum
+    * so the float mean is partial-agg-order-proof. Clip counts quantify
+    * the tail mass directly.
+    */
+  private val profileWinsorized: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
+    val thr = li.groupBy("l_returnflag").agg(
+      expr("percentile(l_extendedprice, 0.05)").as("p5"),
+      expr("percentile(l_extendedprice, 0.95)").as("p95"))
+    val clipped = greatest(least(col("l_extendedprice"), col("p95")), col("p5"))
+    li.join(broadcast(thr), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(first(col("p5")), 6).as("p5"),
+        round(first(col("p95")), 6).as("p95"),
+        round(sum(round(clipped, 6).cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)), 6).as("wins_mean"),
+        sum(when(col("l_extendedprice") < col("p5"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("l_extendedprice") > col("p95"), 1L).otherwise(0L)).as("n_clip_hi"))
+      .orderBy("l_returnflag")
+  }
+
+  private val profileWinsorizedOracle =
+    """WITH thr AS (
+      |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.05) AS p5,
+      |    quantile_cont(l_extendedprice, 0.95) AS p95
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  round(any_value(p5), 6) AS p5, round(any_value(p95), 6) AS p95,
+      |  round(CAST(SUM(CAST(round(GREATEST(LEAST(l_extendedprice, p95), p5), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS wins_mean,
+      |  CAST(SUM(CASE WHEN l_extendedprice < p5 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+      |  CAST(SUM(CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi
+      |FROM lineitem l JOIN thr USING (l_returnflag)
+      |GROUP BY l.l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- events_sessionize: per-session batch statistics -----------------
+
+  /** Batch sessionization with per-session facts: 30-minute-gap session
+    * boundaries (the stream_session contract) plus what the streaming
+    * form cannot easily report — per-session event counts, wall
+    * duration, and a conversion flag (any purchase). One shuffle on
+    * user_id: the lag/flag/cumsum cascade and the session aggregate all
+    * ride the same key partitioning; session ids are (user, ordinal) so
+    * the output is total-ordered.
+    */
+  private val eventsSessionize: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = t(s, dir, "events")
+      .filter(col("user_id") < 200)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    ev.withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull ||
+          col("ts").cast("long") - col("prev").cast("long") > 1800, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("dur_sec"),
+        max(when(col("event_type") === "purchase", true).otherwise(false)).as("converted"))
+      .orderBy("user_id", "sess")
+  }
+
+  private val eventsSessionizeOracle =
+    """WITH e AS (
+      |  -- per-row WHOLE seconds (floored), matching Spark's
+      |  -- timestamp-to-long truncation — fractional epochs would flip
+      |  -- gap comparisons near exactly 1800s and drift durations by 1
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+      |    CAST(FLOOR(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS prev_sec
+      |  FROM events WHERE user_id < 200),
+      |f AS (
+      |  SELECT user_id, ts, event_id, event_type, sec,
+      |    CASE WHEN prev IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, sec, event_type,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+      |  FROM f)
+      |SELECT user_id, sess, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(MAX(sec) - MIN(sec) AS BIGINT) AS dur_sec,
+      |  MAX(event_type = 'purchase') AS converted
+      |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_keyphrases" -> textKeyphrases,
+    "join_asof_nearest" -> joinAsofNearest,
+    "profile_winsorized" -> profileWinsorized,
+    "events_sessionize" -> eventsSessionize,
     "chunk_sentences" -> chunkSentences,
     "profile_psi" -> profilePsi,
     "corpus_split" -> corpusSplit,
@@ -883,6 +1071,10 @@ object Wave6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_keyphrases" -> textKeyphrasesOracle,
+    "join_asof_nearest" -> joinAsofNearestOracle,
+    "profile_winsorized" -> profileWinsorizedOracle,
+    "events_sessionize" -> eventsSessionizeOracle,
     "chunk_sentences" -> chunkSentencesOracle,
     "profile_psi" -> profilePsiOracle,
     "corpus_split" -> corpusSplitOracle,

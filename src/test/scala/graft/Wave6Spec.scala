@@ -168,6 +168,62 @@ class Wave6Spec extends SparkSuite {
     out.unpersist()
   }
 
+  test("join_asof_nearest dominates the backward as-of match in time distance") {
+    val nearest = Wave6.queries("join_asof_nearest")(spark, sf).persist()
+    // one row per event
+    val nEvents = graft.engine.Tables.load(spark, sf, "events").count()
+    assert(nearest.count() === nEvents)
+    // nearest distance <= backward-only distance wherever backward matched
+    val e = graft.engine.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("ed"))
+    val o = graft.engine.Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"))
+    val backward = e.join(o, col("user_id") === col("o_custkey") &&
+        col("od") <= col("ed"), "left")
+      .groupBy("event_id")
+      .agg(min(abs(datediff(col("od"), col("ed")))).as("bdist"))
+      .filter(col("bdist").isNotNull)
+    val cmp = nearest.join(backward, "event_id")
+    assert(cmp.filter(col("dist_days") > col("bdist")).count() === 0)
+    nearest.unpersist()
+  }
+
+  test("profile_winsorized: mean inside the clip band, ~5% clipped each side") {
+    val out = Wave6.queries("profile_winsorized")(spark, sf).collect()
+    out.foreach { r =>
+      val (n, p5, p95, m) = (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(m >= p5 - 1e-6 && m <= p95 + 1e-6)
+      val (lo, hi) = (r.getLong(5), r.getLong(6))
+      // exact percentile ⇒ clip fractions are ~5% (±1 row of interpolation)
+      assert(math.abs(lo.toDouble / n - 0.05) < 0.02, s"clip_lo $lo/$n")
+      assert(math.abs(hi.toDouble / n - 0.05) < 0.02, s"clip_hi $hi/$n")
+    }
+  }
+
+  test("events_sessionize: contiguous session ids, non-negative durations, full coverage") {
+    val out = Wave6.queries("events_sessionize")(spark, sf).persist()
+    assert(out.filter(col("dur_sec") < 0).count() === 0)
+    assert(out.filter(col("n_events") < 1).count() === 0)
+    val ids = out.groupBy("user_id")
+      .agg(min("sess").as("lo"), max("sess").as("hi"), count(lit(1)).as("n"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n"))
+    assert(ids.count() === 0)
+    val covered = out.agg(sum("n_events")).collect()(0).getLong(0)
+    val input = graft.engine.Tables.load(spark, sf, "events")
+      .filter(col("user_id") < 200).count()
+    assert(covered === input)
+    out.unpersist()
+  }
+
+  test("text_keyphrases: PMI-ordered, distinct, bounded pairs") {
+    val out = Wave6.queries("text_keyphrases")(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 15)
+    val scores = out.map(_.getDouble(3))
+    assert(scores.sameElements(scores.sorted.reverse))
+    assert(out.map(r => (r.getString(0), r.getString(1))).distinct.length === out.length)
+    out.foreach(r => assert(r.getString(0) < r.getString(1)))
+  }
+
   test("profile_psi: non-negative by construction, both halves populated") {
     val out = Wave6.queries("profile_psi")(spark, sf).collect()
     assert(out.nonEmpty)
