@@ -1,0 +1,56 @@
+package graft
+
+/** Physical-plan shape assertions for the wave-6 operators — the scale
+  * claims each query's doc comment makes, pinned against the executed
+  * plan (the BehaviorSpec convention: assert on the final AQE plan). */
+class Wave6PlanSpec extends SparkSuite {
+
+  private def planOf(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("profile_corr_matrix is ONE aggregation pass: a single global exchange, no joins, no windows") {
+    val plan = planOf("profile_corr_matrix")
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(1500))
+    assert("Exchange SinglePartition".r.findAllIn(plan).length === 1, plan.take(1500))
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(1500))
+  }
+
+  test("timeseries_resample needs no window: one keyed exchange, struct min/max in the aggregate") {
+    val plan = planOf("timeseries_resample")
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("Join"), plan.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan.take(1500))
+  }
+
+  test("join_fuzzy blocks inside a BROADCAST loop over the model-sized dictionary") {
+    val plan = planOf("join_fuzzy")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      plan.take(1500))
+  }
+
+  test("sample_balanced never serializes onto one task: no SinglePartition exchange anywhere") {
+    val plan = planOf("sample_balanced")
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(1500))
+    // the rank window is (range-partition, group)-keyed, never global
+    assert(!plan.contains("windowspecdefinition()"), plan.take(1500))
+  }
+
+  test("chunk_sentences reuses the doc_id exchange: two keyed shuffles end to end") {
+    val plan = planOf("chunk_sentences")
+    // pieces aggregate + doc window; the final chunk aggregate rides the
+    // window's doc_id partitioning without a third exchange
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 2, plan.take(2000))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(1500))
+  }
+
+  test("text_textrank supersteps are broadcast joins of the rank vector — the edge list never reshuffles") {
+    val plan = planOf("text_textrank")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(1500))
+  }
+}
