@@ -1048,7 +1048,110 @@ object Wave6 {
       |  MAX(event_type = 'purchase') AS converted
       |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin
 
+  // ---- sim_hard_negatives: contrastive-training negative mining --------
+
+  /** Hard-negative mining: for each query vector, the top-3 most
+    * cosine-similar vectors with a DIFFERENT label — the negatives that
+    * sit closest to the decision boundary, which contrastive training
+    * samples preferentially (easy random negatives teach nothing). The
+    * sim_knn_join shape with a label-inequality conjunct: queries
+    * broadcast, corpus never shuffles, two-phase per-query top-k.
+    */
+  private val simHardNegatives: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label").as("neg_label"),
+        round(graft.functions.Native.cosineSim(col("v"), col("qv")), 6).as("cos"))
+    val order = Seq(desc("cos"), asc("vec_id"))
+    val local = Window.partitionBy("pid", "qid").orderBy(order: _*)
+    val global = Window.partitionBy("qid").orderBy(order: _*)
+    scored.withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= 3)
+      .withColumn("rn", row_number().over(global).cast("bigint")).filter(col("rn") <= 3)
+      .select("qid", "qlabel", "vec_id", "neg_label", "cos", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  private val simHardNegativesOracle =
+    """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT qid, qlabel, vec_id, label AS neg_label,
+      |    ROUND(list_aggregate(list_transform(list_zip(v, qv), x -> x[1] * x[2]), 'sum')
+      |      / (SQRT(list_aggregate(list_transform(v, x -> x*x), 'sum')) * SQRT(list_aggregate(list_transform(qv, x -> x*x), 'sum'))), 6) AS cos
+      |  FROM e CROSS JOIN q WHERE label <> qlabel)
+      |SELECT qid, qlabel, vec_id, neg_label, cos, rn FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rn FROM scored)
+      |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
+  // ---- embed_matryoshka: truncated-dimension retrieval fidelity --------
+
+  /** Matryoshka truncation fidelity: re-run each query's exact top-3
+    * retrieval using only the FIRST 16 of 32 dimensions and report how
+    * many of the full-dimension top-3 survive — the measurement that
+    * decides whether truncated (cheaper) embeddings are good enough to
+    * serve. Both retrievals share the broadcast-queries / two-phase
+    * top-k shape; the overlap join is top-k-sized.
+    */
+  private val embedMatryoshka: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    def topk(sim: Column): DataFrame = {
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), round(sim, 6).as("cos"))
+      val order = Seq(desc("cos"), asc("vec_id"))
+      val local = Window.partitionBy("pid", "qid").orderBy(order: _*)
+      val global = Window.partitionBy("qid").orderBy(order: _*)
+      scored.withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= 3)
+        .withColumn("rn", row_number().over(global)).filter(col("rn") <= 3)
+        .select("qid", "vec_id")
+    }
+    val full = topk(graft.functions.Native.cosineSim(col("v"), col("qv")))
+    val trunc = topk(graft.functions.Native.cosineSim(
+      slice(col("v"), 1, 16), slice(col("qv"), 1, 16)))
+    full.join(trunc, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_kept"))
+      .join(full.groupBy("qid").agg(count(lit(1)).as("n_full")), Seq("qid"), "right")
+      .select(col("qid"), coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("n_full"))
+      .orderBy("qid")
+  }
+
+  private val embedMatryoshkaOracle =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+      |fullk AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+      |      ROUND(list_aggregate(list_transform(list_zip(v, qv), x -> x[1] * x[2]), 'sum')
+      |        / (SQRT(list_aggregate(list_transform(v, x -> x*x), 'sum')) * SQRT(list_aggregate(list_transform(qv, x -> x*x), 'sum'))), 6) DESC,
+      |      vec_id ASC) AS rn
+      |    FROM e CROSS JOIN q WHERE vec_id <> qid) WHERE rn <= 3),
+      |trunck AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+      |      ROUND(list_aggregate(list_transform(list_zip(v[1:16], qv[1:16]), x -> x[1] * x[2]), 'sum')
+      |        / (SQRT(list_aggregate(list_transform(v[1:16], x -> x*x), 'sum')) * SQRT(list_aggregate(list_transform(qv[1:16], x -> x*x), 'sum'))), 6) DESC,
+      |      vec_id ASC) AS rn
+      |    FROM e CROSS JOIN q WHERE vec_id <> qid) WHERE rn <= 3)
+      |SELECT f.qid, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(f.n_full AS BIGINT) AS n_full
+      |FROM (SELECT qid, count(*) AS n_full FROM fullk GROUP BY qid) f
+      |LEFT JOIN (
+      |  SELECT fullk.qid, count(*) AS n_kept
+      |  FROM fullk SEMI JOIN trunck USING (qid, vec_id)
+      |  GROUP BY fullk.qid) k ON f.qid = k.qid
+      |ORDER BY f.qid""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sim_hard_negatives" -> simHardNegatives,
+    "embed_matryoshka" -> embedMatryoshka,
     "text_keyphrases" -> textKeyphrases,
     "join_asof_nearest" -> joinAsofNearest,
     "profile_winsorized" -> profileWinsorized,
@@ -1071,6 +1174,8 @@ object Wave6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_hard_negatives" -> simHardNegativesOracle,
+    "embed_matryoshka" -> embedMatryoshkaOracle,
     "text_keyphrases" -> textKeyphrasesOracle,
     "join_asof_nearest" -> joinAsofNearestOracle,
     "profile_winsorized" -> profileWinsorizedOracle,

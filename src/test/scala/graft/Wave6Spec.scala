@@ -168,6 +168,26 @@ class Wave6Spec extends SparkSuite {
     out.unpersist()
   }
 
+  test("sim_hard_negatives: never the query's own label, 3 per query, valid cosines") {
+    val out = Wave6.queries("sim_hard_negatives")(spark, sf).persist()
+    assert(out.filter(col("qlabel") === col("neg_label")).count() === 0)
+    assert(out.filter(col("cos") < -1.000001 || col("cos") > 1.000001).count() === 0)
+    val per = out.groupBy("qid").count().select("count").collect().map(_.getLong(0))
+    assert(per.forall(_ === 3L))
+    out.unpersist()
+  }
+
+  test("embed_matryoshka: overlap bounded by k and not degenerate") {
+    val out = Wave6.queries("embed_matryoshka")(spark, sf).collect()
+    assert(out.length === 10)
+    out.foreach { r =>
+      assert(r.getLong(2) === 3L)
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 3L)
+    }
+    // half the dimensions should preserve SOME retrieval signal overall
+    assert(out.map(_.getLong(1)).sum > 0L)
+  }
+
   test("join_asof_nearest dominates the backward as-of match in time distance") {
     val nearest = Wave6.queries("join_asof_nearest")(spark, sf).persist()
     // one row per event
