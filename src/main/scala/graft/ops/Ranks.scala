@@ -115,4 +115,23 @@ object Ranks {
       .otherwise(r + idiv(rank - cut - 1L, greatest(q, lit(1L))) + 1L)
       .cast("int")
   }
+
+  /** Bounded per-group top-k, two-phase: local row_number inside each
+    * physical partition prunes to ≤k rows per (partition, group) BEFORE
+    * the global rank — ranking parallelism is cluster-width, not
+    * #groups, and the global window only ever sees #partitions×k rows
+    * per group. Adds `rn` (1-based BIGINT) and keeps rows with rn ≤ k.
+    * `order` must totally order rows within a group (tie-break column
+    * included) or the survivor set is nondeterministic. The shared core
+    * behind sim_knn_join / sim_hard_negatives / embed_matryoshka. */
+  def perGroupTopK(df: DataFrame, group: Seq[String], order: Seq[Column],
+      k: Int): DataFrame = {
+    val groupCols = group.map(col)
+    val local = Window.partitionBy(col("__pid") +: groupCols: _*).orderBy(order: _*)
+    val global = Window.partitionBy(groupCols: _*).orderBy(order: _*)
+    df.withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(local)).filter(col("__lrn") <= k)
+      .withColumn("rn", row_number().over(global).cast("bigint")).filter(col("rn") <= k)
+      .drop("__pid", "__lrn")
+  }
 }

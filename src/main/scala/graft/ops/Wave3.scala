@@ -553,12 +553,7 @@ object Wave3 {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(graft.functions.Native.cosineSim(col("v"), col("qv")), 6).as("cos"))
-    val order = Seq(desc("cos"), asc("vec_id"))
-    val local = Window.partitionBy("pid", "qid").orderBy(order: _*)
-    val global = Window.partitionBy("qid").orderBy(order: _*)
-    scored.withColumn("pid", spark_partition_id())
-      .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= 3)
-      .withColumn("rn", row_number().over(global).cast("bigint")).filter(col("rn") <= 3)
+    Ranks.perGroupTopK(scored, Seq("qid"), Seq(desc("cos"), asc("vec_id")), 3)
       .select("qid", "vec_id", "cos", "rn")
       .orderBy("qid", "rn")
   }

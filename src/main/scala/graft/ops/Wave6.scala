@@ -1045,7 +1045,7 @@ object Wave6 {
       |  FROM f)
       |SELECT user_id, sess, CAST(count(*) AS BIGINT) AS n_events,
       |  CAST(MAX(sec) - MIN(sec) AS BIGINT) AS dur_sec,
-      |  MAX(event_type = 'purchase') AS converted
+      |  COALESCE(MAX(event_type = 'purchase'), FALSE) AS converted
       |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin
 
   // ---- sim_hard_negatives: contrastive-training negative mining --------
@@ -1066,12 +1066,7 @@ object Wave6 {
       .filter(col("label") =!= col("qlabel"))
       .select(col("qid"), col("qlabel"), col("vec_id"), col("label").as("neg_label"),
         round(graft.functions.Native.cosineSim(col("v"), col("qv")), 6).as("cos"))
-    val order = Seq(desc("cos"), asc("vec_id"))
-    val local = Window.partitionBy("pid", "qid").orderBy(order: _*)
-    val global = Window.partitionBy("qid").orderBy(order: _*)
-    scored.withColumn("pid", spark_partition_id())
-      .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= 3)
-      .withColumn("rn", row_number().over(global).cast("bigint")).filter(col("rn") <= 3)
+    Ranks.perGroupTopK(scored, Seq("qid"), Seq(desc("cos"), asc("vec_id")), 3)
       .select("qid", "qlabel", "vec_id", "neg_label", "cos", "rn")
       .orderBy("qid", "rn")
   }
@@ -1091,7 +1086,7 @@ object Wave6 {
   // ---- embed_matryoshka: truncated-dimension retrieval fidelity --------
 
   /** Matryoshka truncation fidelity: re-run each query's exact top-3
-    * retrieval using only the FIRST 16 of 32 dimensions and report how
+    * retrieval using only the FIRST 16 of 64 dimensions and report how
     * many of the full-dimension top-3 survive — the measurement that
     * decides whether truncated (cheaper) embeddings are good enough to
     * serve. Both retrievals share the broadcast-queries / two-phase
@@ -1105,12 +1100,7 @@ object Wave6 {
       val scored = e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"), round(sim, 6).as("cos"))
-      val order = Seq(desc("cos"), asc("vec_id"))
-      val local = Window.partitionBy("pid", "qid").orderBy(order: _*)
-      val global = Window.partitionBy("qid").orderBy(order: _*)
-      scored.withColumn("pid", spark_partition_id())
-        .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= 3)
-        .withColumn("rn", row_number().over(global)).filter(col("rn") <= 3)
+      Ranks.perGroupTopK(scored, Seq("qid"), Seq(desc("cos"), asc("vec_id")), 3)
         .select("qid", "vec_id")
     }
     val full = topk(graft.functions.Native.cosineSim(col("v"), col("qv")))

@@ -35,8 +35,9 @@ class Wave6PlanSpec extends SparkSuite {
   test("sample_balanced never serializes onto one task: no SinglePartition exchange anywhere") {
     val plan = planOf("sample_balanced")
     assert(!plan.contains("Exchange SinglePartition"), plan.take(1500))
-    // the rank window is (range-partition, group)-keyed, never global
-    assert(!plan.contains("windowspecdefinition()"), plan.take(1500))
+    // the rank window is (range-partition, group)-keyed, never global:
+    // its partition spec leads with the physical partition id
+    assert(plan.contains("windowspecdefinition(__pid"), plan.take(1500))
   }
 
   test("chunk_sentences reuses the doc_id exchange: two keyed shuffles end to end") {

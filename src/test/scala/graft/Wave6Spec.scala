@@ -184,7 +184,7 @@ class Wave6Spec extends SparkSuite {
       assert(r.getLong(2) === 3L)
       assert(r.getLong(1) >= 0L && r.getLong(1) <= 3L)
     }
-    // half the dimensions should preserve SOME retrieval signal overall
+    // a quarter of the dimensions should preserve SOME retrieval signal
     assert(out.map(_.getLong(1)).sum > 0L)
   }
 
