@@ -118,7 +118,32 @@ object Formats {
       .orderBy("fname")
   }
 
+  /** Raw line-delimited text ingest via the text source — HOW an
+    * unstructured crawl enters the pipeline before any schema exists:
+    * one row per line, one string column. Fixture: the documents table
+    * written as doc_id-tab-text lines, read back with spark.read.text
+    * and re-split — round-trip hash-checked against the source. The
+    * documents fixture is single-line text by construction (no newlines
+    * to escape); at 100 TB the text scan splits by line boundaries
+    * under maxPartitionBytes exactly like any other file source, and
+    * wholetext=true is the per-file variant for document-per-file
+    * corpora. */
+  private val textLinesSource: Q = (s, dir) => {
+    val tmp = scratch(s, "text/documents")
+    Tables.load(s, dir, "documents")
+      .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+      .write.mode(SaveMode.Overwrite).text(tmp)
+    s.read.text(tmp)
+      .select(
+        substring_index(col("value"), "\t", 1).cast("bigint").as("doc_id"),
+        col("value").substr(instr(col("value"), "\t") + 1, lit(1000000)).as("text"))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
+        length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "source_text_lines" -> textLinesSource,
     "source_csv_roundtrip" -> csvRoundtrip,
     "source_json_roundtrip" -> jsonRoundtrip,
     "source_orc_roundtrip" -> orcRoundtrip,
@@ -127,6 +152,10 @@ object Formats {
   )
 
   val oracles: Map[String, String] = Map(
+    "source_text_lines" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        |  CAST(length(text) AS INT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "source_csv_roundtrip" -> "SELECT * FROM customer ORDER BY c_custkey",
     "source_json_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "source_orc_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
