@@ -238,6 +238,35 @@ object Profiler {
     parts.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY tableName, columnName")
   }
 
+  /** Per-column Shannon entropy (nats) from the SAME single-pass
+    * histogram aggregate the whole profiler rides: H = -Σ p·ln p over
+    * each column's value frequencies — the "how key-like / how
+    * informative is this column" panel (uniform keys → ln(n), constants
+    * → 0) that complements ndv/modal_freq in profileSummary. Totals are
+    * a column-cardinality aggregate broadcast back; the p·ln p addends
+    * are rounded to 9 and DECIMAL-summed, so the float entropy is
+    * partial-aggregation-order-proof cross-engine. */
+  def profileEntropy(spark: SparkSession, dir: String,
+      tables: Seq[TableMeta] = Tables.all): DataFrame = {
+    val h = histogramAgg(spark, dir, tables)
+    val tot = h.groupBy("tableName", "columnName")
+      .agg(sum(col("cnt")).cast("double").as("n"))
+    val p = col("cnt").cast("double") / col("n")
+    h.join(broadcast(tot), Seq("tableName", "columnName"))
+      .select(col("tableName"), col("columnName"),
+        round(p * log(p), 9).cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("a"))
+      .groupBy("tableName", "columnName")
+      .agg(count(lit(1)).as("ndv"),
+        round((sum(col("a")) * lit(-1)).cast("double"), 6).as("entropy"))
+      .orderBy("tableName", "columnName")
+  }
+
+  def profileEntropyOracle(tables: Seq[TableMeta] = Tables.all): String = {
+    val parts = for (t <- tables; c <- t.atomicCols) yield
+      s"""SELECT '${t.name}' AS tableName, '${c.name}' AS columnName, CAST(COUNT(*) AS BIGINT) AS ndv, round(CAST(SUM(CAST(round((cnt / n) * ln(cnt / n), 9) AS DECIMAL(18,9))) * -1 AS DOUBLE), 6) AS entropy FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt, CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS n FROM (SELECT ${duckFmtValue(c)} AS value FROM ${t.name}) GROUP BY value)"""
+    parts.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY tableName, columnName")
+  }
+
   /** Numeric column statistics — the "data profile" purpose implied by the
     * reference README (SURVEY.md §2.4 `agg_stats`). Exact decimal sums keep
     * the oracle hash-stable; avg is derived from the exact sum. */

@@ -9,6 +9,7 @@ object ProfilerQueries {
     "profile_histogram_asbuilt" -> ((s, dir) => Profiler.profileHistogramAsBuilt(s, dir)),
     "schema_information" -> ((s, dir) => Profiler.schemaInformation(s, dir)),
     "profile_summary" -> ((s, dir) => Profiler.profileSummary(s, dir)),
+    "profile_entropy" -> ((s, dir) => Profiler.profileEntropy(s, dir)),
     "agg_stats" -> ((s, dir) => Profiler.columnStats(s, dir))
   )
 
@@ -17,6 +18,7 @@ object ProfilerQueries {
     "profile_histogram_asbuilt" -> Profiler.profileHistogramAsBuiltOracle(),
     "schema_information" -> Profiler.schemaInformationOracle(),
     "profile_summary" -> Profiler.profileSummaryOracle(),
+    "profile_entropy" -> Profiler.profileEntropyOracle(),
     "agg_stats" -> Profiler.columnStatsOracle
   )
 }

@@ -1139,7 +1139,50 @@ object Wave6 {
       |  GROUP BY fullk.qid) k ON f.qid = k.qid
       |ORDER BY f.qid""".stripMargin
 
+  // ---- sink_incremental_rollup: CDF-driven view maintenance ------------
+
+  /** Incremental materialized-view maintenance over the change feed:
+    * a daily (day, type) rollup is built from the fact table's first
+    * commit, new facts arrive as an upsert, and the rollup is REFRESHED
+    * FROM THE CDF — insert keys from changesSince (file-diff, churn-
+    * sized) join back to the live snapshot for their dimensions, the
+    * delta aggregates at the rollup grain, and a full-outer merge adds
+    * it to the stored rollup. The refreshed rollup is returned and
+    * hash-checked against a from-scratch recompute (the oracle) — the
+    * Delta CDF + MERGE pattern that keeps 100 TB reporting tables
+    * maintained by touching only each commit's churn.
+    */
+  private val sinkIncrementalRollup: Q = (s, dir) => {
+    val root = graft.engine.Fs.freshScratch(s, "increll")
+    val store = new graft.engine.VersionedStore(root)
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), to_date(col("ts")).as("d"), col("event_type"))
+    store.write(ev.filter(col("event_id") % 2 === 0)
+      .repartitionByRange(4, col("event_id")), "fact")                   // v1
+    val r1 = store.read(s, "fact").groupBy("d", "event_type")
+      .agg(count(lit(1)).as("n"))
+    store.write(r1, "rollup")
+    store.upsert(s, "fact", ev.filter(col("event_id") % 2 === 1), Seq("event_id"))
+    // CDF-driven delta: churn keys → live-snapshot dims → rollup grain
+    val inserted = store.changesSince(s, "fact", 1L, Seq("event_id"))
+      .filter(col("change_type") === "insert")
+      .select("event_id")
+    val delta = store.read(s, "fact").join(inserted, Seq("event_id"), "left_semi")
+      .groupBy("d", "event_type").agg(count(lit(1)).as("dn"))
+    val refreshed = store.read(s, "rollup")
+      .join(delta, Seq("d", "event_type"), "full_outer")
+      .select(col("d"), col("event_type"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"))
+    store.write(refreshed, "rollup")
+    store.read(s, "rollup").orderBy("d", "event_type")
+  }
+
+  private val sinkIncrementalRollupOracle =
+    """SELECT CAST(ts AS DATE) AS d, event_type, CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY d, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sink_incremental_rollup" -> sinkIncrementalRollup,
     "sim_hard_negatives" -> simHardNegatives,
     "embed_matryoshka" -> embedMatryoshka,
     "text_keyphrases" -> textKeyphrases,
@@ -1164,6 +1207,7 @@ object Wave6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "sink_incremental_rollup" -> sinkIncrementalRollupOracle,
     "sim_hard_negatives" -> simHardNegativesOracle,
     "embed_matryoshka" -> embedMatryoshkaOracle,
     "text_keyphrases" -> textKeyphrasesOracle,
