@@ -668,6 +668,22 @@ class VersionedStore(root: String) {
     }.reduce(_ union _)
   }
 
+  /** Full rows of the data files ADDED to the live manifest since
+    * `fromVersion` — the churn-file read backing incremental consumers
+    * that need changed rows WITH their values (changesSince reports
+    * keys only). File-diff pruned like changes(): at 0.1% churn this
+    * reads ~0.1% of the table, never the snapshot. Rewritten files
+    * also carry over unchanged rows, so pair this with a key semi-join
+    * (e.g. changesSince's insert keys) to isolate true churn. */
+  def newFileRows(spark: SparkSession, name: String, fromVersion: Long): DataFrame = {
+    val cur = currentVersion(name).getOrElse(sys.error(s"no version for $name"))
+    val (schema, curFiles) = manifest(name, cur)
+    val oldSet = manifest(name, fromVersion)._2.toSet
+    val fresh = curFiles.filterNot(oldSet)
+    if (fresh.isEmpty) emptyDf(spark, schema)
+    else spark.read.schema(schema).parquet(fresh.map(absPath(name, _)): _*)
+  }
+
   // ---- record-level key index (point-lookup acceleration) --------------
 
   private def indexDir(name: String, keyCol: String) =

@@ -1157,22 +1157,34 @@ object Wave6 {
     val store = new graft.engine.VersionedStore(root)
     val ev = t(s, dir, "events")
       .select(col("event_id"), to_date(col("ts")).as("d"), col("event_type"))
-    store.write(ev.filter(col("event_id") % 2 === 0)
+    // a TOTAL even/odd partition (coalesce makes NULL and negative ids
+    // land deterministically in the base half instead of vanishing)
+    val isBase = coalesce(pmod(col("event_id"), lit(2)) === 0, lit(true))
+    store.write(ev.filter(isBase)
       .repartitionByRange(4, col("event_id")), "fact")                   // v1
     val r1 = store.read(s, "fact").groupBy("d", "event_type")
       .agg(count(lit(1)).as("n"))
     store.write(r1, "rollup")
-    store.upsert(s, "fact", ev.filter(col("event_id") % 2 === 1), Seq("event_id"))
-    // CDF-driven delta: churn keys → live-snapshot dims → rollup grain
+    store.upsert(s, "fact", ev.filter(!isBase), Seq("event_id"))
+    // CDF-driven delta: churn keys from the file-diff feed, their rows
+    // from the CHURN FILES ONLY (newFileRows) — the refresh never scans
+    // the fact snapshot, so its cost tracks commit churn
     val inserted = store.changesSince(s, "fact", 1L, Seq("event_id"))
       .filter(col("change_type") === "insert")
       .select("event_id")
-    val delta = store.read(s, "fact").join(inserted, Seq("event_id"), "left_semi")
+    val delta = store.newFileRows(s, "fact", 1L)
+      .join(inserted, Seq("event_id"), "left_semi")
       .groupBy("d", "event_type").agg(count(lit(1)).as("dn"))
-    val refreshed = store.read(s, "rollup")
-      .join(delta, Seq("d", "event_type"), "full_outer")
-      .select(col("d"), col("event_type"),
-        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"))
+    // null-safe grain merge (the changes() <=> convention): a NULL day
+    // or type group must merge, not split into two rows
+    val r = store.read(s, "rollup").as("r")
+    val refreshed = r.join(delta.as("dl"),
+        col("r.d") <=> col("dl.d") && col("r.event_type") <=> col("dl.event_type"),
+        "full_outer")
+      .select(
+        coalesce(col("r.d"), col("dl.d")).as("d"),
+        coalesce(col("r.event_type"), col("dl.event_type")).as("event_type"),
+        (coalesce(col("r.n"), lit(0L)) + coalesce(col("dl.dn"), lit(0L))).as("n"))
     store.write(refreshed, "rollup")
     store.read(s, "rollup").orderBy("d", "event_type")
   }

@@ -131,12 +131,17 @@ object Formats {
   private val textLinesSource: Q = (s, dir) => {
     val tmp = scratch(s, "text/documents")
     Tables.load(s, dir, "documents")
-      .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+      // NULL text maps to '' (concat_ws would silently DROP the tab
+      // separator for a null arg and corrupt the line format) — the
+      // export is total, at the declared cost that null and empty
+      // collapse; the oracle mirrors the same coalesce
+      .select(concat_ws("\t", col("doc_id"), coalesce(col("text"), lit(""))).as("value"))
       .write.mode(SaveMode.Overwrite).text(tmp)
     s.read.text(tmp)
       .select(
         substring_index(col("value"), "\t", 1).cast("bigint").as("doc_id"),
-        col("value").substr(instr(col("value"), "\t") + 1, lit(1000000)).as("text"))
+        // 2-arg substring runs to end of line — no truncation cap
+        expr("substring(value, instr(value, '\t') + 1)").as("text"))
       .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
         length(col("text")).as("n_chars"))
       .orderBy("doc_id")
@@ -153,8 +158,8 @@ object Formats {
 
   val oracles: Map[String, String] = Map(
     "source_text_lines" ->
-      """SELECT doc_id, md5(text) AS text_md5,
-        |  CAST(length(text) AS INT) AS n_chars
+      """SELECT doc_id, md5(COALESCE(text, '')) AS text_md5,
+        |  CAST(length(COALESCE(text, '')) AS INT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "source_csv_roundtrip" -> "SELECT * FROM customer ORDER BY c_custkey",
     "source_json_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",

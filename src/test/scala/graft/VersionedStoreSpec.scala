@@ -379,6 +379,19 @@ class VersionedStoreSpec extends SparkSuite {
     assert(got2 === Set((1L, "a2")))
   }
 
+  test("newFileRows returns only rows of files added since the base version") {
+    val store = freshStore()
+    val base = spark.range(100).select(col("id").as("k"), (col("id") * 10).as("v"))
+    store.write(base.repartitionByRange(4, col("k")), "t")          // v1: 4 files
+    store.upsert(spark, "t", Seq((7L, 777L)).toDF("k", "v"), Seq("k"))
+    val churn = store.newFileRows(spark, "t", 1L)
+    // exactly the rewritten file's rows (one 25-key range), not the table
+    assert(churn.count() === 25L, s"expected one file's rows, got ${churn.count()}")
+    assert(churn.filter(col("k") === 7L).select("v").collect()(0).getLong(0) === 777L)
+    // nothing new since the live version → empty
+    assert(store.newFileRows(spark, "t", store.currentVersion("t").get).count() === 0L)
+  }
+
   test("index refresh is incremental: only files new to the version are scanned") {
     val store = freshStore()
     val base = spark.range(100).select(col("id").as("k"), (col("id") * 10).as("v"))
