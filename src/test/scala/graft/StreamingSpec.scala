@@ -258,4 +258,62 @@ class StreamingSpec extends SparkSuite {
       assert(store.readVersion(spark, "ev", 1L).count() === 2L)
     } finally q.stop()
   }
+
+  test("streamed commits drive CDF rollup maintenance: incremental == recompute") {
+    implicit val ctx = spark.sqlContext
+    val store = new graft.engine.VersionedStore(
+      java.nio.file.Files.createTempDirectory("graft-stream-rollup").toString)
+    val input = MemoryStream[EventRow]
+    val q = Streaming.upsertSink(
+      input.toDF().select(col("event_id"), col("event_type"), col("value")),
+      store, "fact", Seq("event_id"))
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      val v1 = store.currentVersion("fact").get
+      // materialize the rollup off the first streamed commit
+      store.write(store.read(spark, "fact")
+        .groupBy("event_type").agg(count(lit(1)).as("n")), "rollup")
+      // stream more batches (one updates a key in place — not an insert)
+      input.addData(
+        EventRow(2L, ts("2024-01-01 10:02:00"), 1L, "purchase", 9.0, "{}"),
+        ev(3, "2024-01-01 10:03:00"))
+      input.addData(ev(4, "2024-01-01 10:04:00"))
+      q.processAllAvailable()
+      // churn-file refresh, the sink_incremental_rollup pattern — plus
+      // update handling: recompute the full contribution of churn keys
+      // (updates may MOVE a key across groups), subtracting their old
+      // grain contributions is the delete side; with inserts-only keys
+      // here the insert path suffices for inserts, update key re-adds
+      val changed = store.changesSince(spark, "fact", v1, Seq("event_id"))
+      val insertKeys = changed.filter(col("change_type") === "insert").select("event_id")
+      val updateKeys = changed.filter(col("change_type") === "update").select("event_id")
+      val churnRows = store.newFileRows(spark, "fact", v1)
+      val addDelta = churnRows.join(insertKeys, Seq("event_id"), "left_semi")
+        .groupBy("event_type").agg(count(lit(1)).as("dn"))
+      // updated keys: remove old-grain contribution, add new-grain
+      val oldRows = store.readVersion(spark, "fact", v1)
+        .join(updateKeys, Seq("event_id"), "left_semi")
+        .groupBy("event_type").agg((count(lit(1)) * -1).as("dn"))
+      val newRows = churnRows.join(updateKeys, Seq("event_id"), "left_semi")
+        .groupBy("event_type").agg(count(lit(1)).as("dn"))
+      val delta = addDelta.union(oldRows).union(newRows)
+        .groupBy("event_type").agg(sum("dn").as("dn"))
+      val r = store.read(spark, "rollup").as("r")
+      val refreshed = r.join(delta.as("dl"),
+          col("r.event_type") <=> col("dl.event_type"), "full_outer")
+        .select(
+          coalesce(col("r.event_type"), col("dl.event_type")).as("event_type"),
+          (coalesce(col("r.n"), lit(0L)) + coalesce(col("dl.dn"), lit(0L))).as("n"))
+        .filter(col("n") > 0)
+      store.write(refreshed, "rollup")
+      // incremental result == from-scratch recompute over the live facts
+      val got = store.read(spark, "rollup").collect()
+        .map(x => (x.getString(0), x.getLong(1))).toSet
+      val want = store.read(spark, "fact").groupBy("event_type")
+        .agg(count(lit(1)).as("n")).collect()
+        .map(x => (x.getString(0), x.getLong(1))).toSet
+      assert(got === want, s"incremental $got != recompute $want")
+    } finally q.stop()
+  }
 }
