@@ -83,6 +83,18 @@ class ClusterProfileSpec extends SparkSuite {
     }
   }
 
+  test("profile_corr_matrix under codegen: one vectorized pass, long adders fused") {
+    val df = graft.SparkEntry.queries("profile_corr_matrix")(spark, sf)
+    val plan = finalPlan(df)
+    assert(plan.contains("Batched: true"),
+      s"expected a vectorized lineitem scan:\n${plan.take(1500)}")
+    assert(plan.contains("*("),
+      s"the 35-adder moment aggregate must fuse into codegen spans:\n${plan.take(1500)}")
+    // single-pass law survives the cluster profile: no keyed exchange
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corr must stay ONE global aggregation pass:\n${plan.take(1500)}")
+  }
+
   test("native expressions stay inside whole-stage codegen (cosine scan)") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
