@@ -31,6 +31,19 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * schema on disk and the parquet reader fills absent columns with NULL
   * under the manifest's (wider) read schema, so time travel stays
   * schema-faithful per version.
+  *
+  * Concurrency: OPTIMISTIC, like the Delta log's mutual exclusion on the
+  * commit entry (VLDB 2020 §3.2). The durability point of version N is
+  * the create-if-absent of `v{N}.manifest` (an atomic hard-link from a
+  * staged temp — POSIX link(2) fails if the name exists, so exactly one
+  * writer can ever own a version number). A writer that loses the race
+  * re-reads the new head and re-checks LOGICAL conflicts: if the files it
+  * rewrote are untouched and no concurrently-added file can contain its
+  * keys (manifest-stats range check), it REBASES — re-targets its
+  * already-staged output onto the new head's manifest, no recompute — and
+  * retries; otherwise it cleans up its staged files and refuses with
+  * `ConcurrentModificationException`. `_current` is a monotonic advisory
+  * cache only; the head is always max(v{N}.manifest).
   */
 class VersionedStore(root: String) {
 
@@ -46,12 +59,12 @@ class VersionedStore(root: String) {
   private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
-  /** The live version number, or None before the first commit. */
-  def currentVersion(name: String): Option[Long] = {
-    val p = pointer(name)
-    if (!p.exists) None
-    else Some(new String(java.nio.file.Files.readAllBytes(p.toPath)).trim.toLong)
-  }
+  /** The live version number, or None before the first commit. The head
+    * is the MAX COMMITTED MANIFEST, not the `_current` pointer: manifest
+    * creation is the atomic commit point, so a manifest that exists is
+    * durable even if its writer crashed before refreshing the advisory
+    * pointer. */
+  def currentVersion(name: String): Option[Long] = history(name).lastOption
 
   /** All committed versions, ascending. */
   def history(name: String): Seq[Long] = {
@@ -224,13 +237,23 @@ class VersionedStore(root: String) {
   private def absPath(name: String, file: String): String =
     new java.io.File(filesDir(name), file).getAbsolutePath
 
-  /** Write `df`'s rows as new immutable data files named for version `v`;
-    * returns the new file names. The parquet job writes into a staging
-    * directory, then the part files move (same filesystem, atomic per
-    * file) into `files/` — a crashed stage leaves only orphans that the
-    * next vacuum sweeps, never a corrupt snapshot. */
-  private def stage(df: DataFrame, name: String, v: Long): Seq[String] = {
-    val stageDir = new java.io.File(tdir(name), s"_stage_v$v")
+  /** Per-writer uniqueness token: staged artifacts (data files, temp
+    * manifests, stage dirs) embed it so concurrent writers can never
+    * clobber each other's staging — only the manifest link arbitrates. */
+  private def newToken(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  private val MaxCommitRetries = 50
+
+  /** Write `df`'s rows as new immutable data files (names unique per
+    * writer token — version-independent, so a rebased commit reuses them
+    * unchanged); returns the new file names. The parquet job writes into
+    * a staging directory, then the part files move (same filesystem,
+    * atomic per file) into `files/` — a crashed stage leaves only orphans
+    * that the next vacuum sweeps, never a corrupt snapshot. */
+  private def stage(df: DataFrame, name: String): Seq[String] = {
+    val tok = newToken()
+    val stageDir = new java.io.File(tdir(name), s"_stage_$tok")
     df.write.mode(SaveMode.Overwrite).parquet(stageDir.getAbsolutePath)
     val fd = filesDir(name)
     fd.mkdirs()
@@ -238,7 +261,7 @@ class VersionedStore(root: String) {
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .sortBy(_.getName)
     val moved = parts.zipWithIndex.map { case (p, i) =>
-      val nm = f"v$v-p$i%05d.parquet"
+      val nm = f"d-$tok-p$i%05d.parquet"
       java.nio.file.Files.move(p.toPath, new java.io.File(fd, nm).toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       nm
@@ -247,54 +270,84 @@ class VersionedStore(root: String) {
     moved
   }
 
-  /** Stage the manifest for version `v`, then commit by pointer swap.
-    * Writer-transaction watermarks carry forward from the superseded
-    * version, updated with `addTxn` — atomic with the commit itself (a
-    * crash before the pointer swap leaves both unrecorded). */
-  private def commitManifest(name: String, v: Long, schema: StructType,
-      entries: Seq[FileEntry], addTxn: Option[(String, Long)] = None): Unit = {
+  /** Attempt to commit version `v`: stage the manifest to a writer-unique
+    * temp, then CREATE-IF-ABSENT it at `v{N}.manifest` via an atomic hard
+    * link — POSIX link(2) fails when the target name exists, so exactly
+    * one writer wins each version number; this link is the commit's
+    * durability point. Writer-transaction watermarks carry forward from
+    * the manifest being superseded (v-1), updated with `addTxn` — atomic
+    * with the commit itself. Returns false when the race was lost (the
+    * caller re-reads the head, conflict-checks, and rebases or refuses).
+    * The advisory pointer advances only after a WON commit. */
+  private def tryCommitManifest(name: String, v: Long, schema: StructType,
+      entries: Seq[FileEntry], addTxn: Option[(String, Long)] = None): Boolean = {
     tdir(name).mkdirs()
-    val carried = currentVersion(name).map(txns(name, _)).getOrElse(Map.empty)
+    val carried =
+      if (v > 1L && manifestFile(name, v - 1L).exists) txns(name, v - 1L)
+      else Map.empty[String, Long]
     val allTxns = carried ++ addTxn
     val txnLines = allTxns.toSeq.sortBy(_._1).map { case (a, i) => s"#txn\t$a\t$i" }
     val lines = entries.map { e =>
       if (e.stats.isEmpty) e.file else s"${e.file}\t${renderStats(e.stats)}"
     }
-    // the manifest itself is staged + atomically moved: a crash mid-write
-    // must never leave a truncated manifest that history() lists (it
-    // would wedge vacuum/changesSince/readVersion until overwritten).
-    // The completed move is the version's durability point; the pointer
-    // swap below names it LIVE.
-    val mfTmp = new java.io.File(tdir(name), s"_v$v.manifest.tmp")
+    val mfTmp = new java.io.File(tdir(name), s"_v$v-${newToken()}.manifest.tmp")
     java.nio.file.Files.write(mfTmp.toPath,
       (Seq(nullable(schema).json) ++ txnLines ++ lines).mkString("\n").getBytes)
-    java.nio.file.Files.move(mfTmp.toPath, manifestFile(name, v).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    val tmp = new java.io.File(tdir(name), "_current.tmp")
-    java.nio.file.Files.write(tmp.toPath, v.toString.getBytes)
-    java.nio.file.Files.move(tmp.toPath, pointer(name).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try {
+      java.nio.file.Files.createLink(manifestFile(name, v).toPath, mfTmp.toPath)
+      advancePointer(name, v)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      java.nio.file.Files.deleteIfExists(mfTmp.toPath); ()
+    }
+  }
+
+  /** Best-effort monotonic refresh of the `_current` advisory pointer
+    * (debugging convenience only — the head is max manifest). */
+  private def advancePointer(name: String, v: Long): Unit = {
+    val p = pointer(name)
+    val cur =
+      if (!p.exists) 0L
+      else new String(java.nio.file.Files.readAllBytes(p.toPath))
+        .trim.toLongOption.getOrElse(0L)
+    if (v > cur) {
+      val tmp = new java.io.File(tdir(name), s"_current-${newToken()}.tmp")
+      java.nio.file.Files.write(tmp.toPath, v.toString.getBytes)
+      java.nio.file.Files.move(tmp.toPath, pointer(name).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
   }
 
   /** Stage `df`'s rows and compute their per-file stats entries. */
-  private def stageWithStats(df: DataFrame, name: String, v: Long): Seq[FileEntry] = {
-    val staged = stage(df, name, v)
+  private def stageWithStats(df: DataFrame, name: String): Seq[FileEntry] = {
+    val staged = stage(df, name)
     val schema = nullable(df.schema)
     val stats = collectStats(df.sparkSession, name, schema, staged)
     staged.map(f => FileEntry(f, stats.getOrElse(f, Map.empty)))
   }
 
+  private def dropStaged(name: String, staged: Seq[FileEntry]): Unit =
+    staged.foreach(e => new java.io.File(absPath(name, e.file)).delete())
+
   /** Commit `df` as the next version (a full snapshot: an overwrite
-    * genuinely replaces the table, so nothing is shareable) and move the
-    * pointer to it. */
+    * genuinely replaces the table, so nothing is shareable). A blind
+    * overwrite never logically conflicts — a lost commit race simply
+    * re-targets the same staged files at the new head. */
   def write(df: DataFrame, name: String): Long = {
-    val next = currentVersion(name).getOrElse(0L) + 1L
-    val staged = stageWithStats(df, name, next)
+    val staged = stageWithStats(df, name)
     validateStaged(df.sparkSession, name, df.schema, staged.map(_.file))
-    commitManifest(name, next, df.schema, staged)
-    next
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val next = currentVersion(name).getOrElse(0L) + 1L
+      if (tryCommitManifest(name, next, df.schema, staged)) return next
+      attempt += 1
+    }
+    dropStaged(name, staged)
+    throw new IllegalStateException(s"write('$name'): $MaxCommitRetries commit attempts lost")
   }
 
   // ---- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analog) -----
@@ -366,10 +419,16 @@ class VersionedStore(root: String) {
       schema: StructType, files: Seq[String]): Unit = {
     val cs = checks(name)
     if (cs.isEmpty || files.isEmpty) return
+    // NonFatal, not just the violation exception: a predicate that fails
+    // ANALYSIS at commit time (declared on an empty table where addCheck
+    // skipped validation, or referencing a column dropped since) must
+    // also clean up its staged files before the refusal propagates —
+    // otherwise every refused commit leaks parquet into files/ until a
+    // vacuum sweep.
     try validateWith(
       spark.read.schema(nullable(schema)).parquet(files.map(absPath(name, _)): _*),
       cs, name)
-    catch { case e: IllegalStateException =>
+    catch { case scala.util.control.NonFatal(e) =>
       files.foreach(f => new java.io.File(absPath(name, f)).delete())
       throw e
     }
@@ -436,46 +495,79 @@ class VersionedStore(root: String) {
       Some(writerId -> batchId))
   }
 
+  /** The source's first-key [min, max] as stat strings: the range both
+    * stats PRUNING and rebase CONFLICT checks compare against. First the
+    * key field when stat-able, then the range — None when the key is not
+    * range-comparable or every source key is NULL. One aggregate job. */
+  private def sourceKeyRange(schema: StructType, source: DataFrame,
+      key: String): (Option[StructField], Option[(String, String)]) = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val kf = schema.fields.find(_.name == key).filter(statable)
+    val rng = kf.flatMap { f =>
+      val r = source.agg(
+        min(col(f.name)).cast("string"), max(col(f.name)).cast("string")).head()
+      if (r.isNullAt(0)) None else Some((r.getString(0), r.getString(1)))
+    }
+    (kf, rng)
+  }
+
   /** Stats pruning: the manifest entries whose first-key [min,max] range
     * can overlap `source`'s — files dismissed here cost ZERO I/O (the
     * Delta data-skipping move); only survivors pay the key scan. The
     * single implementation behind both upserts and [[pruneCandidates]]. */
   private def pruneEntries(schema: StructType, entries: Seq[FileEntry],
-      source: DataFrame, key: String): Seq[FileEntry] = {
-    import org.apache.spark.sql.functions.{col, max, min}
-    schema.fields.find(_.name == key).filter(statable) match {
-      case Some(kf) if entries.nonEmpty =>
-        val r = source.agg(
-          min(col(kf.name)).cast("string"), max(col(kf.name)).cast("string")).head()
-        if (r.isNullAt(0)) Seq.empty  // all-NULL source keys match nothing
-        else {
-          val src = (r.getString(0), r.getString(1))
-          entries.filter(e => rangesOverlap(kf.dataType, e.stats.get(kf.name), src))
+      source: DataFrame, key: String): Seq[FileEntry] =
+    sourceKeyRange(schema, source, key) match {
+      case (Some(kf), rng) if entries.nonEmpty =>
+        rng match {
+          case None => Seq.empty  // all-NULL source keys match nothing
+          case Some(src) =>
+            entries.filter(e => rangesOverlap(kf.dataType, e.stats.get(kf.name), src))
         }
       case _ => entries
     }
-  }
+
+  /** Test seam: runs after an upsert's merge output is fully staged,
+    * immediately before its first commit attempt — lets a spec inject a
+    * COMPETING COMMITTED WRITER at the exact race window, making the
+    * lost-commit → rebase / refuse paths deterministic. No-op otherwise. */
+  @volatile private[graft] var beforeCommitHook: () => Unit = () => ()
 
   private def upsertTxn(spark: SparkSession, name: String, rawSource: DataFrame,
       keys: Seq[String], evolveSchema: Boolean,
       addTxn: Option[(String, Long)]): Long =
     currentVersion(name) match {
       case None =>
-        val next = 1L
-        val staged = stageWithStats(rawSource, name, next)
+        val staged = stageWithStats(rawSource, name)
         validateStaged(spark, name, rawSource.schema, staged.map(_.file))
-        commitManifest(name, next, rawSource.schema, staged, addTxn)
-        next
+        if (tryCommitManifest(name, 1L, rawSource.schema, staged, addTxn)) 1L
+        else {
+          // lost the CREATE race — the table exists now; this writer's
+          // output must MERGE against it like any other upsert
+          dropStaged(name, staged)
+          upsertTxn(spark, name, rawSource, keys, evolveSchema, addTxn)
+        }
       case Some(cur) =>
         import org.apache.spark.sql.functions.col
-        // the source feeds THREE jobs (prune agg, hit semi-join, merge
+        // replay shortcut re-checked here (not only in upsertBatch): two
+        // concurrent replays of the same batch must not both pass
+        addTxn match {
+          case Some((w, b)) if txns(name, cur).getOrElse(w, -1L) >= b => return cur
+          case _ =>
+        }
+        // the source feeds THREE jobs (range agg, hit semi-join, merge
         // write): persist once so an expensive source lineage is not
         // recomputed per job
         val source = rawSource.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val (tSchema, entries) = manifestWithStats(name, cur)
-          val next = cur + 1L
-          val candidates = pruneEntries(tSchema, entries, source, keys.head)
+          val (keyField, srcRange) = sourceKeyRange(tSchema, source, keys.head)
+          val candidates = (keyField, srcRange) match {
+            case (Some(kf), Some(src)) =>
+              entries.filter(e => rangesOverlap(kf.dataType, e.stats.get(kf.name), src))
+            case (Some(_), None) => Seq.empty  // all-NULL source keys match nothing
+            case _ => entries
+          }
           // which surviving files hold a matched key? (the only rows a
           // MERGE changes)
           val hitPaths: Set[String] =
@@ -488,7 +580,6 @@ class VersionedStore(root: String) {
               .collect().map(_.getString(0)).toSet
           val hit = candidates.filter(e => hitPaths.exists(_.endsWith("/" + e.file)))
           val hitSet = hit.map(_.file).toSet
-          val keep = entries.filterNot(e => hitSet.contains(e.file))
           val rewriteTarget =
             if (hit.isEmpty) emptyDf(spark, tSchema)
             else spark.read.schema(tSchema).parquet(hit.map(e => absPath(name, e.file)): _*)
@@ -499,14 +590,77 @@ class VersionedStore(root: String) {
                 source.schema.fields.filterNot(f => tSchema.fieldNames.contains(f.name))
               (align(rewriteTarget, all), align(source, all), StructType(all))
             }
-          val staged = stageWithStats(Merge.upsert(mTarget, mSource, keys), name, next)
+          val staged = stageWithStats(Merge.upsert(mTarget, mSource, keys), name)
           // CHECK constraints vet the staged merge output (carried rows
           // were vetted when they entered or by addCheck's declaration
           // scan, so only churn-sized files pay the pass); a violation
           // deletes the staged files and refuses — table untouched.
           validateStaged(spark, name, outSchema, staged.map(_.file))
-          commitManifest(name, next, outSchema, keep ++ staged, addTxn)
-          next
+          beforeCommitHook()
+          // optimistic commit loop: each rebase re-targets the SAME staged
+          // files onto the new head — zero recompute — after proving the
+          // concurrent commit cannot have touched this merge's rows.
+          val origBase = entries.map(_.file).toSet
+          var head = cur
+          var keep = entries.filterNot(e => hitSet.contains(e.file))
+          var attempt = 0
+          while (true) {
+            if (tryCommitManifest(name, head + 1L, outSchema, keep ++ staged, addTxn))
+              return head + 1L
+            attempt += 1
+            if (attempt >= MaxCommitRetries) {
+              dropStaged(name, staged)
+              throw new IllegalStateException(
+                s"upsert('$name'): $MaxCommitRetries commit attempts lost")
+            }
+            head = currentVersion(name).get
+            val (headSchema, headEntries) = manifestWithStats(name, head)
+            // a concurrent replay of this very batch may have won
+            addTxn match {
+              case Some((w, b)) if txns(name, head).getOrElse(w, -1L) >= b =>
+                dropStaged(name, staged)
+                return head
+              case _ =>
+            }
+            val headFiles = headEntries.map(_.file).toSet
+            // conflict 1: the winner rewrote/removed a file this merge
+            // also rewrote — true write-write conflict on the same rows
+            if (!hitSet.subsetOf(headFiles)) {
+              dropStaged(name, staged)
+              throw new java.util.ConcurrentModificationException(
+                s"upsert('$name'): concurrent commit rewrote files this merge " +
+                  s"also rewrote (${hitSet.diff(headFiles).mkString(", ")})")
+            }
+            // conflict 2: the winner changed the table schema — this
+            // merge's staged output and manifest schema predate it
+            if (nullable(headSchema) != nullable(tSchema)) {
+              dropStaged(name, staged)
+              throw new java.util.ConcurrentModificationException(
+                s"upsert('$name'): concurrent schema change")
+            }
+            // conflict 3 (concurrent append, stats-conservative like
+            // Delta's ConcurrentAppendException): a file ADDED since this
+            // merge's base snapshot whose key range can contain a source
+            // key might hold a row this merge should have matched —
+            // committing anyway could duplicate the key. Files without a
+            // usable key range conflict conservatively.
+            val added = headEntries.filterNot(e => origBase.contains(e.file))
+            val appendConflict = (keyField, srcRange) match {
+              case (Some(kf), Some(src)) =>
+                added.exists(e => rangesOverlap(kf.dataType, e.stats.get(kf.name), src))
+              case (Some(_), None) => false  // all-NULL keys match nothing
+              case _ => added.nonEmpty
+            }
+            if (appendConflict) {
+              dropStaged(name, staged)
+              throw new java.util.ConcurrentModificationException(
+                s"upsert('$name'): concurrent commit added files overlapping " +
+                  "this merge's key range")
+            }
+            // disjoint — rebase: carry the new head's untouched files
+            keep = headEntries.filterNot(e => hitSet.contains(e.file))
+          }
+          sys.error("unreachable")
         } finally { source.unpersist(); () }
     }
 
@@ -519,7 +673,6 @@ class VersionedStore(root: String) {
     import org.apache.spark.sql.functions.col
     val cur = currentVersion(name).getOrElse(sys.error(s"no version for $name"))
     val (tSchema, entries) = manifestWithStats(name, cur)
-    val next = cur + 1L
     val hitPaths: Set[String] =
       if (entries.isEmpty) Set.empty
       else spark.read.schema(tSchema)
@@ -528,7 +681,7 @@ class VersionedStore(root: String) {
         .select(col("_metadata.file_path")).distinct()
         .collect().map(_.getString(0)).toSet
     val hit = entries.filter(e => hitPaths.exists(_.endsWith("/" + e.file)))
-    val keep = entries.filterNot(e => hit.exists(_.file == e.file))
+    val hitSet = hit.map(_.file).toSet
     val survivors =
       if (hit.isEmpty) Seq.empty
       else stageWithStats(
@@ -538,9 +691,34 @@ class VersionedStore(root: String) {
           // the row, silently deleting NULL-predicate rows that happen
           // to share a file with a true match
           .filter(!org.apache.spark.sql.functions.coalesce(
-            condition, org.apache.spark.sql.functions.lit(false))), name, next)
-    commitManifest(name, next, tSchema, keep ++ survivors)
-    next
+            condition, org.apache.spark.sql.functions.lit(false))), name)
+    // optimistic commit: rebase onto concurrent commits that did not
+    // touch the deleted files. Rows a concurrent writer ADDS that match
+    // the predicate survive — snapshot semantics (Delta WriteSerializable:
+    // DELETE removes what its snapshot contained).
+    var head = cur
+    var keep = entries.filterNot(e => hitSet.contains(e.file))
+    var attempt = 0
+    while (true) {
+      if (tryCommitManifest(name, head + 1L, tSchema, keep ++ survivors))
+        return head + 1L
+      attempt += 1
+      if (attempt >= MaxCommitRetries) {
+        dropStaged(name, survivors)
+        throw new IllegalStateException(
+          s"delete('$name'): $MaxCommitRetries commit attempts lost")
+      }
+      head = currentVersion(name).get
+      val (headSchema, headEntries) = manifestWithStats(name, head)
+      if (!hitSet.subsetOf(headEntries.map(_.file).toSet) ||
+          nullable(headSchema) != nullable(tSchema)) {
+        dropStaged(name, survivors)
+        throw new java.util.ConcurrentModificationException(
+          s"delete('$name'): concurrent commit touched the deleted files or schema")
+      }
+      keep = headEntries.filterNot(e => hitSet.contains(e.file))
+    }
+    sys.error("unreachable")
   }
 
   /** Candidate files an upsert on `keys` would have to SCAN, after stats
@@ -566,15 +744,25 @@ class VersionedStore(root: String) {
   def optimize(spark: SparkSession, name: String, targetFiles: Int = 1,
       zorderBy: Seq[String] = Seq.empty, bits: Int = 12): Long = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
-    val cur = currentVersion(name).getOrElse(sys.error(s"no version for $name"))
-    val (schema, _) = manifestWithStats(name, cur)
-    val next = cur + 1L
-    val live = readVersion(spark, name, cur)
-    val compacted =
-      if (zorderBy.isEmpty) live.coalesce(targetFiles)
-      else graft.functions.ZOrder.cluster(live, zorderBy, bits, targetFiles)
-    commitManifest(name, next, schema, stageWithStats(compacted, name, next))
-    next
+    // OPTIMIZE rewrites the whole snapshot, so ANY concurrent data commit
+    // invalidates its staged output — a lost race restarts the compaction
+    // from the new head (it is idempotent maintenance, nothing to lose).
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(name).getOrElse(sys.error(s"no version for $name"))
+      val (schema, _) = manifestWithStats(name, cur)
+      val live = readVersion(spark, name, cur)
+      val compacted =
+        if (zorderBy.isEmpty) live.coalesce(targetFiles)
+        else graft.functions.ZOrder.cluster(live, zorderBy, bits, targetFiles)
+      val staged = stageWithStats(compacted, name)
+      if (tryCommitManifest(name, cur + 1L, schema, staged)) return cur + 1L
+      dropStaged(name, staged)
+      attempt += 1
+      if (attempt >= 5) throw new IllegalStateException(
+        s"optimize('$name'): lost the commit race $attempt times")
+    }
+    sys.error("unreachable")
   }
 
   /** Read the live snapshot. */
@@ -639,11 +827,18 @@ class VersionedStore(root: String) {
     * watermarks carry forward from the CURRENT version so exactly-once
     * replay protection survives the rollback. */
   def restore(name: String, v: Long): Long = {
-    val cur = currentVersion(name).getOrElse(sys.error(s"no version for $name"))
+    require(currentVersion(name).isDefined, s"no version for $name")
     val (schema, entries) = manifestWithStats(name, v)
-    val next = cur + 1L
-    commitManifest(name, next, schema, entries)
-    next
+    // an explicit rollback supersedes whatever it raced with: always
+    // rebase to the newest head (pure manifest copy, nothing staged)
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val next = currentVersion(name).get + 1L
+      if (tryCommitManifest(name, next, schema, entries)) return next
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"restore('$name'): $MaxCommitRetries commit attempts lost")
   }
 
   /** Incremental change feed: every per-commit change between
@@ -818,6 +1013,11 @@ class VersionedStore(root: String) {
       fd.listFiles.filter(f => !referenced.contains(f.getName)).foreach(_.delete())
     tdir(name).listFiles.filter(f => f.isDirectory && f.getName.startsWith("_stage_"))
       .foreach(Fs.deleteRec)
+    // temp manifests / pointer staging of crashed writers (committed ones
+    // delete their temp in the same call)
+    tdir(name).listFiles.filter(f => f.isFile && f.getName.endsWith(".tmp") &&
+      (f.getName.startsWith("_v") || f.getName.startsWith("_current-")))
+      .foreach(_.delete())
     // key-index snapshots of vacuumed versions can never serve again
     val kept = history(name).toSet
     tdir(name).listFiles.filter(f => f.isDirectory && f.getName.startsWith("_index_"))

@@ -428,4 +428,129 @@ class VersionedStoreSpec extends SparkSuite {
     // the surviving index still serves
     assert(store.lookupFiles(spark, "t", "k", Seq(1L)).isDefined)
   }
+
+  // ---- optimistic concurrency ------------------------------------------
+
+  /** Base table with TWO range-clustered data files (keys 0..99 and
+    * 100..199) so per-file key stats make disjoint-writer rebases
+    * provable. */
+  private def twoFileBase(store: VersionedStore): Unit = {
+    val base = spark.range(0, 200)
+      .select($"id".as("k"), concat(lit("v"), $"id").as("v"))
+      .repartitionByRange(2, $"k")
+    assert(store.write(base, "t") === 1L)
+    assert(store.manifest("t", 1L)._2.size === 2, "base must span two files")
+  }
+
+  private def asMap(store: VersionedStore) =
+    store.read(spark, "t").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("interleaved writers on disjoint files: loser rebases, no lost update") {
+    val store = freshStore()
+    twoFileBase(store)
+    // writer B commits in the exact window between writer A staging its
+    // merge and A's first commit attempt — A MUST lose v2, then rebase
+    store.beforeCommitHook = () => {
+      store.beforeCommitHook = () => ()
+      val vB = store.upsert(spark, "t",
+        Seq((150L, "B150"), (151L, "B151")).toDF("k", "v"), Seq("k"))
+      assert(vB === 2L)
+    }
+    val vA = store.upsert(spark, "t",
+      Seq((10L, "A10"), (11L, "A11")).toDF("k", "v"), Seq("k"))
+    assert(vA === 3L, "loser must rebase onto the winner's head")
+    assert(store.history("t") === Seq(1L, 2L, 3L))
+    val now = asMap(store)
+    assert(now(10L) === "A10" && now(11L) === "A11", "writer A's update lost")
+    assert(now(150L) === "B150" && now(151L) === "B151", "writer B's update lost")
+    assert(now(0L) === "v0" && now(199L) === "v199" && now.size === 200)
+  }
+
+  test("interleaved writers on the SAME file: loser refuses, no silent clobber") {
+    val root = java.nio.file.Files.createTempDirectory("graft-versions").toString
+    val store = new VersionedStore(root)
+    twoFileBase(store)
+    store.beforeCommitHook = () => {
+      store.beforeCommitHook = () => ()
+      store.upsert(spark, "t", Seq((20L, "B20")).toDF("k", "v"), Seq("k"))
+      ()
+    }
+    // both writers rewrite the keys-0..99 file: write-write conflict
+    intercept[java.util.ConcurrentModificationException] {
+      store.upsert(spark, "t", Seq((10L, "A10")).toDF("k", "v"), Seq("k"))
+    }
+    val now = asMap(store)
+    assert(now(20L) === "B20" && now(10L) === "v10",
+      "winner's commit must stand; loser must leave no trace")
+    // the refused writer's staged files were cleaned up — nothing on
+    // disk outside the committed manifests
+    val referenced = store.history("t")
+      .flatMap(v => store.manifest("t", v)._2).toSet
+    val onDisk = new java.io.File(s"$root/t/files").listFiles.map(_.getName).toSet
+    assert(onDisk === referenced, "refused commit leaked staged files")
+  }
+
+  test("concurrent overlapping inserts conflict (no duplicate keys ever)") {
+    val store = freshStore()
+    twoFileBase(store)
+    store.beforeCommitHook = () => {
+      store.beforeCommitHook = () => ()
+      store.upsert(spark, "t", Seq((205L, "B205")).toDF("k", "v"), Seq("k"))
+      ()
+    }
+    // both writers INSERT key ranges that overlap (205 in both): letting
+    // the loser rebase would commit key 205 twice
+    intercept[java.util.ConcurrentModificationException] {
+      store.upsert(spark, "t",
+        Seq((205L, "A205"), (206L, "A206")).toDF("k", "v"), Seq("k"))
+    }
+    val now = asMap(store)
+    assert(now(205L) === "B205" && !now.contains(206L))
+    assert(now.size === 201)
+  }
+
+  test("two genuinely parallel writers: both upserts land exactly once") {
+    val store = freshStore()
+    twoFileBase(store)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(k: Long, v: String): Thread = {
+      val t = new Thread(() => {
+        try {
+          barrier.await()
+          store.upsert(spark, "t", Seq((k, v)).toDF("k", "v"), Seq("k"))
+          ()
+        } catch { case e: Throwable => errs.add(e); () }
+      })
+      t.start(); t
+    }
+    // disjoint key ranges in different files: neither may be lost and
+    // neither may refuse, whatever the interleave
+    val ts = Seq(writer(10L, "A10"), writer(150L, "B150"))
+    ts.foreach(_.join(120000))
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.toString)}")
+    assert(store.history("t") === Seq(1L, 2L, 3L))
+    val now = asMap(store)
+    assert(now(10L) === "A10" && now(150L) === "B150" && now.size === 200)
+  }
+
+  test("replayed batch racing itself commits exactly once") {
+    val store = freshStore()
+    twoFileBase(store)
+    // the same (writer, batch) delivered twice concurrently — e.g. a
+    // foreachBatch restart — must apply once: the replay re-check runs
+    // on every rebase, not only upfront
+    store.beforeCommitHook = () => {
+      store.beforeCommitHook = () => ()
+      store.upsertBatch(spark, "t", Seq((10L, "X10")).toDF("k", "v"),
+        Seq("k"), "w1", 7L)
+      ()
+    }
+    val v = store.upsertBatch(spark, "t", Seq((10L, "X10")).toDF("k", "v"),
+      Seq("k"), "w1", 7L)
+    assert(v === 2L, "replay must return the winning commit, not re-apply")
+    assert(store.history("t") === Seq(1L, 2L))
+    assert(asMap(store)(10L) === "X10")
+    assert(store.txns("t", 2L) === Map("w1" -> 7L))
+  }
 }
