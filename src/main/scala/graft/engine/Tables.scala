@@ -116,14 +116,25 @@ object Tables {
       // parquet-footer special cases below don't apply
       spark.table(name)
     } else if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to map
-      // to TimestampType; read it as raw nanos and truncate to micros.
-      // Session-agnostic (works under the driver's own SparkSession too).
+      // events.ts has shipped in two fixture encodings: parquet
+      // TIMESTAMP(NANOS), which Spark 4 refuses to map to TimestampType
+      // (read as raw long nanos, truncated to micros), and plain
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+      // TIMESTAMP_NTZ. Detect from the footer schema and normalize both
+      // to session-TZ TimestampType (session is UTC, so the NTZ wall
+      // clock is the same instant the nanos encoding carried).
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val sch = cachedSchema(spark, dir, name)(spark.read.parquet(s"$dir/$name.parquet"))
-      spark.read.schema(sch).parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.schema(sch).parquet(s"$dir/$name.parquet")
+      sch.apply("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else {
       val sch = cachedSchema(spark, dir, name)(spark.read.parquet(s"$dir/$name.parquet"))
       spark.read.schema(sch).parquet(s"$dir/$name.parquet")

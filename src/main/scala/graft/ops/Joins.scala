@@ -174,12 +174,18 @@ object Joins {
   private val joinIntervalPoint: Q = (s, dir) => {
     val W = 3600L
     def bandOf(c: org.apache.spark.sql.Column) = floor(c / W).cast("long")
+    // FLOOR of the double epoch, not cast-truncation: truncation rounds
+    // toward zero, disagreeing with the oracle's FLOOR(epoch(ts)) for
+    // pre-1970 timestamps (the Behavior.dayCol hazard). Epoch seconds sit
+    // far below 2^53, so the double floor is exact.
+    def epochSec(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double")).cast("long")
     val ev = t(s, dir, "events")
     val views = ev.filter(col("event_type") === "view")
-      .select(col("ts").cast("long").as("pt"))
+      .select(epochSec(col("ts")).as("pt"))
       .withColumn("b", bandOf(col("pt")))
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("ts").cast("long").as("istart"))
+      .select(col("event_id"), epochSec(col("ts")).as("istart"))
       .withColumn("iend", col("istart") + (lit(1) + col("event_id") % 4) * 900L)
     purchases
       .select(col("event_id"), col("istart"), col("iend"),

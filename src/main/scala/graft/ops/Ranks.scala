@@ -31,14 +31,25 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
+  /** Hard ceiling on the (partition × group) offset table the two-phase
+    * scheme collects to the driver. The kernel is for ranks over
+    * DRIVER-BOUNDED group keys (language, source, label, model grain);
+    * applied to a high-cardinality key the collect itself becomes the
+    * scale cliff, so past this bound the kernel fails loudly instead of
+    * silently ballooning the driver — use the plain window form (or
+    * re-key) instead. */
+  val MaxOffsetEntries: Int = 1 << 20
+
   /** Adds `rankCol` = 1-based rank within each group under `order`
     * (which must totally order rows within a group), plus `nCol` = the
     * group's total row count — the pair a closed-form ntile/percentile
     * needs. Shuffles the frame twice (range + pid-local window), never
     * creates a per-group task. */
   def perGroupRank(df: DataFrame, group: Seq[String], order: Seq[Column],
-      rankCol: String, nCol: String, partitions: Int): DataFrame =
-    twoPhase(df, group, order, lit(1L), rankCol, Some(nCol), partitions)
+      rankCol: String, nCol: String, partitions: Int,
+      maxOffsetEntries: Int = MaxOffsetEntries): DataFrame =
+    twoPhase(df, group, order, lit(1L), rankCol, Some(nCol), partitions,
+      maxOffsetEntries)
 
   /** Adds `sumCol` = the inclusive running sum of `value` within each
     * group under `order` — `SUM(value) OVER (PARTITION BY group ORDER BY
@@ -46,8 +57,10 @@ object Ranks {
     * `value` must be non-null integral (the driver-side prefix offsets
     * are exact long sums). */
   def perGroupPrefixSum(df: DataFrame, group: Seq[String], order: Seq[Column],
-      value: Column, sumCol: String, partitions: Int): DataFrame =
-    twoPhase(df, group, order, value, sumCol, None, partitions)
+      value: Column, sumCol: String, partitions: Int,
+      maxOffsetEntries: Int = MaxOffsetEntries): DataFrame =
+    twoPhase(df, group, order, value, sumCol, None, partitions,
+      maxOffsetEntries)
 
   /** Shared two-phase core: range-partition on (group, order), collect
     * the (partition × group) value sums — ONE model-sized collect, from
@@ -56,7 +69,7 @@ object Ranks {
     * plus a broadcast offset join. */
   private def twoPhase(df: DataFrame, group: Seq[String], order: Seq[Column],
       value: Column, outCol: String, totalCol: Option[String],
-      partitions: Int): DataFrame = {
+      partitions: Int, maxOffsetEntries: Int): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val fullOrder = group.map(col) ++ order
@@ -68,8 +81,14 @@ object Ranks {
     // (and the range shuffle runs once)
     val pinned = ranged.localCheckpoint()
     val keyCols = col("__pid") +: group.map(col)
+    // limit(max+1) bounds driver memory BEFORE the collect: a misapplied
+    // high-cardinality key fails with a clear message, never an OOM
     val sums = pinned.groupBy(keyCols: _*).agg(sum("__v").as("__s"))
-      .collect()
+      .limit(maxOffsetEntries + 1).collect()
+    require(sums.length <= maxOffsetEntries,
+      s"Ranks.twoPhase: (partition x group) offset table exceeds " +
+        s"$maxOffsetEntries entries - the group key ${group.mkString(",")} " +
+        "is not driver-bounded; use a window form or coarser key")
     val keyOf: Row => Seq[Any] = r => group.indices.map(i => r.get(1 + i))
     val byGroup = sums.groupBy(keyOf)
     val totByGroup = byGroup.map { case (k, rs) =>
@@ -94,11 +113,20 @@ object Ranks {
     val local = sum(col("__v")).over(
       Window.partitionBy(keyCols: _*).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    // null-safe (<=>) offset join: Window.partitionBy and the driver-side
+    // grouping both treat NULL as an ordinary group, so the join must
+    // too — a plain USING join would silently drop NULL-keyed rows
+    val ogCols = group.indices.map(i => s"__og$i")
+    val offAliased = offDf.toDF(
+      ("__opid" +: ogCols) ++ ("__off" +: totalCol.toSeq): _*)
+    val joinCond = group.zipWithIndex
+      .map { case (g, i) => col(g) <=> col(s"__og$i") }
+      .foldLeft(col("__pid") === col("__opid"))(_ && _)
     pinned
       .withColumn("__local", local)
-      .join(broadcast(offDf), "__pid" +: group)
+      .join(broadcast(offAliased), joinCond)
       .withColumn(outCol, col("__off") + col("__local"))
-      .drop("__pid", "__v", "__local", "__off")
+      .drop("__pid" +: "__v" +: "__local" +: "__off" +: "__opid" +: ogCols: _*)
   }
 
   /** Closed-form ntile over a (rank, n) pair — the arithmetic twin of

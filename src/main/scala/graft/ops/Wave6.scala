@@ -522,28 +522,36 @@ object Wave6 {
     val wsum = edges.groupBy("src").agg(sum("w").as("wt"))
     val ew = edges.join(wsum, "src").localCheckpoint()
     val nNodes = edges.select("src").distinct().count()
-    val r0 = BigDecimal(1.0 / nNodes)
-      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val base = (1.0 - damping) / nNodes
-    var rank = edges.select(col("src").as("token")).distinct()
-      .withColumn("r", lit(r0))
-    for (_ <- 1 to trIters) {
-      val contrib = round(col("r") * col("w") / col("wt"), 9)
-        .cast(DecimalType(20, 9))
-      // no per-superstep checkpoint: the rank frame is VOCABULARY-sized,
-      // and each iteration's broadcast materializes its subtree exactly
-      // once inside the single final job — 8 nested levels of linear
-      // work beats 8 separate checkpoint jobs. (Data-sized iterative
-      // frames — dedup_components — still checkpoint per superstep.)
-      rank = ew.join(broadcast(rank), ew("src") === rank("token"))
-        .groupBy(col("dst"))
-        .agg(sum(contrib).as("m"))
-        .select(col("dst").as("token"),
-          round(lit(base) + lit(damping) * col("m").cast("double"), 9).as("r"))
+    if (nNodes == 0L) {
+      // Threshold changes or a regenerated corpus can legitimately leave
+      // the pair pipeline empty; without this guard 1/nNodes seeds the
+      // iteration with Infinity/NaN ranks instead of an empty result.
+      import s.implicits._
+      s.emptyDataset[(String, Double)].toDF("token", "rank_score")
+    } else {
+      val r0 = BigDecimal(1.0 / nNodes)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val base = (1.0 - damping) / nNodes
+      var rank = edges.select(col("src").as("token")).distinct()
+        .withColumn("r", lit(r0))
+      for (_ <- 1 to trIters) {
+        val contrib = round(col("r") * col("w") / col("wt"), 9)
+          .cast(DecimalType(20, 9))
+        // no per-superstep checkpoint: the rank frame is VOCABULARY-sized,
+        // and each iteration's broadcast materializes its subtree exactly
+        // once inside the single final job — 8 nested levels of linear
+        // work beats 8 separate checkpoint jobs. (Data-sized iterative
+        // frames — dedup_components — still checkpoint per superstep.)
+        rank = ew.join(broadcast(rank), ew("src") === rank("token"))
+          .groupBy(col("dst"))
+          .agg(sum(contrib).as("m"))
+          .select(col("dst").as("token"),
+            round(lit(base) + lit(damping) * col("m").cast("double"), 9).as("r"))
+      }
+      rank.select(col("token"), col("r").as("rank_score"))
+        .orderBy(col("rank_score").desc, col("token"))
+        .limit(20)
     }
-    rank.select(col("token"), col("r").as("rank_score"))
-      .orderBy(col("rank_score").desc, col("token"))
-      .limit(20)
   }
 
   private val textTextrankOracle = {

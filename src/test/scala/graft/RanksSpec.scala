@@ -21,7 +21,9 @@ class RanksSpec extends SparkSuite {
     val two = Ranks.perGroupRank(df, Seq("lang"),
       Seq(col("mean_lp"), col("doc_id")), "rk", "n_lang", partitions = 7)
       .withColumn("stage", Ranks.ntileExpr(col("rk"), col("n_lang"), 4))
-    val diff = two.join(windowForm(df), Seq("lang", "doc_id", "mean_lp"))
+    // join on doc_id alone (unique in every test frame): a lang-keyed
+    // USING join would silently skip NULL-group rows from the diff
+    val diff = two.drop("lang", "mean_lp").join(windowForm(df), Seq("doc_id"))
       .filter(col("rk") =!= col("rk_w") || col("n_lang") =!= col("n_w") ||
         col("stage") =!= col("stage_w"))
     assert(diff.count() === 0)
@@ -58,6 +60,26 @@ class RanksSpec extends SparkSuite {
       .filter(col("cum") =!= col("cum_w"))
     assert(diff.count() === 0)
     assert(two.count() === df.count())
+  }
+
+  test("two-phase rank keeps NULL group keys (null-safe offset join == window form)") {
+    import spark.implicits._
+    // the window form puts all NULL-lang rows in one partition group; a
+    // plain USING offset join would silently drop them
+    val rows = (1L to 40L).map(i => (if (i % 4 == 0) null else s"l${i % 3}", i, i.toDouble))
+    compare(rows.toDF("lang", "doc_id", "mean_lp"))
+  }
+
+  test("two-phase rank fails loudly when (partition x group) exceeds the offset bound") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (s"g$i", i, i.toDouble))
+      .toDF("lang", "doc_id", "mean_lp")
+    val e = intercept[IllegalArgumentException] {
+      Ranks.perGroupRank(df, Seq("lang"),
+        Seq(col("mean_lp"), col("doc_id")), "rk", "n_lang",
+        partitions = 7, maxOffsetEntries = 50).count()
+    }
+    assert(e.getMessage.contains("not driver-bounded"))
   }
 
   test("closed-form ntile matches SQL ntile bucket sizes for n not divisible by k") {

@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Dev-side correctness gate: replays the driver's DuckDB compare locally.
+
+Usage:
+  sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/vout [name ...]"
+  python3 tools/gate.py /root/testdata/sf0.01 /tmp/vout [name ...]
+
+For each dumped query result (parquet under <outDir>/<name>/) with an
+entry in oracle_sql.json, runs the oracle SQL in DuckDB over the same
+parquet tables and compares row count, schema (column names sorted), and
+values (columns sorted by name, rows sorted by all columns).
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings", "partsupp"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify for a stable total sort across dtypes/NaN
+    key = df.astype(str)
+    order = key.sort_values(by=list(key.columns)).index
+    return df.loc[order].reset_index(drop=True)
+
+
+def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    if a.shape != b.shape:
+        return False
+    for c in a.columns:
+        x, y = a[c], b[c]
+        try:
+            import numpy as np
+            xa = pd.to_numeric(x, errors="raise")
+            ya = pd.to_numeric(y, errors="raise")
+            both_nan = xa.isna() & ya.isna()
+            if not (both_nan | np.isclose(xa.astype(float), ya.astype(float),
+                                          rtol=1e-9, atol=1e-12,
+                                          equal_nan=False)).all():
+                return False
+        except (ValueError, TypeError):
+            if not (x.astype(str) == y.astype(str)).all():
+                return False
+    return True
+
+
+def main() -> int:
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    con = duckdb.connect()
+    import os
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    bad = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            print(f"{name}: NO DUMP")
+            bad += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+        want = con.execute(sql).df()
+        g, w = canon(got), canon(want)
+        rows = len(g) == len(w)
+        schema = list(g.columns) == list(w.columns)
+        vals = rows and schema and values_match(g, w)
+        status = "OK" if (rows and schema and vals) else \
+            f"FAIL rows={rows} schema={schema} vals={vals} " \
+            f"({len(g)} vs {len(w)}; cols {list(g.columns)} vs {list(w.columns)})"
+        print(f"{name}: {status}")
+        if status != "OK":
+            bad += 1
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
