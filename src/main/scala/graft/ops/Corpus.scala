@@ -114,7 +114,7 @@ object Corpus {
     * the xxhash64 production-speed form; this proves the algorithm).
     * Same plan shape: one groupBy for signatures, one band join. */
   private val dedupSimhashMd5: Q = (s, dir) => {
-    val tok = docs(s, dir).filter(col("doc_id") < 2000)
+    val tok = docs(s, dir)
       .select(col("doc_id"), explode(LlmPipeline.tokens(col("text"))).as("w"))
       .withColumn("h", LlmPipeline.h15(0, col("w")))
     // native one-pass aggregate (NativeExprSpec pins parity with the
@@ -184,7 +184,7 @@ object Corpus {
         s"(CASE WHEN b$b > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << $b)").mkString(" | ")
       val bandArr = (0 until BANDS).map(b => s"(simhash >> ${b * 15}) & 32767").mkString(", ")
       s"""WITH tok AS (SELECT doc_id, $duckH15 AS h
-         |  FROM (SELECT doc_id, unnest($duckToks) AS w FROM documents WHERE doc_id < 2000)),
+         |  FROM (SELECT doc_id, unnest($duckToks) AS w FROM documents)),
          |sums AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id),
          |sh AS (SELECT doc_id, $sig AS simhash FROM sums),
          |banded AS (SELECT doc_id, simhash, unnest(range(0, $BANDS)) AS band, unnest([$bandArr]) AS bandVal FROM sh),

@@ -87,7 +87,7 @@ object LlmPipeline {
 
   private val dedupMinhash: Q = (s, dir) => {
     val k = 32; val bands = 8; val rows = k / bands
-    val sigs = minhashSignatures(docs(s, dir).filter(col("doc_id") < 2000), k)
+    val sigs = minhashSignatures(docs(s, dir), k)
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows))))))
@@ -130,7 +130,7 @@ object LlmPipeline {
   private val dedupMinhashMd5: Q = (s, dir) => graft.engine.Materialize(s,
       s"minhash-md5-pairs:$dir") {
     val k = 32; val bands = 8; val r = k / bands
-    val d = docs(s, dir).filter(col("doc_id") < 2000)
+    val d = docs(s, dir)
     val toks = tokens(col("text"))
     val shingles = array_distinct(transform(
       sequence(lit(0), greatest(size(toks) - 3, lit(0))),
@@ -181,7 +181,7 @@ object LlmPipeline {
       .agg(graft.functions.Native.simhashAgg(col("h")).as("simhash"))
 
   private val dedupSimhash: Q = (s, dir) => {
-    val sh = simhash(docs(s, dir).filter(col("doc_id") < 2000))
+    val sh = simhash(docs(s, dir))
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
@@ -207,7 +207,7 @@ object LlmPipeline {
     // without re-running the blocked token join. At 100 TB this is the
     // written candidates/pairs table every production dedup run keeps.
     graft.engine.Materialize(s, s"jaccard-pairs:$dir") {
-      val d = docs(s, dir).filter(col("doc_id") < 2000)
+      val d = docs(s, dir)
         .select(col("doc_id"), col("lang"), col("source"),
           array_distinct(tokens(col("text"))).as("toks"))
       val sizes = d.select(col("doc_id"), size(col("toks")).as("sz"))
@@ -493,7 +493,7 @@ object LlmPipeline {
     "dedup_minhash_md5" -> {
       val permRows = minhashPerms.zipWithIndex
         .map { case ((a, b), p) => s"($p, ${a}, ${b})" }.mkString(", ")
-      s"""WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x->x<>'') AS toks FROM documents WHERE doc_id < 2000),
+      s"""WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x->x<>'') AS toks FROM documents),
         |sg AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) % ${minhashHBits} AS h FROM (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(len(toks)-2,1)), i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])))) AS sh FROM d)),
         |perms AS (SELECT * FROM (VALUES ${permRows}) AS t(p, a, b)),
         |sig AS (SELECT doc_id, p, MIN((a * h + b) % ${minhashP}) AS m FROM sg CROSS JOIN perms GROUP BY doc_id, p),
@@ -504,7 +504,7 @@ object LlmPipeline {
         |GROUP BY i, j ORDER BY i, j""".stripMargin
     },
     "dedup_ngram_jaccard" ->
-      s"""WITH d AS (SELECT doc_id, lang, source, list_distinct($duckTokens) AS toks FROM documents WHERE doc_id < 2000),
+      s"""WITH d AS (SELECT doc_id, lang, source, list_distinct($duckTokens) AS toks FROM documents),
          |sizes AS (SELECT doc_id, len(toks) AS sz FROM d),
          |tok AS (SELECT doc_id, lang, source, unnest(toks) AS w FROM d),
          |pairs AS (

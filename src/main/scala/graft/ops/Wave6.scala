@@ -503,18 +503,24 @@ object Wave6 {
 
   private val textTextrank: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val nDocsRow = docs.agg(count(lit(1))).collect()(0).getLong(0)
+    // corpus size stays IN-PLAN (broadcast one-row crossJoin, the
+    // unigramLp pattern) — no driver sync between building the
+    // frequency filter and using it
+    val nDocs = docs.agg(count(lit(1)).as("__n_docs"))
     val td = docs
       .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("token"))
     val freq = td.groupBy("token").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= nDocsRow * 0.05)
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= col("__n_docs") * 0.05)
       .select("token")
     val ft = td.join(broadcast(freq), Seq("token"))
     val pairCounts = ft.as("a").join(ft.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))
       .groupBy(col("a.token").as("t1"), col("b.token").as("t2"))
       .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= nDocsRow * 0.02)
+      .crossJoin(broadcast(nDocs))
+      .filter(col("w") >= col("__n_docs") * 0.02)
+      .drop("__n_docs")
     // undirected: each pair contributes both directions
     val edges = pairCounts.select(col("t1").as("src"), col("t2").as("dst"), col("w"))
       .union(pairCounts.select(col("t2").as("src"), col("t1").as("dst"), col("w")))
@@ -704,8 +710,11 @@ object Wave6 {
     val ranked = Ranks.perGroupRank(emb, Seq("label"), Seq(col("vec_id")),
       rankCol = "rk", nCol = "n_label",
       partitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
-    val minCount = ranked.agg(min("n_label")).collect()(0).getLong(0)
-    ranked.filter(col("rk") <= minCount)
+    // min-class count joins back in-plan (broadcast one-row crossJoin)
+    // instead of a driver .collect() barrier between the two jobs
+    val minCount = ranked.agg(min("n_label").as("__min_n"))
+    ranked.crossJoin(broadcast(minCount))
+      .filter(col("rk") <= col("__min_n"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_kept"),
         sum("vec_id").as("id_sum"),
