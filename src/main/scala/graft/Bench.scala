@@ -37,7 +37,16 @@ object Bench {
     val total = warm.values.sum
     val coldTotal = cold.values.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"cold_queries":$cqs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"cold_queries":$cqs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // the driver tail-truncates long stdout lines; persist the full
+    // per-query JSON so rounds stay diffable without a re-run (committed
+    // per round, so git history keeps every round's copy)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_full.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] BENCH_full.json not written: $e") }
     spark.stop()
   }
 }

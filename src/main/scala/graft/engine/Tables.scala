@@ -132,6 +132,10 @@ object Tables {
         case LongType =>
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case TimestampNTZType =>
+          // NTZ -> TimestampType reads the wall clock in the SESSION
+          // zone; pin it to UTC so the instant matches what the nanos
+          // encoding carried even under a non-UTC embedding session
+          spark.conf.set("spark.sql.session.timeZone", "UTC")
           raw.withColumn("ts", col("ts").cast(TimestampType))
         case _ => raw
       }

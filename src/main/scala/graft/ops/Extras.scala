@@ -60,7 +60,13 @@ object Extras {
   /** The reference's maintenance pass (ref: OPTIMIZE/ZORDER, dbc cmd16/17):
     * write small files, compact to target, z-order cluster, and emit the
     * metrics struct in the reference's result shape (SURVEY Appendix B.3).
-    * Rows-only check (file counts are env-dependent at the margins). */
+    * The file counts are deterministic from the fixture geometry —
+    * repartition(8) writes 8 files, a 1 GiB bin-pack target folds any
+    * test-scale table to ceil(total/1GiB) = 1 (repartition(1), one
+    * task, one file), and the Z-order rewrite is repartitionByRange over
+    * targetFiles = 1 — so the full metrics row hash-checks against a
+    * declared VALUES oracle (file SIZES stay out of the result: byte
+    * counts are compression-env-dependent). */
   private val maintenanceOptimize: Q = (s, dir) => {
     import s.implicits._
     val root = graft.engine.Fs.freshScratch(s, "opt")
@@ -137,6 +143,11 @@ object Extras {
     // sink read-back hash-checks against the same declared-registry
     // oracle the profiler uses (the write is the part under test)
     "sink_roundtrip" -> Profiler.schemaInformationOracle(),
+    "maintenance_optimize" ->
+      """SELECT * FROM (VALUES
+        |  ('compact', CAST(1 AS BIGINT), CAST(8 AS BIGINT), 'binPack(1073741824)'),
+        |  ('zorder',  CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'zorder(p_size,p_partkey)'))
+        |  AS t(op, numFilesAdded, numFilesRemoved, strategyName) ORDER BY op""".stripMargin,
     "maintenance_optimize_content" ->
       "SELECT p_partkey, p_name, CAST(p_size AS INT) AS p_size, CAST(p_retailprice AS DOUBLE) AS p_retailprice FROM part ORDER BY p_partkey"
   )

@@ -49,6 +49,18 @@ object Ranks {
       rankCol: String, nCol: String, partitions: Int,
       maxOffsetEntries: Int = MaxOffsetEntries): DataFrame =
     twoPhase(df, group, order, lit(1L), rankCol, Some(nCol), partitions,
+      maxOffsetEntries)._1
+
+  /** [[perGroupRank]] plus the per-group row totals as a driver-side map
+    * (group key values → count). The totals fall out of the
+    * (partition × group) offset table the kernel ALREADY collects to
+    * build the broadcast offsets — callers needing a group-cardinality
+    * scalar (e.g. the min class count of a balanced sample) read it here
+    * for free instead of planning an extra global aggregate. */
+  def perGroupRankWithTotals(df: DataFrame, group: Seq[String],
+      order: Seq[Column], rankCol: String, nCol: String, partitions: Int,
+      maxOffsetEntries: Int = MaxOffsetEntries): (DataFrame, Map[Seq[Any], Long]) =
+    twoPhase(df, group, order, lit(1L), rankCol, Some(nCol), partitions,
       maxOffsetEntries)
 
   /** Adds `sumCol` = the inclusive running sum of `value` within each
@@ -60,7 +72,7 @@ object Ranks {
       value: Column, sumCol: String, partitions: Int,
       maxOffsetEntries: Int = MaxOffsetEntries): DataFrame =
     twoPhase(df, group, order, value, sumCol, None, partitions,
-      maxOffsetEntries)
+      maxOffsetEntries)._1
 
   /** Shared two-phase core: range-partition on (group, order), collect
     * the (partition × group) value sums — ONE model-sized collect, from
@@ -69,7 +81,7 @@ object Ranks {
     * plus a broadcast offset join. */
   private def twoPhase(df: DataFrame, group: Seq[String], order: Seq[Column],
       value: Column, outCol: String, totalCol: Option[String],
-      partitions: Int, maxOffsetEntries: Int): DataFrame = {
+      partitions: Int, maxOffsetEntries: Int): (DataFrame, Map[Seq[Any], Long]) = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val fullOrder = group.map(col) ++ order
@@ -122,11 +134,12 @@ object Ranks {
     val joinCond = group.zipWithIndex
       .map { case (g, i) => col(g) <=> col(s"__og$i") }
       .foldLeft(col("__pid") === col("__opid"))(_ && _)
-    pinned
+    val out = pinned
       .withColumn("__local", local)
       .join(broadcast(offAliased), joinCond)
       .withColumn(outCol, col("__off") + col("__local"))
       .drop("__pid" +: "__v" +: "__local" +: "__off" +: "__opid" +: ogCols: _*)
+    (out, totByGroup)
   }
 
   /** Closed-form ntile over a (rank, n) pair — the arithmetic twin of

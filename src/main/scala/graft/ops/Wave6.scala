@@ -701,20 +701,21 @@ object Wave6 {
     * label)`: one dominant class would serialize into a single window
     * task, so Ranks.perGroupRank range-partitions on (label, vec_id)
     * and reconstructs identical ranks from broadcast offsets. The
-    * min-class count is a label-cardinality aggregate broadcast as a
-    * scalar. Reported per label: kept count and exact id-sum so the
-    * gate pins WHICH rows were kept, not just how many.
+    * min-class count costs NOTHING extra: it is the minimum of the
+    * per-group totals the rank kernel already collects driver-side to
+    * build its broadcast offsets, inlined as a literal — no second
+    * aggregate, no SinglePartition exchange anywhere in the plan
+    * (pinned by Wave6PlanSpec). Reported per label: kept count and
+    * exact id-sum so the gate pins WHICH rows were kept, not just how
+    * many.
     */
   private val sampleBalanced: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
-    val ranked = Ranks.perGroupRank(emb, Seq("label"), Seq(col("vec_id")),
-      rankCol = "rk", nCol = "n_label",
+    val (ranked, totals) = Ranks.perGroupRankWithTotals(emb, Seq("label"),
+      Seq(col("vec_id")), rankCol = "rk", nCol = "n_label",
       partitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
-    // min-class count joins back in-plan (broadcast one-row crossJoin)
-    // instead of a driver .collect() barrier between the two jobs
-    val minCount = ranked.agg(min("n_label").as("__min_n"))
-    ranked.crossJoin(broadcast(minCount))
-      .filter(col("rk") <= col("__min_n"))
+    val minN = if (totals.isEmpty) 0L else totals.values.min
+    ranked.filter(col("rk") <= lit(minN))
       .groupBy("label")
       .agg(count(lit(1)).as("n_kept"),
         sum("vec_id").as("id_sum"),

@@ -22,29 +22,46 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # stringify for a stable total sort across dtypes/NaN
-    key = df.astype(str)
+    # stable total sort: round true floats first so two engines' values
+    # that are equal within tolerance stringify (and thus sort) the same
+    # way — otherwise rows land in different positions and values_match
+    # compares misaligned rows
+    key = df.copy()
+    for c in key.columns:
+        if pd.api.types.is_float_dtype(key[c]):
+            key[c] = key[c].round(6)
+    key = key.astype(str)
     order = key.sort_values(by=list(key.columns)).index
     return df.loc[order].reset_index(drop=True)
 
 
 def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    import numpy as np
     if a.shape != b.shape:
         return False
     for c in a.columns:
         x, y = a[c], b[c]
-        try:
-            import numpy as np
-            xa = pd.to_numeric(x, errors="raise")
-            ya = pd.to_numeric(y, errors="raise")
+        # integers compare EXACTLY: 64-bit hash/ID columns (simhash,
+        # xxhash64) lose precision above 2^53 as floats and isclose's
+        # relative tolerance would admit ~1e9 absolute drift on them
+        if pd.api.types.is_integer_dtype(x) and pd.api.types.is_integer_dtype(y):
+            # python-int compare: dtype-width agnostic (int32 vs int64,
+            # uint64) and never routed through float
+            if not (x.isna().to_numpy() == y.isna().to_numpy()).all():
+                return False
+            if not all(int(u) == int(v)
+                       for u, v in zip(x.dropna(), y.dropna())):
+                return False
+            continue
+        if pd.api.types.is_float_dtype(x) or pd.api.types.is_float_dtype(y):
+            xa, ya = x.astype(float), y.astype(float)
             both_nan = xa.isna() & ya.isna()
-            if not (both_nan | np.isclose(xa.astype(float), ya.astype(float),
-                                          rtol=1e-9, atol=1e-12,
+            if not (both_nan | np.isclose(xa, ya, rtol=1e-9, atol=1e-12,
                                           equal_nan=False)).all():
                 return False
-        except (ValueError, TypeError):
-            if not (x.astype(str) == y.astype(str)).all():
-                return False
+            continue
+        if not (x.astype(str) == y.astype(str)).all():
+            return False
     return True
 
 
