@@ -235,16 +235,38 @@ object LlmPipeline {
         .select("i", "j", "jacc")
     }.orderBy("i", "j")
 
-  /** Embedding-cosine near-dup pairs, blocked by label (the 100 TB form
-    * replaces the label block with LSH buckets — see sim_ann_lsh). Exact
-    * double arithmetic + round(6) for engine parity. */
+  /** Embedding-cosine near-dup pairs over (label, sign-LSH cell) blocks —
+    * the scale-safe embedding dedup: 8 independent sign-bit tables
+    * (table t reads coordinates [8t, 8t+8); its bucket packs the 8
+    * projection signs into a byte — random-hyperplane LSH whose planes
+    * are the coordinate axes, so both engines derive identical buckets
+    * from the raw floats), candidate pairs from an equi-join on
+    * (label, table, bucket), exact-cosine confirm + round(6) on the
+    * candidates. Never all-pairs within a label: the join key includes
+    * the cell, so at 100 TB a dominant label fans out across 8·256
+    * cells instead of serializing into one quadratic block (the
+    * label-only self-join this replaces was quadratic in the largest
+    * label class). Like dedup_ngram_jaccard's size-ratio pruning, the
+    * blocking is part of the declared query contract — a pair must
+    * share >= 1 of its 8 cells — and the full pipeline (bucketing,
+    * candidate join, cosine) is replayed by the DuckDB oracle. */
   private val dedupEmbedCosine: Q = (s, dir) => {
-    val e = emb(s, dir).filter(col("vec_id") < 500)
-      .select(col("vec_id"), col("label"), col("embedding").as("v"))
-    e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-        round(cosineCol(col("a.v"), col("b.v")), 6).as("cos"))
+    val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding").as("v"))
+    def signBucket(t: Int): Column = (0 until 8).map { k =>
+      when(element_at(col("v"), t * 8 + k + 1) > lit(0f), lit(1 << k)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val buckets = e
+      .select(col("vec_id"), col("label"),
+        posexplode(array((0 until 8).map(signBucket): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.label") === col("b.label") && col("a.tbl") === col("b.tbl") &&
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j")).distinct()
+    cand
+      .join(e.select(col("vec_id").as("i"), col("v").as("va")), "i")
+      .join(e.select(col("vec_id").as("j"), col("v").as("vb")), "j")
+      .select(col("i"), col("j"), round(cosineCol(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= 0.28)
       .orderBy("i", "j")
   }
@@ -515,14 +537,21 @@ object LlmPipeline {
          |  SELECT i, j, CAST(inter AS DOUBLE) / CAST(si.sz + sj.sz - inter AS DOUBLE) AS jacc
          |  FROM pairs JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j)
          |WHERE jacc >= 0.8 ORDER BY i, j""".stripMargin,
-    "dedup_embed_cosine" ->
-      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id < 500)
+    "dedup_embed_cosine" -> {
+      val signSql = (0 until 8)
+        .map(k => s"CASE WHEN embedding[t*8+${k + 1}] > 0 THEN ${1 << k} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, label, embedding, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |b AS (SELECT vec_id, label, t, $signSql AS bucket FROM e, (SELECT unnest(range(8)) AS t)),
+        |cand AS (SELECT DISTINCT a.vec_id AS i, b2.vec_id AS j
+        |  FROM b a JOIN b b2 ON a.label = b2.label AND a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
         |SELECT i, j, cos FROM (
-        |  SELECT a.vec_id AS i, b.vec_id AS j,
-        |  ROUND(list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), 'sum')
-        |    / (SQRT(list_aggregate(list_transform(a.v, x -> x*x), 'sum')) * SQRT(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))), 6) AS cos
-        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-        |WHERE cos >= 0.28 ORDER BY i, j""".stripMargin,
+        |  SELECT i, j,
+        |  ROUND(list_aggregate(list_transform(list_zip(ea.v, eb.v), x -> x[1] * x[2]), 'sum')
+        |    / (SQRT(list_aggregate(list_transform(ea.v, x -> x*x), 'sum')) * SQRT(list_aggregate(list_transform(eb.v, x -> x*x), 'sum'))), 6) AS cos
+        |  FROM cand JOIN e ea ON ea.vec_id = i JOIN e eb ON eb.vec_id = j)
+        |WHERE cos >= 0.28 ORDER BY i, j""".stripMargin
+    },
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

@@ -48,6 +48,15 @@ class Wave6PlanSpec extends SparkSuite {
     assert(!plan.contains("Exchange SinglePartition"), plan.take(1500))
   }
 
+  test("dedup_embed_cosine candidates join on the LSH cell — never label-only all-pairs") {
+    val plan = planOf("dedup_embed_cosine")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the candidate self-join is keyed by the sign-LSH cell: its join
+    // keys (broadcast or shuffled) must include the bucket column
+    assert("Join [^\\n]*bucket".r.findFirstIn(plan).isDefined, plan.take(2000))
+  }
+
   test("text_textrank supersteps are broadcast joins of the rank vector — the edge list never reshuffles") {
     val plan = planOf("text_textrank")
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
