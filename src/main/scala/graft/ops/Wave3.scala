@@ -873,6 +873,60 @@ object Wave3 {
       |UNION ALL SELECT 3, CAST((SELECT COUNT(*) FROM customer WHERE c_nationkey <> 3) + (SELECT COUNT(*) FROM customer WHERE c_mktsegment = 'BUILDING' AND c_nationkey <> 3) AS BIGINT)
       |ORDER BY version""".stripMargin
 
+  // ---- sink_concurrent_upsert: OCC rebase under real contention --------
+
+  /** Two concurrent writers, disjoint keys, BOTH commits must survive —
+    * Delta's optimistic-concurrency contract driven end to end. Writer A
+    * updates the low keys; writer B (fired from the engine's
+    * before-commit hook, i.e. exactly between A's staging and A's commit
+    * attempt) inserts fresh keys above the live maximum. A loses the
+    * version race, finds B's added files disjoint from its own key range
+    * (manifest stats, no data read), rebases its ALREADY-STAGED files
+    * onto B's head, and commits — zero recompute, v1..v3 in history.
+    * The result pins the full post state (both writers' rows), the
+    * version count, and that the contention really happened. */
+  private val sinkConcurrentUpsert: Q = (s, dir) => {
+    val root = graft.engine.Fs.freshScratch(s, "occ")
+    val store = new graft.engine.VersionedStore(root)
+    val base = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    store.write(base.repartitionByRange(4, col("c_custkey")), "customer") // v1
+    // B's inserts start past the live max (model-sized agg) so the two
+    // writers stay key-disjoint at ANY scale factor
+    val shift = base.agg(max("c_custkey")).head().getLong(0) + 1L
+    val bSource = base.filter(col("c_custkey") <= 10)
+      .select((col("c_custkey") + lit(shift)).as("c_custkey"),
+        lit(-1.0).as("c_acctbal"))
+    @volatile var contended = false
+    store.beforeCommitHook = () => {
+      store.beforeCommitHook = () => ()
+      store.upsert(s, "customer", bSource, Seq("c_custkey"))              // v2: B wins
+      contended = true
+    }
+    store.upsert(s, "customer",                                           // v3: A rebases
+      base.filter(col("c_custkey") <= 10).withColumn("c_acctbal", lit(0.0)),
+      Seq("c_custkey"))
+    val nVersions = store.currentVersion("customer").getOrElse(0L)
+    store.read(s, "customer")
+      .filter(col("c_custkey") <= 10 || col("c_custkey") >= lit(shift))
+      .select(
+        when(col("c_custkey") >= lit(shift), col("c_custkey") - lit(shift))
+          .otherwise(col("c_custkey")).as("key"),
+        when(col("c_custkey") >= lit(shift), "insert_b").otherwise("update_a")
+          .as("writer"),
+        col("c_acctbal").as("bal"),
+        lit(nVersions).as("n_versions"), lit(contended).as("contended"))
+      .orderBy("writer", "key")
+  }
+
+  private val sinkConcurrentUpsertOracle =
+    """SELECT c_custkey AS key, 'insert_b' AS writer, -1.0 AS bal,
+      |  CAST(3 AS BIGINT) AS n_versions, TRUE AS contended
+      |FROM customer WHERE c_custkey <= 10
+      |UNION ALL
+      |SELECT c_custkey, 'update_a', 0.0, CAST(3 AS BIGINT), TRUE
+      |FROM customer WHERE c_custkey <= 10
+      |ORDER BY writer, key""".stripMargin
+
   // ---- sql_text_agg: the SQL-text surface end-to-end -------------------
 
   /** The reference drives everything through SQL text (its notebook is
@@ -1033,6 +1087,7 @@ object Wave3 {
     "sink_delete" -> sinkDelete,
     "sink_restore" -> sinkRestore,
     "sink_history" -> sinkHistory,
+    "sink_concurrent_upsert" -> sinkConcurrentUpsert,
     "sql_text_agg" -> sqlTextAgg,
     "fn_explode_outer" -> fnExplodeOuter,
     "sink_dynamic_partition" -> sinkDynamicPartition,
@@ -1069,6 +1124,7 @@ object Wave3 {
     "sink_delete" -> sinkDeleteOracle,
     "sink_restore" -> sinkRestoreOracle,
     "sink_history" -> sinkHistoryOracle,
+    "sink_concurrent_upsert" -> sinkConcurrentUpsertOracle,
     "sql_text_agg" -> sqlTextAggOracle,
     "fn_explode_outer" -> fnExplodeOuterOracle,
     "sink_dynamic_partition" -> sinkDynamicPartitionOracle,
