@@ -1,0 +1,27 @@
+#!/usr/bin/env bash
+# Pre-commit plan gate: runs every suite that asserts on PHYSICAL PLAN
+# shape, so a kernel edit can never land with a red plan contract again
+# (round 5 shipped a sample_balanced kernel change without re-running
+# Wave6PlanSpec — this is the institutional fix).
+#
+# Usage:  tools/plangate.sh          # plan suites only (~2 min)
+#         tools/plangate.sh --full   # the whole sbt test suite
+#
+# Pair with tools/gate.py (DuckDB correctness replay) before committing:
+#   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/vout <names>"
+#   python3 tools/gate.py /root/testdata/sf0.01 /tmp/vout <names>
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+PLAN_SUITES=(
+  graft.Wave6PlanSpec        # wave-6 operator plan contracts
+  graft.ClusterProfileSpec   # profiler single-pass / exchange budget
+  graft.BandedJoinRuleSpec   # banded-join rewrite fires + plan shape
+  graft.ScaleSpec            # pushdown / broadcast / no-collect asserts
+  graft.BehaviorSpec         # event-pipeline single-exchange shapes
+)
+
+if [[ "${1:-}" == "--full" ]]; then
+  exec sbt -batch test
+fi
+exec sbt -batch "testOnly ${PLAN_SUITES[*]}"
