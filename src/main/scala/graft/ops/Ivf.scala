@@ -25,18 +25,43 @@ import graft.functions.Native
   */
 object Ivf {
 
+  /** Deterministic hash-sample for quantizer training: Lloyd centroid
+    * statistics converge on a fraction of the data, so past `cap`
+    * expected vectors the trainer reads a sample instead of scanning the
+    * full table EVERY round (at 100 TB the full per-round scan would
+    * dominate training; assignment of the full corpus still happens
+    * exactly once, after training). The filter is a pure function of
+    * vec_id (xxhash64 residue), NOT df.sample: membership is independent
+    * of partition layout and run order, so trained models are bit-
+    * reproducible on any cluster. Below the cap the full table trains —
+    * fixture-scale results are unchanged. */
+  private[graft] def trainSample(e: DataFrame, cap: Long): DataFrame = {
+    val n = e.count()
+    if (n <= cap) e
+    else {
+      val den = 1L << 20
+      val num = math.max(1L, cap * den / n)
+      e.filter(pmod(xxhash64(col("vec_id")), lit(den)) < lit(num))
+    }
+  }
+
   /** Deterministic k-means: init = the k lowest-vec_id vectors; `iters`
-    * Lloyd rounds. Returns (cellId, centroid) pairs. */
-  def train(e: DataFrame, k: Int, iters: Int): Array[(Int, Array[Float])] = {
+    * Lloyd rounds. Returns (cellId, centroid) pairs. Training reads a
+    * deterministic sample once the table exceeds `trainCap` expected
+    * vectors (0 = the 64·k default — enough for stable cell statistics
+    * at any corpus size). */
+  def train(e: DataFrame, k: Int, iters: Int,
+      trainCap: Long = 0L): Array[(Int, Array[Float])] = {
     val spark = e.sparkSession
     import spark.implicits._
-    var centroids: Array[(Int, Array[Float])] = e
+    val t = trainSample(e, if (trainCap > 0L) trainCap else 64L * k)
+    var centroids: Array[(Int, Array[Float])] = t
       .orderBy("vec_id").limit(k).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](r.fieldIndex("embedding")).toArray) }
     for (_ <- 0 until iters) {
       val cdf = centroids.toSeq.toDF("cell", "centroid")
-      val assigned = assign(e, cdf)
+      val assigned = assign(t, cdf)
       // update step: ONE element-wise vector-sum aggregate per cell (native
       // VecSumAgg buffer = dim doubles) — no posexplode row multiplication
       // (×dim) through the shuffle; the model-sized result collects to the

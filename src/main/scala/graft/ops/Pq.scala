@@ -66,11 +66,16 @@ object Pq {
     * element-wise vector-sum aggregate — the shuffle carries m·k partial
     * buffers per partition, and only centroids (m·k·subDim floats) ever
     * reach the driver. Returns [subspace][code][subDim]. */
-  def train(e: DataFrame, m: Int, k: Int, iters: Int): Array[Array[Array[Float]]] = {
+  def train(e: DataFrame, m: Int, k: Int, iters: Int,
+      trainCap: Long = 0L): Array[Array[Array[Float]]] = {
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"pq: dim=$dim not divisible by m=$m")
     val subDim = dim / m
-    val subs = e.select(col("vec_id") +: (0 until m).map(subCol(_, subDim)): _*)
+    // codebook statistics train on Ivf.trainSample's deterministic
+    // hash-sample past 64·k expected vectors (full-table encode is
+    // unchanged — only the per-round Lloyd scans shrink at scale)
+    val t = Ivf.trainSample(e, if (trainCap > 0L) trainCap else 64L * k)
+    val subs = t.select(col("vec_id") +: (0 until m).map(subCol(_, subDim)): _*)
     var books: Array[Array[Array[Float]]] = {
       val seed = subs.orderBy("vec_id").limit(k).collect()
       (0 until m).map { i =>

@@ -42,6 +42,38 @@ class IvfSpec extends SparkSuite {
     assert(recall >= 0.5, s"IVF recall collapsed: $recall")
   }
 
+  test("sampled training (the 100 TB scale path) keeps recall") {
+    // cap = 200 of 500 vectors forces the hash-sample on the fixture;
+    // membership is an xxhash64 residue of vec_id, so the sample (and
+    // hence the model) is deterministic on any partition layout
+    val sample = Ivf.trainSample(e, 200)
+    val nSample = sample.count()
+    assert(nSample < e.count() && nSample >= 16,
+      s"cap must force a real sample that can still seed k=16: $nSample")
+    val sampled = Ivf.train(e, k = 16, iters = 2, trainCap = 200)
+    assert(sampled.length === 16)
+    // search with the sampled-trained centroids (the sim_ivf probe path)
+    val cdf = sampled.toSeq.toDF("cell", "centroid")
+    val assigned = Ivf.assign(e, cdf)
+    val qVec = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val probeCells = cdf.crossJoin(broadcast(qVec))
+      .select(col("cell"),
+        graft.functions.Native.cosineSim(col("centroid"), col("qv")).as("sim"))
+      .orderBy(desc("sim"), asc("cell")).limit(4).select("cell")
+    val got = assigned.join(broadcast(probeCells), "cell")
+      .crossJoin(broadcast(qVec))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        graft.functions.Native.cosineSim(col("embedding"), col("qv")).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id")).limit(10)
+      .collect().map(_.getLong(0))
+    val brute = LlmPipeline.queries("sim_topk")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val recall = got.count(brute.contains) / 10.0
+    info(s"IVF recall@10 with 200-vector sampled training: $recall (nprobe=4/16)")
+    assert(recall >= 0.5, s"sampled-training recall collapsed: $recall")
+  }
+
   test("persisted IVF index answers identically to the in-session pipeline") {
     val e = graft.engine.Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))

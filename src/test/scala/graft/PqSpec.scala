@@ -35,6 +35,43 @@ class PqSpec extends SparkSuite {
     assert(norms.forall(n => math.abs(n - 1.0) < 1e-5), "all unit vectors")
   }
 
+  test("sampled training (the 100 TB scale path) keeps recall") {
+    // cap = 300 of 500 forces the deterministic hash-sample; codebooks
+    // train on the sample, the FULL corpus still encodes and reranks.
+    // Sampled books carry more quantization error, so the candidate
+    // budget doubles (64 -> 128) — the standard compression-error vs
+    // rerank-budget tradeoff; on THIS fixture (random unit vectors, no
+    // cluster structure for PQ to learn) that is what keeps the ADC
+    // candidate stage above the noise floor.
+    val books = Pq.train(e, m = 4, k = 16, iters = 2, trainCap = 300)
+    val codes = Pq.encode(e, books)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val subDim = books(0)(0).length
+    val lut = books.zipWithIndex.map { case (book, i) =>
+      val qSub = q.slice(i * subDim, (i + 1) * subDim)
+      book.map(c => c.zip(qSub).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+    }
+    val adc = books.indices.map { i =>
+      element_at(array(lut(i).map(lit(_)): _*), col("codes")(i) + 1)
+    }.reduce(_ + _)
+    val cand = codes.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), adc.as("adc"))
+      .orderBy(desc("adc"), asc("vec_id")).limit(128)
+    val got = e.join(broadcast(cand), "vec_id")
+      .crossJoin(broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))))
+      .select(col("vec_id"),
+        graft.functions.Native.cosineSim(col("embedding"), col("qv")).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id")).limit(10)
+      .collect().map(_.getLong(0))
+    val brute = LlmPipeline.queries("sim_topk")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val recall = got.count(brute.contains) / 10.0
+    info(s"PQ recall@10 with 300-vector sampled training: $recall")
+    assert(recall >= 0.5, s"sampled-training recall collapsed: $recall")
+  }
+
   test("sim_pq ranks by exact cosine after ADC candidate generation") {
     val got = Pq.queries("sim_pq")(spark, sf).collect()
     assert(got.length === 10)
