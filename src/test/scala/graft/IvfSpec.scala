@@ -74,6 +74,21 @@ class IvfSpec extends SparkSuite {
     assert(recall >= 0.5, s"sampled-training recall collapsed: $recall")
   }
 
+  test("default-cap sampling engages at sf0.1 and sim_ivf recall holds") {
+    // 5000 vectors > the 64·k = 1024 default cap: the production path
+    // where training really reads a sample — recall must survive it
+    val dir = "/root/testdata/sf0.1"
+    val e01 = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    assert(Ivf.trainSample(e01, 1024).count() < e01.count(), "sampling engaged")
+    val got = Ivf.queries("sim_ivf")(spark, dir).collect().map(_.getLong(0))
+    val brute = LlmPipeline.queries("sim_topk")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val recall = got.count(brute.contains) / 10.0
+    info(s"sf0.1 sim_ivf recall@10 with default sampled training: $recall")
+    assert(recall >= 0.5, s"default sampled-training recall collapsed: $recall")
+  }
+
   test("persisted IVF index answers identically to the in-session pipeline") {
     val e = graft.engine.Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))

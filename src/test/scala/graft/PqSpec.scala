@@ -72,6 +72,23 @@ class PqSpec extends SparkSuite {
     assert(recall >= 0.5, s"sampled-training recall collapsed: $recall")
   }
 
+  test("default-cap sampling engages at sf0.1 and sim_pq recall holds") {
+    val dir = "/root/testdata/sf0.1"
+    val e01 = Pq.unit(Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")))
+    assert(graft.ops.Ivf.trainSample(e01, 1024).count() < e01.count(),
+      "sampling engaged")
+    val got = Pq.queries("sim_pq")(spark, dir).collect().map(_.getLong(0))
+    val brute = LlmPipeline.queries("sim_topk")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val recall = got.count(brute.contains) / 10.0
+    info(s"sf0.1 sim_pq recall@10 with default sampled training: $recall")
+    // 64-of-5000 candidates (1.3%) before exact rerank: the floor sits
+    // above 10x chance, catching a collapsed quantizer without pinning
+    // fixture-specific quality
+    assert(recall >= 0.2, s"default sampled-training recall collapsed: $recall")
+  }
+
   test("sim_pq ranks by exact cosine after ADC candidate generation") {
     val got = Pq.queries("sim_pq")(spark, sf).collect()
     assert(got.length === 10)

@@ -509,6 +509,45 @@ class VersionedStoreSpec extends SparkSuite {
     assert(now.size === 201)
   }
 
+  test("delete racing an upsert on disjoint files: the upsert rebases, both land") {
+    val store = freshStore()
+    twoFileBase(store)
+    // B DELETEs from the high-key file in the window between A staging
+    // its low-key merge and A's commit — A must rebase onto B's head,
+    // carrying B's survivor file, and commit as v3
+    store.beforeCommitHook = () => {
+      store.beforeCommitHook = () => ()
+      val vB = store.delete(spark, "t", $"k" >= 150L && $"k" <= 159L)
+      assert(vB === 2L)
+    }
+    val vA = store.upsert(spark, "t", Seq((10L, "A10")).toDF("k", "v"), Seq("k"))
+    assert(vA === 3L, "upsert must rebase onto the delete's head")
+    assert(store.history("t") === Seq(1L, 2L, 3L))
+    val now = asMap(store)
+    assert(now(10L) === "A10", "writer A's update lost")
+    assert((150L to 159L).forall(k => !now.contains(k)), "B's delete lost")
+    assert(now.size === 190)
+  }
+
+  test("delete racing an upsert on the SAME file: the upsert refuses") {
+    val store = freshStore()
+    twoFileBase(store)
+    store.beforeCommitHook = () => {
+      store.beforeCommitHook = () => ()
+      store.delete(spark, "t", $"k" === 10L)
+      ()
+    }
+    // A merges key 11 — a different KEY but the same keys-0..99 FILE the
+    // delete rewrote: file-granularity write-write conflict (Delta
+    // semantics), the loser must refuse rather than resurrect key 10
+    intercept[java.util.ConcurrentModificationException] {
+      store.upsert(spark, "t", Seq((11L, "A11")).toDF("k", "v"), Seq("k"))
+    }
+    val now = asMap(store)
+    assert(!now.contains(10L), "the delete must stand")
+    assert(now(11L) === "v11", "the refused upsert must leave no trace")
+  }
+
   test("two genuinely parallel writers: both upserts land exactly once") {
     val store = freshStore()
     twoFileBase(store)
