@@ -269,16 +269,18 @@ object Wave3 {
     * cross-engine exact; ranks are). Corpus term ranks (count desc,
     * token asc — deterministic) broadcast-join onto doc tokens; median
     * rank via the exact interpolated percentile the gate already pins.
-    * The ranking window is global but runs over the VOCABULARY, not the
-    * corpus (Heaps' law: sublinear in corpus size) — the engine's one
-    * deliberate global window; for web-scale vocabularies swap in a
-    * range-partitioned sort + per-partition offset ranking. */
+    * The vocabulary ranking needs EVERY token's rank (unlike
+    * vocab_build's top-k), so it runs on the two-phase range-partition +
+    * broadcast-offset kernel (Ranks, group = none): balanced partition-
+    * local windows, no vocabulary-sized single task even at web-scale
+    * vocabularies (where Heaps' law stops saving the global window). */
   private val textRarity: Q = (s, dir) => {
     val tok = t(s, dir, "documents")
       .select(col("doc_id"), explode(toks(col("text"))).as("w"))
-    val ranks = tok.groupBy("w").agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(desc("n"), asc("w"))).cast("bigint"))
+    val freq = tok.groupBy("w").agg(count(lit(1)).as("n"))
+    val ranks = Ranks.perGroupRank(freq, Seq.empty,
+        Seq(col("n").desc, col("w").asc), rankCol = "rank", nCol = "__nvocab",
+        partitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
       .select("w", "rank")
     tok.join(broadcast(ranks), "w")
       .groupBy("doc_id")

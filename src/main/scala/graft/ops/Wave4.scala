@@ -324,16 +324,19 @@ object Wave4 {
     * (frequency DESC, token ASC) — id 0 is reserved for unknowns. The
     * induction step every tokenizer pipeline runs before numericizing.
     *
-    * Scale shape: one partial-agg'd token count; the rank window runs on
-    * the AGGREGATED vocabulary (model-sized), never the corpus — a
-    * single-partition sort of a few thousand rows is the honest cost. */
+    * Scale shape: one partial-agg'd token count, then a global TOP-K —
+    * `orderBy().limit(256)` plans as TakeOrderedAndProject (each
+    * partition prunes to its k head before anything moves), so no
+    * vocabulary-sized sort or window exists at ANY corpus size; the id
+    * window runs over the <= 256 surviving rows, bounded by the literal
+    * k, not the vocabulary. */
   private def vocabFrame(s: SparkSession, dir: String): DataFrame = {
     val terms = t(s, dir, "documents")
       .select(explode(toks(col("text"))).as("token"))
     val freq = terms.groupBy("token").agg(count(lit(1)).as("freq"))
-    val w = Window.orderBy(desc("freq"), asc("token"))
-    freq.withColumn("token_id", row_number().over(w).cast("bigint"))
-      .filter(col("token_id") <= 256)
+    val top = freq.orderBy(desc("freq"), asc("token")).limit(256)
+    top.withColumn("token_id",
+      row_number().over(Window.orderBy(desc("freq"), asc("token"))).cast("bigint"))
   }
 
   private val vocabBuild: Q = (s, dir) =>

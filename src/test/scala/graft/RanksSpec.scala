@@ -70,6 +70,20 @@ class RanksSpec extends SparkSuite {
     compare(rows.toDF("lang", "doc_id", "mean_lp"))
   }
 
+  test("empty-group (global) rank == the global window form — the text_rarity shape") {
+    import spark.implicits._
+    val df = (1L to 1009L).map(i => (i, (i * 37 % 101).toDouble))
+      .toDF("doc_id", "score")
+    val two = Ranks.perGroupRank(df, Seq.empty,
+      Seq(col("score").desc, col("doc_id").asc), "rk", "n_all", partitions = 7)
+    val win = df.withColumn("rk_w", row_number().over(
+      Window.orderBy(col("score").desc, col("doc_id").asc)).cast("bigint"))
+    val diff = two.join(win, Seq("doc_id"))
+      .filter(col("rk") =!= col("rk_w") || col("n_all") =!= lit(1009L))
+    assert(diff.count() === 0)
+    assert(two.count() === 1009L)
+  }
+
   test("two-phase rank fails loudly when (partition x group) exceeds the offset bound") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (s"g$i", i, i.toDouble))
