@@ -921,11 +921,11 @@ object Wave3 {
   }
 
   private val sinkConcurrentUpsertOracle =
-    """SELECT c_custkey AS key, 'insert_b' AS writer, -1.0 AS bal,
+    """SELECT c_custkey AS key, 'insert_b' AS writer, CAST(-1.0 AS DOUBLE) AS bal,
       |  CAST(3 AS BIGINT) AS n_versions, TRUE AS contended
       |FROM customer WHERE c_custkey <= 10
       |UNION ALL
-      |SELECT c_custkey, 'update_a', 0.0, CAST(3 AS BIGINT), TRUE
+      |SELECT c_custkey, 'update_a', CAST(0.0 AS DOUBLE), CAST(3 AS BIGINT), TRUE
       |FROM customer WHERE c_custkey <= 10
       |ORDER BY writer, key""".stripMargin
 
