@@ -34,7 +34,8 @@ object SparkEntry {
     ops.Behavior.queries ++
     sources.Formats.queries ++
     ops.Ivf.queries ++
-    ops.Pq.queries
+    ops.Pq.queries ++
+    ops.Bpe.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -56,5 +57,6 @@ object SparkEntry {
     ops.Behavior.oracles ++
     sources.Formats.oracles ++
     ops.Ivf.oracles ++
-    ops.Pq.oracles
+    ops.Pq.oracles ++
+    ops.Bpe.oracles
 }

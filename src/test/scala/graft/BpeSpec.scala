@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Bpe
+
+/** The BPE merge rewrite must be exactly greedy-leftmost — including
+  * the only overlapping case (left = right), where the run-offset
+  * parity rule stands in for sequential scanning. */
+class BpeSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def merge(x: String, y: String, words: Seq[Seq[String]]): Seq[Seq[String]] =
+    words.toDF("syms").select(Bpe.mergeExpr(x, y).as("m"))
+      .collect().map(_.getSeq[String](0).toList).toList
+
+  test("greedy leftmost merge: identical-pair runs merge at even offsets") {
+    assert(merge("a", "a", Seq(Seq("a", "a", "a", "a"))) === Seq(Seq("aa", "aa")))
+    assert(merge("a", "a", Seq(Seq("a", "a", "a"))) === Seq(Seq("aa", "a")))
+    assert(merge("a", "a", Seq(Seq("b", "a", "a", "a"))) === Seq(Seq("b", "aa", "a")))
+    assert(merge("a", "a", Seq(Seq("a"))) === Seq(Seq("a")))
+  }
+
+  test("distinct-pair merges apply at every match, no false overlaps") {
+    assert(merge("a", "b", Seq(Seq("a", "b", "a", "b"))) === Seq(Seq("ab", "ab")))
+    assert(merge("a", "b", Seq(Seq("a", "a", "b"))) === Seq(Seq("a", "ab")))
+    assert(merge("b", "a", Seq(Seq("a", "b", "a", "b"))) === Seq(Seq("a", "ba", "b")))
+    assert(merge("x", "y", Seq(Seq("a", "b"))) === Seq(Seq("a", "b")))
+  }
+
+  test("merged symbols participate in later rounds (composition)") {
+    val once = merge("e", "r", Seq(Seq("m", "e", "r", "g", "e", "r")))
+    assert(once === Seq(Seq("m", "er", "g", "er")))
+    assert(merge("m", "er", once) === Seq(Seq("mer", "g", "er")))
+  }
+
+  test("learned merges are deterministic and well-formed") {
+    val m1 = Bpe.learnedMerges(spark, sf)
+    val m2 = Bpe.learnedMerges(spark, sf)
+    assert(m1 === m2, "same corpus, same merge table")
+    assert(m1.map(_._1) === (1 to m1.length), "rounds are consecutive from 1")
+    assert(m1.forall(_._4 > 0), "every merge has positive weighted count")
+  }
+}
