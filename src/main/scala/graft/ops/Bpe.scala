@@ -142,10 +142,24 @@ object Bpe {
       s" AND ($bx <> $by OR $trailEq % 2 = 0))"
   }
 
-  /** The oracle: w0 = the dictionary, then per round a (bN = argmax
-    * pair, wN = rewritten words) CTE pair; the result unions the N
-    * argmax rows — the same merge table the Spark loop learns. */
-  private def oracleSql: String = {
+  /** One DuckDB rewrite stage: `dst` = `src` with round `r`'s argmax
+    * pair merged (greedy-leftmost via parity). `cols` = passthrough
+    * columns besides syms. */
+  private def duckRewrite(src: String, dst: String, r: Int, cols: String): String =
+    s"""$dst AS (
+       |  SELECT $cols,
+       |    list_filter(
+       |      list_transform(range(0, len(syms)), i ->
+       |        CASE WHEN ${duckStartAt("i", s"b$r.x", s"b$r.y")} THEN concat(b$r.x, b$r.y)
+       |             WHEN ${duckStartAt("i - 1", s"b$r.x", s"b$r.y")} THEN NULL
+       |             ELSE syms[CAST(i + 1 AS INT)] END),
+       |      s -> s IS NOT NULL) AS syms
+       |  FROM $src CROSS JOIN b$r)""".stripMargin
+
+  /** The shared learning chain: w0 = the dictionary, then per round a
+    * (bN = argmax pair, wN = rewritten words) CTE pair — the same merge
+    * table the Spark loop learns. */
+  private def learnChain: String = {
     val dict =
       s"""w0 AS (
          |  SELECT token, freq,
@@ -161,24 +175,78 @@ object Bpe {
            |    CAST(SUM(freq) AS BIGINT) AS cnt
            |  FROM (SELECT freq, syms, unnest(range(len(syms) - 1)) AS i FROM w$p)
            |  GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1)""".stripMargin
-      val rewrite =
-        s"""w$r AS (
-           |  SELECT token, freq,
-           |    list_filter(
-           |      list_transform(range(0, len(syms)), i ->
-           |        CASE WHEN ${duckStartAt("i", s"b$r.x", s"b$r.y")} THEN concat(b$r.x, b$r.y)
-           |             WHEN ${duckStartAt("i - 1", s"b$r.x", s"b$r.y")} THEN NULL
-           |             ELSE syms[CAST(i + 1 AS INT)] END),
-           |      s -> s IS NOT NULL) AS syms
-           |  FROM w$p CROSS JOIN b$r)""".stripMargin
-      best + ",\n" + rewrite
+      best + ",\n" + duckRewrite(s"w$p", s"w$r", r, "token, freq")
     }
+    s"$dict,\n${stages.mkString(",\n")}"
+  }
+
+  private def oracleSql: String = {
     val union = (1 to Rounds)
       .map(r => s"""SELECT CAST($r AS BIGINT) AS round, x AS "left", y AS "right", concat(x, y) AS merged, cnt AS pair_count FROM b$r""")
       .mkString("\nUNION ALL\n")
-    s"WITH $dict,\n${stages.mkString(",\n")}\n$union\nORDER BY round"
+    s"WITH $learnChain\n$union\nORDER BY round"
   }
 
-  val queries: Map[String, Q] = Map("vocab_bpe" -> vocabBpe)
-  val oracles: Map[String, String] = Map("vocab_bpe" -> oracleSql)
+  // ---- tokenize_bpe: encode the corpus with the learned merges ---------
+
+  /** Apply the learned merge sequence, in order, to a frame with a
+    * `syms` column — the encode side of the tokenizer. */
+  private def applyMerges(vocab: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame =
+    merges.foldLeft(vocab) { case (df, (_, x, y, _)) =>
+      df.withColumn("syms", mergeExpr(x, y)) }
+
+  /** tokenize_bpe: encode every document with the learned merges. The
+    * 8-round rewrite runs over DISTINCT corpus tokens (vocabulary-sized
+    * — the corpus never pays the per-symbol HOFs), broadcast back onto
+    * the (doc, pos, token) stream; per doc: word count, BPE symbol
+    * count, and the md5 of the position-ordered symbol stream (pins the
+    * exact encoding, not just its size). */
+  private val tokenizeBpe: Q = (s, dir) => {
+    val merges = learnedMerges(s, dir)
+    val docsTok = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), posexplode(toks(col("text"))))
+      .toDF("doc_id", "pos", "token")
+    val vocab0 = docsTok.select("token").distinct()
+      .withColumn("syms",
+        expr("transform(sequence(1, length(token)), i -> substr(token, i, 1))"))
+    val encoded = applyMerges(vocab0, merges)
+      .select(col("token"), concat_ws(" ", col("syms")).as("enc"),
+        size(col("syms")).cast("bigint").as("n_sym"))
+    docsTok.join(broadcast(encoded), "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_bpe"),
+        expr("md5(cast(concat_ws(' ', transform(sort_array(collect_list(struct(pos, enc))), p -> p.enc)) AS BINARY))")
+          .as("stream_md5"))
+      .orderBy("doc_id")
+  }
+
+  private def tokenizeBpeOracle: String = {
+    val vStages = (1 to Rounds)
+      .map(r => duckRewrite(s"v${r - 1}", s"v$r", r, "token"))
+      .mkString(",\n")
+    s"""WITH $learnChain,
+       |d AS (SELECT doc_id, $duckToks AS tk FROM documents),
+       |tok AS (
+       |  SELECT doc_id, pos, tk[CAST(pos + 1 AS INT)] AS token
+       |  FROM (SELECT doc_id, tk, unnest(range(len(tk))) AS pos FROM d)),
+       |v0 AS (
+       |  SELECT token,
+       |    list_transform(range(1, length(token) + 1), i -> substr(token, CAST(i AS INT), 1)) AS syms
+       |  FROM (SELECT DISTINCT token FROM tok)),
+       |$vStages,
+       |enc AS (SELECT token, array_to_string(syms, ' ') AS enc, CAST(len(syms) AS BIGINT) AS n_sym FROM v$Rounds)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, SUM(n_sym) AS n_bpe,
+       |  md5(string_agg(enc, ' ' ORDER BY pos)) AS stream_md5
+       |FROM tok JOIN enc USING (token)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "vocab_bpe" -> vocabBpe,
+    "tokenize_bpe" -> tokenizeBpe)
+  val oracles: Map[String, String] = Map(
+    "vocab_bpe" -> oracleSql,
+    "tokenize_bpe" -> tokenizeBpeOracle)
 }
