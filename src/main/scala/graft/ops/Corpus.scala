@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.SparkEntry.Q
@@ -102,6 +103,76 @@ object Corpus {
       .orderBy("passage_md5")
   }
 
+  // ---- substring-level dedup (sliding shingles + span merge) ---------------
+
+  /** Substring-level duplication profile (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): a SLIDING 8-token
+    * shingle at every offset (unlike dedup_passage's strided,
+    * non-overlapping blocks), an occurrence is duplicated when its hash
+    * appears >= 2 times anywhere in the corpus (cross- OR within-doc,
+    * the paper's definition), and per doc the duplicated occurrences'
+    * [pos, pos+7] spans are merged into maximal intervals — reported as
+    * the span count, duplicated-token mass, and duplicated fraction the
+    * removal step would act on.
+    *
+    * Scale shape: one explode (x ~n_tok rows), one hash-partitioned
+    * shingle count, one semi-shaped join back, then the span merge —
+    * which is the classic windowed interval union (running max of span
+    * ends, new group when a span starts past it), keyed per doc_id: no
+    * global window, parallelism = #docs, state = one doc's spans. */
+  private val dedupSubstring: Q = (s, dir) => {
+    val d = docs(s, dir)
+      .select(col("doc_id"), LlmPipeline.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).cast("bigint").as("n_tok"))
+      .filter(col("n_tok") >= 8)
+    val sh = d
+      .select(col("doc_id"), col("n_tok"), posexplode(expr(
+        "transform(sequence(0, cast(size(tk) as int) - 8), i -> md5(cast(concat_ws(' ', slice(tk, i + 1, 8)) as binary)))")))
+      .toDF("doc_id", "n_tok", "pos", "h")
+    val dupH = sh.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("h")
+    val spans = sh.join(dupH, "h")
+      .select(col("doc_id"), col("n_tok"),
+        col("pos").cast("bigint").as("s"), (col("pos") + 7L).as("e"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("s")
+    spans
+      .withColumn("pmax",
+        max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("grp",
+        sum(when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+          .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "n_tok", "grp")
+      .agg(min("s").as("ms"), max("e").as("me"))
+      .groupBy("doc_id", "n_tok")
+      .agg(count(lit(1)).as("n_spans"), sum(col("me") - col("ms") + 1L).as("n_dup_tok"))
+      .select(col("doc_id"), col("n_tok"), col("n_spans"), col("n_dup_tok"),
+        round(col("n_dup_tok").cast("double") / col("n_tok"), 6).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupSubstringOracle =
+    s"""WITH d AS (SELECT doc_id, $duckToks AS tk FROM documents),
+       |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok, tk FROM d WHERE len(tk) >= 8),
+       |sh AS (
+       |  SELECT doc_id, n_tok, i AS pos,
+       |    md5(array_to_string(tk[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ')) AS h
+       |  FROM (SELECT doc_id, n_tok, tk, unnest(range(len(tk) - 7)) AS i FROM base)),
+       |dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+       |g AS (
+       |  SELECT doc_id, n_tok, s, e,
+       |    SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM (
+       |    SELECT doc_id, n_tok, s, e,
+       |      MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |    FROM (SELECT doc_id, n_tok, pos AS s, pos + 7 AS e FROM sh JOIN dup USING (h)))),
+       |m AS (SELECT doc_id, n_tok, grp, MIN(s) AS ms, MAX(e) AS me FROM g GROUP BY 1, 2, 3)
+       |SELECT doc_id, n_tok, CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(SUM(me - ms + 1) AS BIGINT) AS n_dup_tok,
+       |  ROUND(CAST(SUM(me - ms + 1) AS DOUBLE) / n_tok, 6) AS dup_ratio
+       |FROM m GROUP BY doc_id, n_tok ORDER BY doc_id""".stripMargin
+
   // ---- portable SimHash (oracle-checked twin of dedup_simhash) -------------
 
   private val BITS = 60
@@ -140,6 +211,7 @@ object Corpus {
     "text_scrub" -> textScrub,
     "text_repetition" -> textRepetition,
     "dedup_passage" -> dedupPassage,
+    "dedup_substring" -> dedupSubstring,
     "dedup_simhash_md5" -> dedupSimhashMd5
   )
 
@@ -169,6 +241,7 @@ object Corpus {
          |  CAST(max_n AS DOUBLE) / n_tok AS top_token_ratio,
          |  1.0 - CAST(n_bi_distinct AS DOUBLE) / n_bi AS dup_bigram_ratio
          |FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id ORDER BY ts.doc_id""".stripMargin,
+    "dedup_substring" -> dedupSubstringOracle,
     "dedup_passage" ->
       s"""WITH d AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |p AS (SELECT doc_id, unnest(CASE WHEN len(toks) // 8 >= 1
