@@ -34,6 +34,25 @@ class BpeSpec extends SparkSuite {
     assert(merge("m", "er", once) === Seq(Seq("mer", "g", "er")))
   }
 
+  test("merge expression == reference greedy scan on 200 random symbol arrays") {
+    // the parity trick must equal a sequential greedy scan on ANY input,
+    // not just the curated cases — seeded RNG keeps the corpus stable
+    def ref(x: String, y: String, s: List[String]): List[String] = s match {
+      case a :: b :: rest if a == x && b == y => (x + y) :: ref(x, y, rest)
+      case a :: rest => a :: ref(x, y, rest)
+      case Nil => Nil
+    }
+    val rnd = new scala.util.Random(42)
+    val words: Seq[Seq[String]] = Seq.fill(200) {
+      Seq.fill(rnd.nextInt(13))(Seq("a", "b", "c")(rnd.nextInt(3)))
+    } :+ Seq.empty[String]
+    for (x <- Seq("a", "b"); y <- Seq("a", "b")) {
+      val got = merge(x, y, words)
+      val want = words.map(w => ref(x, y, w.toList))
+      assert(got === want, s"pair ($x,$y) diverged from the greedy reference")
+    }
+  }
+
   test("learned merges are deterministic and well-formed") {
     val m1 = Bpe.learnedMerges(spark, sf)
     val m2 = Bpe.learnedMerges(spark, sf)
