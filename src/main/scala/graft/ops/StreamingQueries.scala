@@ -97,7 +97,44 @@ object StreamingQueries {
       .orderBy("view_id", "purchase_id")
   }
 
+  /** End-to-end "stream into the lakehouse" as a registered query: a
+    * REAL file-source stream over the customer parquet, micro-batches
+    * MERGE-committed into a fresh VersionedStore via the foreachBatch
+    * sink ([[Streaming.upsertSink]] — per-batch transactional commit,
+    * exactly-once via the recorded (writer, batch) txn), then the
+    * committed table is read back and aggregated. The oracle derives
+    * the same aggregate from the source table, so a lost, duplicated,
+    * or partially-committed batch hash-fails; the version count pins
+    * that exactly one commit happened per micro-batch. */
+  private val streamUpsertSink: Q = (s, dir) => {
+    val root = graft.engine.Fs.freshScratch(s, "streamsink")
+    val store = new graft.engine.VersionedStore(root)
+    // stage the source as a 3-file landing directory: with
+    // maxFilesPerTrigger=1 the stream sees 3 micro-batches, so the sink
+    // must commit exactly-once THREE times (any batch order yields the
+    // same table: round-robin partitions are key-disjoint)
+    val staged = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val incoming = s"$root/incoming"
+    staged.repartition(3).write.mode("overwrite").parquet(incoming)
+    val src = s.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incoming)
+    val q = Streaming.upsertSink(src, store, "customer", Seq("c_custkey"),
+      writerId = "stream-upsert-sink")
+    try q.processAllAvailable() finally q.stop()
+    val nVersions = store.currentVersion("customer").getOrElse(0L)
+    store.read(s, "customer")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal_sum"))
+      .select(col("c_mktsegment"), col("n"), col("bal_sum"),
+        lit(nVersions).as("n_versions"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_upsert_sink" -> streamUpsertSink,
     "stream_tumbling" -> tumbling,
     "stream_sliding" -> sliding,
     "stream_session" -> session,
@@ -107,6 +144,11 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_upsert_sink" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+        |  CAST(3 AS BIGINT) AS n_versions
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "stream_tumbling" ->
       "SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS wstart, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2",
     "stream_sliding" ->
