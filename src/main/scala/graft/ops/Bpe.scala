@@ -207,10 +207,7 @@ object Bpe {
     val docsTok = Tables.load(s, dir, "documents")
       .select(col("doc_id"), posexplode(toks(col("text"))))
       .toDF("doc_id", "pos", "token")
-    val vocab0 = docsTok.select("token").distinct()
-      .withColumn("syms",
-        expr("transform(sequence(1, length(token)), i -> substr(token, i, 1))"))
-    val encoded = applyMerges(vocab0, merges)
+    val encoded = encodeTokens(docsTok.select("token").distinct(), merges)
       .select(col("token"), concat_ws(" ", col("syms")).as("enc"),
         size(col("syms")).cast("bigint").as("n_sym"))
     docsTok.join(broadcast(encoded), "token")
@@ -242,6 +239,39 @@ object Bpe {
        |FROM tok JOIN enc USING (token)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** Persist the learned merge table into a store (the train-once /
+    * encode-many production shape, like Ivf.buildIndex): one tiny
+    * parquet table, ordered by round. */
+  def saveMerges(store: graft.engine.ParquetStore, s: SparkSession,
+      merges: Seq[(Int, String, String, Long)]): Unit = {
+    val rows = merges.map { case (r, x, y, c) => Row(r.toLong, x, y, c) }
+    val schema = StructType(Seq(
+      StructField("round", LongType, nullable = false),
+      StructField("left", StringType, nullable = false),
+      StructField("right", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    store.overwrite(
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema), "bpe_merges")
+  }
+
+  /** Load a persisted merge table in round order — model-sized driver
+    * state, the same contract as loading centroids or codebooks. */
+  def loadMerges(store: graft.engine.ParquetStore,
+      s: SparkSession): Seq[(Int, String, String, Long)] =
+    store.read(s, "bpe_merges").orderBy("round").collect()
+      .map(r => (r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  /** Encode a token frame (`token` column) with an explicit merge list —
+    * exposed so persisted-model encoding is the same code path the
+    * in-session query uses. */
+  def encodeTokens(vocab: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame =
+    applyMerges(
+      vocab.withColumn("syms",
+        expr("transform(sequence(1, length(token)), i -> substr(token, i, 1))")),
+      merges)
 
   val queries: Map[String, Q] = Map(
     "vocab_bpe" -> vocabBpe,
