@@ -31,6 +31,7 @@ object SparkEntry {
     ops.Wave4.queries ++
     ops.Wave5.queries ++
     ops.Wave6.queries ++
+    ops.Wave7.queries ++
     ops.Behavior.queries ++
     sources.Formats.queries ++
     ops.Ivf.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
     ops.Wave4.oracles ++
     ops.Wave5.oracles ++
     ops.Wave6.oracles ++
+    ops.Wave7.oracles ++
     ops.Behavior.oracles ++
     sources.Formats.oracles ++
     ops.Ivf.oracles ++

