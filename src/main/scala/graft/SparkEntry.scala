@@ -32,6 +32,7 @@ object SparkEntry {
     ops.Wave5.queries ++
     ops.Wave6.queries ++
     ops.Wave7.queries ++
+    ops.Physical.queries ++
     ops.Behavior.queries ++
     sources.Formats.queries ++
     ops.Ivf.queries ++
@@ -56,6 +57,7 @@ object SparkEntry {
     ops.Wave5.oracles ++
     ops.Wave6.oracles ++
     ops.Wave7.oracles ++
+    ops.Physical.oracles ++
     ops.Behavior.oracles ++
     sources.Formats.oracles ++
     ops.Ivf.oracles ++
