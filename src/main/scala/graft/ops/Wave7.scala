@@ -271,15 +271,73 @@ object Wave7 {
        |  round(CAST(CAST(concat('0x',substr(md5(d.text),1,15)) AS BIGINT) % 1000000 AS DOUBLE)/1000000.0,6) < round(exp(least(sc.imp_lp,0.0)),6) AS keep
        |FROM documents d JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""".stripMargin
 
+  // ---- flagship_snowflake_join: the TPC-H Q5 shape -------------------
+
+  /** The 6-table snowflake revenue rollup (TPC-H Q5's shape): regional
+    * supplier dims resolved through region -> nation -> supplier, the
+    * lineitem fact joined through orders -> customer, revenue grouped
+    * by supplier nation with the c_nationkey = s_nationkey locality
+    * condition. The companion flagship to flagship_star_join that
+    * exercises multi-hop dim resolution and join-order selection.
+    *
+    * Scale shape: region and nation are broadcast EXPLICITLY (they are
+    * dim-sized at any SF); supplier, customer, orders, lineitem are
+    * declared flat and left to Catalyst/AQE — at fixture scale they
+    * broadcast, at 100 TB the same plan degrades gracefully to shuffle
+    * joins keyed on the equi-columns. The date filter is a pushed-down
+    * string-range predicate on the orders scan; revenue addends are
+    * rounded and decimal-summed so partial-aggregation order cannot
+    * flip the hash. */
+  private val flagshipSnowflakeJoin: Q = (s, dir) => {
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nat = t(s, dir, "nation")
+    val regionalSup = t(s, dir, "supplier")
+      .join(broadcast(nat.join(broadcast(region),
+        col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+      .select("o_orderkey", "o_custkey")
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val addend = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+      .cast(DecimalType(18, 6))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(regionalSup,
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(addend).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val flagshipSnowflakeJoinOracle =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount),6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA' AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_bigram_lp" -> textBigramLp,
     "quality_classifier" -> qualityClassifier,
-    "corpus_dsir" -> corpusDsir
+    "corpus_dsir" -> corpusDsir,
+    "flagship_snowflake_join" -> flagshipSnowflakeJoin
   )
 
   val oracles: Map[String, String] = Map(
     "text_bigram_lp" -> textBigramLpOracle,
     "quality_classifier" -> classifierOracle,
-    "corpus_dsir" -> corpusDsirOracle
+    "corpus_dsir" -> corpusDsirOracle,
+    "flagship_snowflake_join" -> flagshipSnowflakeJoinOracle
   )
 }

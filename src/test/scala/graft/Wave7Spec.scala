@@ -65,6 +65,18 @@ class Wave7Spec extends SparkSuite {
     out.unpersist()
   }
 
+  test("snowflake flagship: date range pushed to the orders scan, broadcast dims, no cartesian") {
+    val df = Wave7.queries("flagship_snowflake_join")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate".r
+      .findFirstIn(plan).isDefined, plan.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 4, plan.take(2000))
+    assert(plan.contains("partial_sum"), plan.take(2000))
+  }
+
   test("DSIR acceptance is exactly u < accept_p, capped at 1, and favors the target domain") {
     val out = Wave7.queries("corpus_dsir")(spark, sf01).persist()
     assert(out.filter(col("accept_p") > 1.0).count() === 0)
