@@ -44,12 +44,29 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"), col("n_events"))
 
-  /** Watermarked exact dedup on event_id (stream_dedup): state holds one
-    * key per event inside the watermark horizon only. */
+  /** Watermarked exact dedup on event_id (stream_dedup). NOTE: because
+    * the dedup key does not include the event-time column, classic
+    * dropDuplicates keeps every seen key in state indefinitely — the
+    * watermark only gates late input, it does not evict key state. The
+    * bounded-state production form is [[dedupEventsWithinWatermark]]. */
   def dedupEvents(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
+
+  /** Bounded-state exact dedup (dropDuplicatesWithinWatermark): state
+    * for a key is EVICTED once the watermark passes its first-seen
+    * event time plus the delay, even though the key itself carries no
+    * event-time column. This is the only dedup form whose state is
+    * bounded on an unbounded key domain — at 100 TB/day of events,
+    * dropDuplicates on a bare key grows state forever, while this holds
+    * only the horizon's keys and guarantees duplicate suppression for
+    * duplicates arriving within the watermark delay (the at-least-once
+    * redelivery window of any real transport). */
+  def dedupEventsWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-stream interval join (stream_join): view→purchase conversion
     * pairs per user within 30 minutes. Both sides carry watermarks and the
@@ -69,6 +86,30 @@ object Streaming {
         col("user_id") === col("p_user") &&
           col("purchase_ts") >= col("view_ts") &&
           col("purchase_ts") <= col("view_ts") + expr("interval 30 minutes"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("view_ts"))).as("latency_s"))
+  }
+
+  /** LEFT OUTER stream-stream interval join (stream_join_outer):
+    * conversion pairs PLUS the non-converting views. A matched view
+    * emits immediately; an unmatched view emits with NULL purchase
+    * columns only once the watermark proves no in-window purchase can
+    * still arrive — the abandonment feed a funnel monitor consumes.
+    * Same bounded state as the inner form: outer emission is driven by
+    * the same watermark-horizon eviction. */
+  def viewPurchaseLeftOuter(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "30 minutes")
+    views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("interval 30 minutes"),
+        "leftOuter")
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("view_ts"))).as("latency_s"))
   }

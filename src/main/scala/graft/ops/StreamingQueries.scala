@@ -81,6 +81,27 @@ object StreamingQueries {
   /** Batch twin of the stream-stream interval join: view→purchase pairs
     * within 30 minutes per user. Equi-join on user_id (one shuffle) with
     * the time interval as a residual predicate. */
+  /** Batch twin of the LEFT OUTER stream-stream interval join: every
+    * view, with its in-window purchase or NULLs — the abandonment feed.
+    * Same single user_id shuffle; the outer side adds no state beyond
+    * the inner form's horizon. */
+  private val streamJoinOuter: Q = (s, dir) => {
+    val e = ev(s, dir)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    v.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("interval 30 minutes"),
+        "leftOuter")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("view_ts"))).as("latency_s"))
+      .orderBy("view_id", "purchase_id")
+  }
+
   private val streamJoin: Q = (s, dir) => {
     val e = ev(s, dir)
     val v = e.filter(col("event_type") === "view")
@@ -140,7 +161,8 @@ object StreamingQueries {
     "stream_session" -> session,
     "stream_dedup" -> dedup,
     "stream_stateful_count" -> statefulCount,
-    "stream_join" -> streamJoin
+    "stream_join" -> streamJoin,
+    "stream_join_outer" -> streamJoinOuter
   )
 
   val oracles: Map[String, String] = Map(
@@ -180,6 +202,13 @@ object StreamingQueries {
         |SELECT user_id, view_id, purchase_id,
         |  CAST(FLOOR(epoch(purchase_ts)) - FLOOR(epoch(view_ts)) AS BIGINT) AS latency_s
         |FROM v JOIN p ON user_id = p_user AND purchase_ts >= view_ts AND purchase_ts <= view_ts + INTERVAL 30 MINUTE
-        |ORDER BY view_id, purchase_id""".stripMargin
+        |ORDER BY view_id, purchase_id""".stripMargin,
+    "stream_join_outer" ->
+      """WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS p_user, ts AS purchase_ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, view_id, purchase_id,
+        |  CAST(FLOOR(epoch(purchase_ts)) - FLOOR(epoch(view_ts)) AS BIGINT) AS latency_s
+        |FROM v LEFT JOIN p ON user_id = p_user AND purchase_ts >= view_ts AND purchase_ts <= view_ts + INTERVAL 30 MINUTE
+        |ORDER BY view_id, purchase_id NULLS FIRST""".stripMargin
   )
 }

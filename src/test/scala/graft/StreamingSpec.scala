@@ -94,6 +94,55 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark bounds state: dupes inside the horizon drop, evicted keys re-emit") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = Streaming.dedupEventsWithinWatermark(input.toDF())
+      .writeStream.format("memory").queryName("dedupww").outputMode("append").start()
+    try {
+      // batch 1: id 1 seen; duplicate of id 1 within the 10-min horizon drops
+      input.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+      // batch 2: advance the watermark far past id 1's expiry (10:00 + 10min)
+      input.addData(ev(9, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      // batch 3: id 1 again, NOT late (>= watermark) — its state was
+      // evicted, so unlike dropDuplicates it EMITS a second time: the
+      // bounded-state contract (suppression only within the horizon)
+      input.addData(ev(1, "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      val ids = spark.table("dedupww").select("event_id").collect().map(_.getLong(0))
+      assert(ids.count(_ == 1L) === 2, s"got ${ids.toSeq}")
+      assert(ids.count(_ == 9L) === 1)
+    } finally q.stop()
+  }
+
+  test("left-outer stream-stream join emits unmatched views with NULLs after the watermark horizon") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = Streaming.viewPurchaseLeftOuter(input.toDF())
+      .writeStream.format("memory").queryName("vpouter").outputMode("append").start()
+    try {
+      // user 1 converts; user 2's view never converts
+      input.addData(
+        ev(10, "2024-01-01 10:00:00", user = 1L, typ = "view"),
+        ev(11, "2024-01-01 10:10:00", user = 1L, typ = "purchase"),
+        ev(20, "2024-01-01 10:05:00", user = 2L, typ = "view"))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past view 20's join horizon
+      // (10:05 + 30min window + 30min delay)
+      input.addData(
+        ev(30, "2024-01-01 13:00:00", user = 3L, typ = "view"),
+        ev(31, "2024-01-01 13:00:00", user = 3L, typ = "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("vpouter")
+        .select("view_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((10L, 11L)), s"matched pair missing: $rows")
+      assert(rows.contains((20L, -1L)), s"unmatched view must emit with NULL: $rows")
+    } finally q.stop()
+  }
+
   test("session windows (streaming) match gap-based batch sessionization counts") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[EventRow]
