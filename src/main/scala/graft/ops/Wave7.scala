@@ -132,7 +132,7 @@ object Wave7 {
 
   /** The heuristic gate being distilled — the exact text_quality score
     * (LlmPipeline.textQuality: punct + stopword halves). */
-  private def qualityLabel: Column = {
+  private[ops] def qualityLabel: Column = {
     val tk = toks(col("text"))
     val punct = (length(col("text")) -
       length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("double") /
@@ -271,6 +271,42 @@ object Wave7 {
        |  round(CAST(CAST(concat('0x',substr(md5(d.text),1,15)) AS BIGINT) % 1000000 AS DOUBLE)/1000000.0,6) < round(exp(least(sc.imp_lp,0.0)),6) AS keep
        |FROM documents d JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""".stripMargin
 
+  // ---- pipeline_observe: data-quality counters on the pass ------------
+
+  /** Pipeline observability via the Observation API (CollectMetrics):
+    * the corpus-gate pass reports its own data-quality counters — docs
+    * seen, docs passing the quality gate, total characters — collected
+    * ON the same pass that processes the data, not by a second scan.
+    * This is how a production ingest job self-reports volumes at 100 TB:
+    * the metrics ride the task results as accumulator-style state (a
+    * handful of numbers per task), adding zero jobs and zero shuffles.
+    * The query's RESULT is the observed metrics row, which the
+    * differential gate hash-checks against DuckDB recomputing the same
+    * aggregates — proving the on-pass counters equal the ground truth. */
+  private val pipelineObserve: Q = (s, dir) => {
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation(s"corpus_gate_${System.nanoTime}")
+    val gated = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), qualityLabel.as("keep"))
+      .observe(obs,
+        count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+    gated.foreach(_ => ()) // one pass; metrics ride the tasks
+    val m = obs.get
+    Seq((m("n_docs").asInstanceOf[Long], m("n_kept").asInstanceOf[Long],
+      m("n_chars").asInstanceOf[Long]))
+      .toDF("n_docs", "n_kept", "n_chars")
+  }
+
+  private val pipelineObserveOracle =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN (1.0 - CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text)) * 0.5
+       |     + (CAST(len(list_intersect(list_distinct($duckToks), ['the','and','of','to','in','is','a','that'])) AS DOUBLE) / len($duckToks)) * 0.5 >= 0.52
+       |  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars
+       |FROM documents""".stripMargin
+
   // ---- flagship_snowflake_join: the TPC-H Q5 shape -------------------
 
   /** The 6-table snowflake revenue rollup (TPC-H Q5's shape): regional
@@ -331,13 +367,15 @@ object Wave7 {
     "text_bigram_lp" -> textBigramLp,
     "quality_classifier" -> qualityClassifier,
     "corpus_dsir" -> corpusDsir,
-    "flagship_snowflake_join" -> flagshipSnowflakeJoin
+    "flagship_snowflake_join" -> flagshipSnowflakeJoin,
+    "pipeline_observe" -> pipelineObserve
   )
 
   val oracles: Map[String, String] = Map(
     "text_bigram_lp" -> textBigramLpOracle,
     "quality_classifier" -> classifierOracle,
     "corpus_dsir" -> corpusDsirOracle,
-    "flagship_snowflake_join" -> flagshipSnowflakeJoinOracle
+    "flagship_snowflake_join" -> flagshipSnowflakeJoinOracle,
+    "pipeline_observe" -> pipelineObserveOracle
   )
 }
