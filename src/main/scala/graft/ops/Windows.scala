@@ -39,6 +39,25 @@ object Windows {
         (col("pos") + 1).cast("bigint").as("rn"))
       .orderBy("tableName", "columnName", "rn")
 
+  /** The DECLARATIVE top-k-per-group pattern (row_number <= k), left to
+    * the optimizer: Spark's InferWindowGroupLimit plans a PARTIAL
+    * WindowGroupLimit below the exchange, so the shuffle carries at most
+    * k rows per (group × map partition) instead of every row — the
+    * declarative twin of the native bounded top-k aggregate
+    * (win_topk_per_group). Registered to pin that a user writing the
+    * plain window idiom still gets the bounded-shuffle plan
+    * (plan-asserted in PhysicalPlanSpec); the ordering is total
+    * (acctbal, custkey) so row_number is deterministic cross-engine. */
+  private val winTopkDeclarative: Q = (s, dir) => {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        row_number().over(w).cast("bigint").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("c_nationkey", "rn")
+  }
+
   /** Ranking family: rank / dense_rank / ntile (SURVEY §2.5 win_rank_dense). */
   private val winRankDense: Q = (s, dir) => {
     val w = Window.partitionBy("c_nationkey").orderBy(asc("c_acctbal"), asc("c_custkey"))
@@ -89,12 +108,19 @@ object Windows {
   val queries: Map[String, Q] = Map(
     "win_distribution" -> winDistribution,
     "win_topk_per_group" -> winTopkPerGroup,
+    "win_topk_declarative" -> winTopkDeclarative,
     "win_rank_dense" -> winRankDense,
     "win_analytic" -> winAnalytic,
     "win_frame_agg" -> winFrameAgg
   )
 
   val oracles: Map[String, String] = Map(
+    "win_topk_declarative" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal, rn FROM (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rn
+        |  FROM customer)
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
     "win_distribution" ->
       """SELECT c_custkey, c_nationkey,
         |PERCENT_RANK() OVER w AS prank,

@@ -29,6 +29,20 @@ class PhysicalPlanSpec extends SparkSuite {
     assert(plan.contains("dynamicpruning"), plan.take(3000))
   }
 
+  test("declarative row_number<=k gets a PARTIAL WindowGroupLimit below the exchange") {
+    val df = SparkEntry.queries("win_topk_declarative")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the shuffle must carry at most k rows per (group x map partition):
+    // Partial mode sits below the Exchange, Final above it
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert("WindowGroupLimit [^\\n]*Partial".r.findFirstIn(plan).isDefined, plan.take(2500))
+    val idxPartial = plan.indexOf("Partial")
+    val idxExchange = plan.indexOf("Exchange hashpartitioning")
+    assert(idxExchange >= 0 && idxExchange < idxPartial,
+      s"Partial limit must be BELOW the exchange\n${plan.take(2500)}")
+  }
+
   test("DPP actually skips partitions: the pruned scan reads fewer rows than the fact") {
     val joined = Physical.dppJoin(spark, sf)
     val n = joined.count()
