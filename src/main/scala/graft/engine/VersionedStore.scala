@@ -841,6 +841,38 @@ class VersionedStore(root: String) {
       s"restore('$name'): $MaxCommitRetries commit attempts lost")
   }
 
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... CLONE` analog): create `dst`
+    * at version 1 whose manifest lists the SAME immutable data files as
+    * `src`'s head, hard-linked into the clone's file dir — zero bytes of
+    * data copied, cost proportional to the FILE COUNT, never the table
+    * size. Because data files are immutable by construction, the two
+    * tables then evolve independently from the shared snapshot: each
+    * side's upserts/deletes write only its own manifests and new files,
+    * and vacuum is per-table — the filesystem's link count keeps a
+    * shared inode alive until BOTH sides have dropped it. Per-file
+    * stats entries carry over verbatim (they describe the shared file
+    * contents), so the clone prunes/skips exactly like the source.
+    * CHECK constraints are metadata and copy with the clone. */
+  def shallowClone(src: String, dst: String): Long = {
+    require(currentVersion(dst).isEmpty, s"shallowClone: target '$dst' already exists")
+    val v = currentVersion(src).getOrElse(
+      throw new IllegalArgumentException(s"shallowClone: source '$src' is empty"))
+    val (schema, entries) = manifestWithStats(src, v)
+    filesDir(dst).mkdirs()
+    entries.foreach { e =>
+      java.nio.file.Files.createLink(
+        new java.io.File(absPath(dst, e.file)).toPath,
+        new java.io.File(absPath(src, e.file)).toPath)
+    }
+    val cs = checks(src)
+    if (cs.nonEmpty) writeChecks(dst, cs)
+    if (!tryCommitManifest(dst, 1L, schema, entries)) {
+      entries.foreach(e => new java.io.File(absPath(dst, e.file)).delete())
+      throw new IllegalStateException(s"shallowClone: commit race on fresh table '$dst'")
+    }
+    1L
+  }
+
   /** Incremental change feed: every per-commit change between
     * `fromVersion` (exclusive) and the live version, stamped with the
     * commit that produced it — the shape a polling consumer reads

@@ -837,6 +837,42 @@ object Wave3 {
     """SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS oyear
       |FROM orders WHERE year(o_orderdate) <> 1995 ORDER BY o_orderkey""".stripMargin
 
+  // ---- sink_clone: zero-copy SHALLOW CLONE ----------------------------
+
+  /** SHALLOW CLONE (Delta CLONE analog): the clone's v1 hard-links the
+    * source head's immutable files — zero data copied — then the two
+    * tables diverge: the clone deletes small parts, the source stays
+    * whole. Result = per-(side) row count + value sum after divergence,
+    * derivable from the part table; VersionedStoreSpec pins the
+    * zero-copy mechanics (shared inodes, independent evolution, vacuum
+    * safety via link counts). */
+  private val sinkClone: Q = (s, dir) => {
+    import s.implicits._
+    val root = graft.engine.Fs.freshScratch(s, "clone")
+    val store = new graft.engine.VersionedStore(root)
+    val base = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_size").cast("int").as("p_size"))
+    store.write(base.repartitionByRange(4, col("p_partkey")), "part")
+    store.shallowClone("part", "part_dev")
+    store.delete(s, "part_dev", col("p_size") < 10)
+    val agg = (df: org.apache.spark.sql.DataFrame, side: String) =>
+      df.agg(count(lit(1)).as("n"), sum(col("p_size").cast("long")).as("size_sum"))
+        .select(lit(side).as("side"), col("n"), col("size_sum"))
+    agg(store.read(s, "part"), "source")
+      .unionAll(agg(store.read(s, "part_dev"), "clone"))
+      .orderBy("side")
+  }
+
+  private val sinkCloneOracle =
+    """SELECT side, n, size_sum FROM (
+      |  SELECT 'clone' AS side, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(CAST(p_size AS INT)) AS BIGINT) AS size_sum
+      |  FROM part WHERE CAST(p_size AS INT) >= 10
+      |  UNION ALL
+      |  SELECT 'source', CAST(COUNT(*) AS BIGINT), CAST(SUM(CAST(p_size AS INT)) AS BIGINT)
+      |  FROM part)
+      |ORDER BY side""".stripMargin
+
   // ---- sink_history: DESCRIBE HISTORY over the versioned store ---------
 
   /** Version history probe (Delta's DESCRIBE HISTORY, row-count form):
@@ -1087,6 +1123,7 @@ object Wave3 {
     "sink_time_travel" -> sinkTimeTravel,
     "sink_cdc" -> sinkCdc,
     "sink_delete" -> sinkDelete,
+    "sink_clone" -> sinkClone,
     "sink_restore" -> sinkRestore,
     "sink_history" -> sinkHistory,
     "sink_concurrent_upsert" -> sinkConcurrentUpsert,
@@ -1124,6 +1161,7 @@ object Wave3 {
     "sink_time_travel" -> sinkTimeTravelOracle,
     "sink_cdc" -> sinkCdcOracle,
     "sink_delete" -> sinkDeleteOracle,
+    "sink_clone" -> sinkCloneOracle,
     "sink_restore" -> sinkRestoreOracle,
     "sink_history" -> sinkHistoryOracle,
     "sink_concurrent_upsert" -> sinkConcurrentUpsertOracle,

@@ -592,4 +592,65 @@ class VersionedStoreSpec extends SparkSuite {
     assert(asMap(store)(10L) === "X10")
     assert(store.txns("t", 2L) === Map("w1" -> 7L))
   }
+
+  test("shallowClone shares inodes (zero data copy) and reads the source head") {
+    val store = freshStore()
+    store.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .repartition(2, col("k")), "t")
+    store.shallowClone("t", "t2")
+    assert(store.read(spark, "t2").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === store.read(spark, "t").collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // zero-copy: every clone file is the SAME inode as the source's
+    val root = storeRoot(store)
+    def fileKeys(tbl: String): Set[Any] = {
+      val d = new java.io.File(s"$root/$tbl/files")
+      d.listFiles.filter(_.getName.endsWith(".parquet")).map(f =>
+        java.nio.file.Files.readAttributes(f.toPath,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()).toSet
+    }
+    assert(fileKeys("t2").subsetOf(fileKeys("t")))
+    assert(fileKeys("t2").nonEmpty)
+  }
+
+  test("clone and source evolve independently from the shared snapshot") {
+    val store = freshStore()
+    store.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "t")
+    store.shallowClone("t", "t2")
+    store.upsert(spark, "t2", Seq((2L, "B2"), (9L, "z")).toDF("k", "v"), Seq("k"))
+    store.upsert(spark, "t", Seq((1L, "A1")).toDF("k", "v"), Seq("k"))
+    val src = store.read(spark, "t").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val cl = store.read(spark, "t2").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(src === Set((1L, "A1"), (2L, "b")))
+    assert(cl === Set((1L, "a"), (2L, "B2"), (9L, "z")))
+  }
+
+  test("vacuuming the source never breaks the clone: link counts keep shared files alive") {
+    val store = freshStore()
+    store.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "t")
+    store.shallowClone("t", "t2")
+    // source rewrites everything twice, then drops all old versions
+    store.write(Seq((5L, "x")).toDF("k", "v"), "t")
+    store.write(Seq((6L, "y")).toDF("k", "v"), "t")
+    store.vacuumVersions("t", keep = 1)
+    assert(store.history("t") === Seq(3L))
+    val cl = store.read(spark, "t2").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cl === Set((1L, "a"), (2L, "b")), "clone must survive source vacuum")
+  }
+
+  test("shallowClone carries CHECK constraints") {
+    val store = freshStore()
+    store.write(Seq((1L, 5L)).toDF("k", "n"), "t")
+    store.addCheck(spark, "t", "pos", "n > 0")
+    store.shallowClone("t", "t2")
+    intercept[IllegalStateException] {
+      store.upsert(spark, "t2", Seq((2L, -1L)).toDF("k", "n"), Seq("k"))
+    }
+  }
+
+  /** The store root is private; recover it from a staged table dir. */
+  private def storeRoot(store: VersionedStore): String = {
+    val f = store.getClass.getDeclaredField("root")
+    f.setAccessible(true)
+    f.get(store).asInstanceOf[String]
+  }
 }
