@@ -777,6 +777,25 @@ class VersionedStore(root: String) {
     else spark.read.schema(schema).parquet(files.map(absPath(name, _)): _*)
   }
 
+  /** Commit wall-clock per version: the manifest file's mtime IS the
+    * commit instant (the hard link lands atomically at commit; nothing
+    * rewrites a committed manifest). Epoch millis, ascending with
+    * version by construction. */
+  def commitTimes(name: String): Seq[(Long, Long)] =
+    history(name).map(v => v -> manifestFile(name, v).lastModified)
+
+  /** Time travel by wall clock (`TIMESTAMP AS OF ts`, Delta analog):
+    * read the newest snapshot committed at or before `tsMillis`.
+    * Resolution walks version->mtime pairs (metadata only, no data I/O)
+    * and picks max{v : commitTime(v) <= ts}; a timestamp earlier than
+    * the first commit is an error, matching Delta's contract. */
+  def readAsOf(spark: SparkSession, name: String, tsMillis: Long): DataFrame = {
+    val at = commitTimes(name).filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"readAsOf('$name'): no snapshot committed at or before $tsMillis")
+    readVersion(spark, name, at.map(_._1).max)
+  }
+
   /** Change data feed between two committed versions (Delta CDF analog):
     * one row per key whose state changed, labeled insert / update /
     * delete. FILE-DIFF first: rows in data files SHARED by both

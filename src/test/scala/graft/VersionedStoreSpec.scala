@@ -647,6 +647,28 @@ class VersionedStoreSpec extends SparkSuite {
     }
   }
 
+  test("TIMESTAMP AS OF resolves the newest snapshot at or before the instant") {
+    val store = freshStore()
+    store.write(Seq((1L, "a")).toDF("k", "v"), "t")
+    store.write(Seq((1L, "b")).toDF("k", "v"), "t")
+    store.write(Seq((1L, "c")).toDF("k", "v"), "t")
+    // pin deterministic commit instants through the manifest mtimes
+    val root = storeRoot(store)
+    Seq(1L -> 1000L, 2L -> 2000L, 3L -> 3000L).foreach { case (v, ts) =>
+      java.nio.file.Files.setLastModifiedTime(
+        new java.io.File(s"$root/t/v$v.manifest").toPath,
+        java.nio.file.attribute.FileTime.fromMillis(ts))
+    }
+    def valAt(ts: Long): String =
+      store.readAsOf(spark, "t", ts).collect().head.getString(1)
+    assert(valAt(1000L) === "a")  // exactly at the first commit
+    assert(valAt(1999L) === "a")  // between commits -> the older one
+    assert(valAt(2500L) === "b")
+    assert(valAt(999999999L) === "c")  // far future -> head
+    intercept[IllegalArgumentException] { store.readAsOf(spark, "t", 999L) }
+    assert(store.commitTimes("t").map(_._1) === Seq(1L, 2L, 3L))
+  }
+
   /** The store root is private; recover it from a staged table dir. */
   private def storeRoot(store: VersionedStore): String = {
     val f = store.getClass.getDeclaredField("root")
