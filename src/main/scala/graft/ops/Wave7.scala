@@ -56,13 +56,18 @@ object Wave7 {
     * vocabulary-sized count tables joined back on (prev, tok) and prev,
     * and the scalar V broadcast. Nothing is all-pairs. */
   private[graft] def bigramPairs(docs: DataFrame): DataFrame = {
-    val tk = toks(col("text"))
+    // tokenize into a BOUND column first: inlining the tokenizer Column
+    // into the lambda would re-run the regex split at every element
+    // access (O(tokens^2) splits per doc — measured 8.3 s at sf0.1 vs
+    // 0.4 s bound)
+    val tk = col("tk")
     // i in [0, size-2] -> (tk[i+1], tk[i+2]) 1-based; try_element_at past
     // the end is NULL (ANSI-safe), so short docs (size < 2) emit only
     // filtered rows
     val pairs = transform(sequence(lit(0), greatest(size(tk) - 2, lit(0))),
       i => struct(try_element_at(tk, i + 1).as("prev"), try_element_at(tk, i + 2).as("tok")))
-    docs.select(col("doc_id"), explode(pairs).as("pr"))
+    docs.select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), explode(pairs).as("pr"))
       .filter(col("pr.prev").isNotNull && col("pr.tok").isNotNull)
       .select(col("doc_id"), col("pr.prev").as("prev"), col("pr.tok").as("tok"))
   }
