@@ -32,6 +32,7 @@ object SparkEntry {
     ops.Wave5.queries ++
     ops.Wave6.queries ++
     ops.Wave7.queries ++
+    ops.Wave8.queries ++
     ops.Physical.queries ++
     ops.Behavior.queries ++
     sources.Formats.queries ++
@@ -57,6 +58,7 @@ object SparkEntry {
     ops.Wave5.oracles ++
     ops.Wave6.oracles ++
     ops.Wave7.oracles ++
+    ops.Wave8.oracles ++
     ops.Physical.oracles ++
     ops.Behavior.oracles ++
     sources.Formats.oracles ++
