@@ -38,7 +38,8 @@ object SparkEntry {
     sources.Formats.queries ++
     ops.Ivf.queries ++
     ops.Pq.queries ++
-    ops.Bpe.queries
+    ops.Bpe.queries ++
+    ops.Wave9.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -64,5 +65,6 @@ object SparkEntry {
     sources.Formats.oracles ++
     ops.Ivf.oracles ++
     ops.Pq.oracles ++
-    ops.Bpe.oracles
+    ops.Bpe.oracles ++
+    ops.Wave9.oracles
 }

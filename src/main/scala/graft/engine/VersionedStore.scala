@@ -85,17 +85,29 @@ class VersionedStore(root: String) {
   /** One manifest data-file entry: name + per-column (min, max) stats
     * rendered as strings (absent for files staged before stats, or for
     * all-NULL columns). The skipping substrate: Delta-log §3's per-file
-    * stats, minus the jar. */
-  case class FileEntry(file: String, stats: Map[String, (String, String)])
+    * stats, minus the jar.
+    *
+    * `dvs` names the DELETION-VECTOR files attached to this data file by
+    * merge-on-read deletes ([[deleteMor]]) — each a parquet of (data-file
+    * name, physical row position) pairs whose positions are dead in the
+    * snapshot (Delta deletion vectors / Iceberg v2 position deletes).
+    * Immutable like everything else: a later MOR delete appends another
+    * dv name; a rewrite of the data file drops the association. The
+    * manifest line renders them as a third tab field (older manifests
+    * simply have no third field, so the format is backward-compatible). */
+  case class FileEntry(file: String, stats: Map[String, (String, String)],
+      dvs: Seq[String] = Nil)
 
   def manifestWithStats(name: String, v: Long): (StructType, Seq[FileEntry]) = {
     val mf = manifestFile(name, v)
     require(mf.exists, s"$name has no version $v (history: ${history(name)})")
     val lines = java.nio.file.Files.readAllLines(mf.toPath).asScala.toSeq
     val entries = lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
-      line.split("\t", 2) match {
+      line.split("\t", 3) match {
         case Array(f) => FileEntry(f, Map.empty)
         case Array(f, json) => FileEntry(f, parseStats(json))
+        case Array(f, json, dvs) =>
+          FileEntry(f, parseStats(json), dvs.split(",").toSeq.filter(_.nonEmpty))
       }
     }
     (DataType.fromJson(lines.head).asInstanceOf[StructType], entries)
@@ -288,7 +300,9 @@ class VersionedStore(root: String) {
     val allTxns = carried ++ addTxn
     val txnLines = allTxns.toSeq.sortBy(_._1).map { case (a, i) => s"#txn\t$a\t$i" }
     val lines = entries.map { e =>
-      if (e.stats.isEmpty) e.file else s"${e.file}\t${renderStats(e.stats)}"
+      if (e.dvs.nonEmpty) s"${e.file}\t${renderStats(e.stats)}\t${e.dvs.mkString(",")}"
+      else if (e.stats.isEmpty) e.file
+      else s"${e.file}\t${renderStats(e.stats)}"
     }
     val mfTmp = new java.io.File(tdir(name), s"_v$v-${newToken()}.manifest.tmp")
     java.nio.file.Files.write(mfTmp.toPath,
@@ -570,19 +584,22 @@ class VersionedStore(root: String) {
           }
           // which surviving files hold a matched key? (the only rows a
           // MERGE changes)
-          val hitPaths: Set[String] =
+          // live (DV-filtered) view of the candidate files: a key whose
+          // only occurrence is a deletion-vector-dead row must NOT count
+          // as a hit — the merge would pointlessly rewrite the file (and
+          // the rewrite below must not resurrect dead rows)
+          val hitNames: Set[String] =
             if (candidates.isEmpty) Set.empty
-            else spark.read.schema(tSchema)
-              .parquet(candidates.map(e => absPath(name, e.file)): _*)
-              .select(keys.map(col) :+ col("_metadata.file_path").as("__file"): _*)
+            else readEntries(spark, name, tSchema, candidates, withMeta = true)
+              .select(keys.map(col) :+ col("__file"): _*)
               .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
               .select("__file").distinct()
               .collect().map(_.getString(0)).toSet
-          val hit = candidates.filter(e => hitPaths.exists(_.endsWith("/" + e.file)))
+          val hit = candidates.filter(e => hitNames.contains(e.file))
           val hitSet = hit.map(_.file).toSet
           val rewriteTarget =
             if (hit.isEmpty) emptyDf(spark, tSchema)
-            else spark.read.schema(tSchema).parquet(hit.map(e => absPath(name, e.file)): _*)
+            else readEntries(spark, name, tSchema, hit)
           val (mTarget, mSource, outSchema) =
             if (!evolveSchema) (rewriteTarget, source, tSchema)
             else {
@@ -624,12 +641,19 @@ class VersionedStore(root: String) {
             }
             val headFiles = headEntries.map(_.file).toSet
             // conflict 1: the winner rewrote/removed a file this merge
-            // also rewrote — true write-write conflict on the same rows
-            if (!hitSet.subsetOf(headFiles)) {
+            // also rewrote — true write-write conflict on the same rows.
+            // A concurrent MOR delete that attached a deletion vector to
+            // a hit file conflicts the same way: this merge's staged
+            // rewrite materialized rows the winner just declared dead.
+            val baseDv = entries.filter(e => hitSet.contains(e.file))
+              .map(e => e.file -> e.dvs).toMap
+            val dvChanged = headEntries.exists(e =>
+              hitSet.contains(e.file) && e.dvs != baseDv.getOrElse(e.file, Nil))
+            if (!hitSet.subsetOf(headFiles) || dvChanged) {
               dropStaged(name, staged)
               throw new java.util.ConcurrentModificationException(
-                s"upsert('$name'): concurrent commit rewrote files this merge " +
-                  s"also rewrote (${hitSet.diff(headFiles).mkString(", ")})")
+                s"upsert('$name'): concurrent commit rewrote or MOR-deleted in " +
+                  s"files this merge also rewrote")
             }
             // conflict 2: the winner changed the table schema — this
             // merge's staged output and manifest schema predate it
@@ -673,19 +697,21 @@ class VersionedStore(root: String) {
     import org.apache.spark.sql.functions.col
     val cur = currentVersion(name).getOrElse(sys.error(s"no version for $name"))
     val (tSchema, entries) = manifestWithStats(name, cur)
-    val hitPaths: Set[String] =
+    // hit detection and the survivor rewrite both read the LIVE view:
+    // rows already dead under a deletion vector neither trigger a
+    // rewrite nor reappear in the rewritten file
+    val hitNames: Set[String] =
       if (entries.isEmpty) Set.empty
-      else spark.read.schema(tSchema)
-        .parquet(entries.map(e => absPath(name, e.file)): _*)
+      else readEntries(spark, name, tSchema, entries, withMeta = true)
         .filter(condition)
-        .select(col("_metadata.file_path")).distinct()
+        .select(col("__file")).distinct()
         .collect().map(_.getString(0)).toSet
-    val hit = entries.filter(e => hitPaths.exists(_.endsWith("/" + e.file)))
+    val hit = entries.filter(e => hitNames.contains(e.file))
     val hitSet = hit.map(_.file).toSet
     val survivors =
       if (hit.isEmpty) Seq.empty
       else stageWithStats(
-        spark.read.schema(tSchema).parquet(hit.map(e => absPath(name, e.file)): _*)
+        readEntries(spark, name, tSchema, hit)
           // SQL DELETE keeps rows where the predicate is false OR NULL:
           // a bare !condition maps NULL->NULL and filter() would drop
           // the row, silently deleting NULL-predicate rows that happen
@@ -710,7 +736,10 @@ class VersionedStore(root: String) {
       }
       head = currentVersion(name).get
       val (headSchema, headEntries) = manifestWithStats(name, head)
+      val baseDv = hit.map(e => e.file -> e.dvs).toMap
       if (!hitSet.subsetOf(headEntries.map(_.file).toSet) ||
+          headEntries.exists(e => hitSet.contains(e.file) &&
+            e.dvs != baseDv.getOrElse(e.file, Nil)) ||
           nullable(headSchema) != nullable(tSchema)) {
         dropStaged(name, survivors)
         throw new java.util.ConcurrentModificationException(
@@ -719,6 +748,91 @@ class VersionedStore(root: String) {
       keep = headEntries.filterNot(e => hitSet.contains(e.file))
     }
     sys.error("unreachable")
+  }
+
+  /** Write a deletion-vector parquet (dvSchema rows) into `files/`,
+    * returning its name. One output file: a DV is deleted-rows-sized by
+    * construction (the whole point of merge-on-read is that the delete
+    * is tiny next to the data), so a single columnar file is the right
+    * shape — the per-commit analog of Delta's per-file roaring bitmaps,
+    * carrying the same (file, position) information. */
+  private def stageDv(hits: DataFrame, name: String): String = {
+    val tok = newToken()
+    val stageDir = new java.io.File(tdir(name), s"_stage_$tok")
+    hits.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stageDir.getAbsolutePath)
+    val fd = filesDir(name)
+    fd.mkdirs()
+    val part = stageDir.listFiles.toSeq
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    val nm = s"dv-$tok.parquet"
+    java.nio.file.Files.move(part.toPath, new java.io.File(fd, nm).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Fs.deleteRec(stageDir)
+    nm
+  }
+
+  /** DELETE WHERE, merge-on-read: instead of rewriting the files that
+    * hold matches ([[delete]]'s copy-on-write), commit a DELETION VECTOR
+    * — the matches' (file, physical position) pairs — and attach it to
+    * each hit file's manifest entry; reads anti-join the vector. This is
+    * Delta's deletion-vector DELETE / Iceberg v2 position deletes: at
+    * 100 TB, deleting 0.1% of rows scattered across every file would
+    * force copy-on-write to rewrite the whole table, while merge-on-read
+    * writes kilobytes and touches no data file. The read-side anti-join
+    * is against a broadcast-sized vector; [[optimize]] compacts the debt
+    * away (its rewrite reads through the vectors and stages clean files
+    * with no dv association).
+    *
+    * Positions are computed on THIS snapshot's live view (already-dead
+    * rows are excluded by the read path, though re-marking would be
+    * harmless — the dead set only grows). Concurrency: the commit loop
+    * rebases onto heads that still contain every hit file, taking the
+    * HEAD's entry for each file so vectors attached by concurrent MOR
+    * deletes union monotonically; a head that rewrote a hit file
+    * (upsert/COW-delete/optimize) is a true write-write conflict and
+    * refuses, matching [[delete]]'s semantics. Rows matching the
+    * predicate that a concurrent writer ADDS survive — snapshot
+    * semantics (Delta WriteSerializable). */
+  def deleteMor(spark: SparkSession, name: String,
+      condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentVersion(name).getOrElse(sys.error(s"no version for $name"))
+    val (tSchema, entries) = manifestWithStats(name, cur)
+    if (entries.isEmpty) return cur
+    val hits = readEntries(spark, name, tSchema, entries, withMeta = true)
+      .filter(condition)
+      .select(col("__file"), col("__pos"))
+    val dvFile = stageDv(hits, name)
+    val hitFiles: Set[String] = spark.read.schema(dvSchema)
+      .parquet(absPath(name, dvFile))
+      .select("__file").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (hitFiles.isEmpty) {
+      new java.io.File(absPath(name, dvFile)).delete()
+      return cur
+    }
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val head = currentVersion(name).get
+      val (headSchema, headEntries) = manifestWithStats(name, head)
+      if (!hitFiles.subsetOf(headEntries.map(_.file).toSet) ||
+          nullable(headSchema) != nullable(tSchema)) {
+        new java.io.File(absPath(name, dvFile)).delete()
+        throw new java.util.ConcurrentModificationException(
+          s"deleteMor('$name'): concurrent commit rewrote a file this delete " +
+            "marked rows in, or changed the schema")
+      }
+      val next = headEntries.map { e =>
+        if (hitFiles.contains(e.file) && !e.dvs.contains(dvFile))
+          e.copy(dvs = e.dvs :+ dvFile)
+        else e
+      }
+      if (tryCommitManifest(name, head + 1L, headSchema, next)) return head + 1L
+      attempt += 1
+    }
+    new java.io.File(absPath(name, dvFile)).delete()
+    throw new IllegalStateException(
+      s"deleteMor('$name'): $MaxCommitRetries commit attempts lost")
   }
 
   /** Candidate files an upsert on `keys` would have to SCAN, after stats
@@ -765,6 +879,59 @@ class VersionedStore(root: String) {
     sys.error("unreachable")
   }
 
+  /** Deletion-vector file schema: (data-file name, physical row index).
+    * Positions are the parquet reader's stable `_metadata.row_index` —
+    * data files are immutable, so a position marked dead stays the same
+    * physical row forever. */
+  private val dvSchema = StructType(Seq(
+    StructField("__file", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("__pos", org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Read the given snapshot entries with their deletion vectors applied.
+    * The scan keeps predicate pushdown intact (the metadata columns ride
+    * beside the data columns); dead rows drop out through ONE left-anti
+    * join against the union of the entries' dv files — deleted-rows-
+    * sized, so Spark broadcasts it at any realistic churn and AQE falls
+    * back to a shuffled anti-join only if a single delete was truly
+    * table-sized. `withMeta` keeps the (`__file`, `__pos`) identity
+    * columns for callers that need per-file row addressing (hit scans,
+    * [[deleteMor]]). */
+  private def readEntries(spark: SparkSession, name: String, schema: StructType,
+      entries: Seq[FileEntry], withMeta: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    if (entries.isEmpty) {
+      val base = emptyDf(spark, schema)
+      return if (!withMeta) base
+      else base
+        .withColumn("__file", org.apache.spark.sql.functions.lit("").cast("string"))
+        .withColumn("__pos", org.apache.spark.sql.functions.lit(0L))
+        .limit(0)
+    }
+    val raw = spark.read.schema(schema)
+      .parquet(entries.map(e => absPath(name, e.file)): _*)
+    val dvFiles = entries.flatMap(_.dvs).distinct
+    if (!withMeta && dvFiles.isEmpty) return raw
+    // the row-identity columns are reserved while in use (like Delta's
+    // _metadata reservation): silently shadowing a user column here
+    // would corrupt it through the drop below
+    require(!schema.fieldNames.contains("__file") &&
+      !schema.fieldNames.contains("__pos"),
+      s"readEntries('$name'): __file/__pos are reserved row-identity names")
+    val base = raw
+      .withColumn("__file", substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val live =
+      if (dvFiles.isEmpty) base
+      else {
+        val dv = spark.read.schema(dvSchema)
+          .parquet(dvFiles.map(absPath(name, _)): _*)
+        base.join(dv,
+          base("__file") === dv("__file") && base("__pos") === dv("__pos"),
+          "left_anti")
+      }
+    if (withMeta) live else live.drop("__file", "__pos")
+  }
+
   /** Read the live snapshot. */
   def read(spark: SparkSession, name: String): DataFrame =
     readVersion(spark, name,
@@ -772,9 +939,9 @@ class VersionedStore(root: String) {
 
   /** Time travel: read snapshot `v` (`VERSION AS OF v`). */
   def readVersion(spark: SparkSession, name: String, v: Long): DataFrame = {
-    val (schema, files) = manifest(name, v)
-    if (files.isEmpty) emptyDf(spark, schema)
-    else spark.read.schema(schema).parquet(files.map(absPath(name, _)): _*)
+    val (schema, entries) = manifestWithStats(name, v)
+    if (entries.isEmpty) emptyDf(spark, schema)
+    else readEntries(spark, name, schema, entries)
   }
 
   /** Commit wall-clock per version: the manifest file's mtime IS the
@@ -810,11 +977,15 @@ class VersionedStore(root: String) {
     import org.apache.spark.sql.functions._
     val (schemaA, entriesA) = manifestWithStats(name, from)
     val (schemaB, entriesB) = manifestWithStats(name, to)
-    val shared = entriesA.map(_.file).toSet.intersect(entriesB.map(_.file).toSet)
+    // an entry is "shared" (can't produce a change row) only when file
+    // AND deletion-vector list match: a MOR delete keeps the file name
+    // but changes its live rows, so both versions must read it
+    val shared = entriesA.map(e => (e.file, e.dvs)).toSet
+      .intersect(entriesB.map(e => (e.file, e.dvs)).toSet)
     def side(schema: StructType, entries: Seq[FileEntry]): DataFrame = {
-      val own = entries.filterNot(e => shared.contains(e.file))
+      val own = entries.filterNot(e => shared.contains((e.file, e.dvs)))
       if (own.isEmpty) emptyDf(spark, schema)
-      else spark.read.schema(schema).parquet(own.map(e => absPath(name, e.file)): _*)
+      else readEntries(spark, name, schema, own)
     }
     // align both sides to the UNION of their schemas first: columns
     // added by evolveSchema between the versions must participate in the
@@ -878,15 +1049,18 @@ class VersionedStore(root: String) {
       throw new IllegalArgumentException(s"shallowClone: source '$src' is empty"))
     val (schema, entries) = manifestWithStats(src, v)
     filesDir(dst).mkdirs()
-    entries.foreach { e =>
+    // deletion-vector files are part of the snapshot: link them with the
+    // data files so the clone's reads apply the same dead-row filter
+    val allFiles = (entries.map(_.file) ++ entries.flatMap(_.dvs)).distinct
+    allFiles.foreach { f =>
       java.nio.file.Files.createLink(
-        new java.io.File(absPath(dst, e.file)).toPath,
-        new java.io.File(absPath(src, e.file)).toPath)
+        new java.io.File(absPath(dst, f)).toPath,
+        new java.io.File(absPath(src, f)).toPath)
     }
     val cs = checks(src)
     if (cs.nonEmpty) writeChecks(dst, cs)
     if (!tryCommitManifest(dst, 1L, schema, entries)) {
-      entries.foreach(e => new java.io.File(absPath(dst, e.file)).delete())
+      allFiles.foreach(f => new java.io.File(absPath(dst, f)).delete())
       throw new IllegalStateException(s"shallowClone: commit race on fresh table '$dst'")
     }
     1L
@@ -923,11 +1097,11 @@ class VersionedStore(root: String) {
     * (e.g. changesSince's insert keys) to isolate true churn. */
   def newFileRows(spark: SparkSession, name: String, fromVersion: Long): DataFrame = {
     val cur = currentVersion(name).getOrElse(sys.error(s"no version for $name"))
-    val (schema, curFiles) = manifest(name, cur)
+    val (schema, curEntries) = manifestWithStats(name, cur)
     val oldSet = manifest(name, fromVersion)._2.toSet
-    val fresh = curFiles.filterNot(oldSet)
+    val fresh = curEntries.filterNot(e => oldSet.contains(e.file))
     if (fresh.isEmpty) emptyDf(spark, schema)
-    else spark.read.schema(schema).parquet(fresh.map(absPath(name, _)): _*)
+    else readEntries(spark, name, schema, fresh)
   }
 
   // ---- record-level key index (point-lookup acceleration) --------------
@@ -1039,10 +1213,13 @@ class VersionedStore(root: String) {
     val pred = col(keyCol).isin(keys: _*)
     lookupFiles(spark, name, keyCol, keys) match {
       case Some(files) =>
-        val (schema, _) = manifest(name, currentVersion(name).get)
-        if (files.isEmpty) emptyDf(spark, schema)
-        else spark.read.schema(schema)
-          .parquet(files.map(absPath(name, _)): _*).filter(pred)
+        // the index maps CONTAINMENT (it may list keys whose only rows
+        // are deletion-vector-dead — stale-but-never-wrong); the
+        // DV-filtered read makes the served rows exact
+        val (schema, entries) = manifestWithStats(name, currentVersion(name).get)
+        val pinned = entries.filter(e => files.contains(e.file))
+        if (pinned.isEmpty) emptyDf(spark, schema)
+        else readEntries(spark, name, schema, pinned).filter(pred)
       case None => read(spark, name).filter(pred)
     }
   }
@@ -1058,7 +1235,12 @@ class VersionedStore(root: String) {
     val live = currentVersion(name).toSeq
     val drop = history(name).dropRight(keep).filterNot(live.contains)
     drop.foreach(v => manifestFile(name, v).delete())
-    val referenced = history(name).flatMap(v => manifest(name, v)._2).toSet
+    // deletion-vector files are referenced like data files: a dv lives
+    // while any retained manifest's entry names it
+    val referenced = history(name).flatMap { v =>
+      val es = manifestWithStats(name, v)._2
+      es.map(_.file) ++ es.flatMap(_.dvs)
+    }.toSet
     val fd = filesDir(name)
     if (fd.exists)
       fd.listFiles.filter(f => !referenced.contains(f.getName)).foreach(_.delete())

@@ -675,4 +675,151 @@ class VersionedStoreSpec extends SparkSuite {
     f.setAccessible(true)
     f.get(store).asInstanceOf[String]
   }
+
+  // ---- deletion vectors (merge-on-read DELETE) -------------------------
+
+  test("deleteMor marks rows dead without rewriting any data file") {
+    val store = freshStore()
+    twoFileBase(store)
+    val before = store.manifestWithStats("t", 1L)._2
+    val v2 = store.deleteMor(spark, "t", $"k" >= 50L && $"k" <= 149L)
+    assert(v2 === 2L)
+    val after = store.manifestWithStats("t", 2L)._2
+    assert(after.map(_.file) === before.map(_.file),
+      "MOR delete must not add/remove/rename data files")
+    assert(after.forall(_.dvs.nonEmpty),
+      "both files held matches, both must carry the deletion vector")
+    assert(after.flatMap(_.dvs).distinct.size === 1,
+      "one delete commit writes ONE vector, shared by reference")
+    val now = asMap(store)
+    assert(now.keySet === ((0L to 49L) ++ (150L to 199L)).toSet)
+    // snapshot isolation: time travel still sees the pre-delete rows
+    assert(store.readVersion(spark, "t", 1L).count() === 200L)
+  }
+
+  test("deleteMor keeps NULL-predicate rows (SQL DELETE semantics)") {
+    val store = freshStore()
+    store.write(Seq((1L, "x"), (2L, null), (3L, "x"))
+      .toDF("k", "v").coalesce(1), "t")
+    store.deleteMor(spark, "t", $"v" === "x")
+    assert(asMap(store).keySet === Set(2L))
+  }
+
+  test("sequential deleteMors union: the dead set grows monotonically") {
+    val store = freshStore()
+    twoFileBase(store)
+    store.deleteMor(spark, "t", $"k" === 10L)
+    store.deleteMor(spark, "t", $"k" === 11L)
+    val entries = store.manifestWithStats("t", 3L)._2
+    val lowFile = entries.filter(_.dvs.nonEmpty)
+    assert(lowFile.exists(_.dvs.size === 2),
+      "the low-key file must carry both commits' vectors")
+    val now = asMap(store)
+    assert(!now.contains(10L) && !now.contains(11L) && now.size === 198)
+  }
+
+  test("upsert reads through deletion vectors and its rewrite retires them") {
+    val store = freshStore()
+    twoFileBase(store)
+    store.deleteMor(spark, "t", $"k" === 10L)
+    // merges key 11 -> rewrites the low-key file; the rewrite must NOT
+    // resurrect dead key 10, and the fresh file carries no dv debt
+    store.upsert(spark, "t", Seq((11L, "A11")).toDF("k", "v"), Seq("k"))
+    val now = asMap(store)
+    assert(!now.contains(10L), "rewrite resurrected a MOR-deleted row")
+    assert(now(11L) === "A11")
+    assert(now.size === 199)
+    assert(store.manifestWithStats("t", 3L)._2.forall(_.dvs.isEmpty),
+      "the rewritten file must drop its dv association")
+  }
+
+  test("a key whose only rows are dv-dead is no longer an upsert hit") {
+    val store = freshStore()
+    twoFileBase(store)
+    store.deleteMor(spark, "t", $"k" <= 99L)          // low file fully dead
+    // merging key 10 now INSERTS (no live match) — the low-key file must
+    // not be rewritten on account of its dead rows
+    store.upsert(spark, "t", Seq((10L, "NEW")).toDF("k", "v"), Seq("k"))
+    val now = asMap(store)
+    assert(now(10L) === "NEW")
+    assert(now.size === 101)
+    assert(now.keySet.filter(_ <= 99L) === Set(10L))
+  }
+
+  test("optimize compacts through deletion vectors and retires the debt") {
+    val store = freshStore()
+    twoFileBase(store)
+    store.deleteMor(spark, "t", $"k" % 2L === 0L)
+    val v3 = store.optimize(spark, "t", targetFiles = 1)
+    val entries = store.manifestWithStats("t", v3)._2
+    assert(entries.forall(_.dvs.isEmpty), "compaction must clear all dvs")
+    assert(asMap(store).keySet === (1L to 199L by 2).toSet)
+    // once no retained manifest references the dv, vacuum reclaims it
+    val root = storeRoot(store)
+    store.vacuumVersions("t", keep = 1)
+    val files = new java.io.File(s"$root/t/files").listFiles.map(_.getName)
+    assert(!files.exists(_.startsWith("dv-")), "orphaned dv must be vacuumed")
+  }
+
+  test("vacuum keeps dv files while any retained manifest references them") {
+    val store = freshStore()
+    twoFileBase(store)
+    store.deleteMor(spark, "t", $"k" === 10L)
+    store.vacuumVersions("t", keep = 1)   // live version IS the dv version
+    val root = storeRoot(store)
+    val files = new java.io.File(s"$root/t/files").listFiles.map(_.getName)
+    assert(files.exists(_.startsWith("dv-")), "live dv swept by vacuum")
+    assert(!asMap(store).contains(10L))
+  }
+
+  test("file-diff CDF sees MOR deletes (file name unchanged, rows changed)") {
+    val store = freshStore()
+    twoFileBase(store)
+    store.deleteMor(spark, "t", $"k" === 10L || $"k" === 150L)
+    val ch = store.changes(spark, "t", 1L, 2L, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ch === Map(10L -> "delete", 150L -> "delete"))
+  }
+
+  test("shallowClone links deletion vectors with the data files") {
+    val store = freshStore()
+    twoFileBase(store)
+    store.deleteMor(spark, "t", $"k" === 10L)
+    store.shallowClone("t", "t2")
+    assert(store.read(spark, "t2").count() === 199L)
+    // and the clone diverges independently: COW delete on the clone
+    // leaves the source's vector intact
+    store.delete(spark, "t2", $"k" <= 99L)
+    assert(store.read(spark, "t2").count() === 100L)
+    assert(store.read(spark, "t").count() === 199L)
+  }
+
+  test("upsert racing a deleteMor on the same file refuses (no resurrection)") {
+    val store = freshStore()
+    twoFileBase(store)
+    store.beforeCommitHook = () => {
+      store.beforeCommitHook = () => ()
+      store.deleteMor(spark, "t", $"k" === 10L)
+      ()
+    }
+    // A merges key 11 — same low-key FILE the MOR delete marked: A's
+    // staged rewrite materialized key 10 alive, so committing it would
+    // silently undo the delete; it must refuse instead
+    intercept[java.util.ConcurrentModificationException] {
+      store.upsert(spark, "t", Seq((11L, "A11")).toDF("k", "v"), Seq("k"))
+    }
+    val now = asMap(store)
+    assert(!now.contains(10L), "the MOR delete must stand")
+    assert(now(11L) === "v11", "the refused upsert must leave no trace")
+  }
+
+  test("point lookup through the key index applies deletion vectors") {
+    val store = freshStore()
+    twoFileBase(store)
+    store.deleteMor(spark, "t", $"k" === 10L)
+    store.buildKeyIndex(spark, "t", "k")
+    val rows = store.lookup(spark, "t", "k", Seq(10L, 11L)).collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(11L),
+      "index-served lookup returned a dv-dead row")
+  }
 }
