@@ -164,15 +164,172 @@ object Wave9 {
        |FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
 
+  // ---- graph_reachability: recursive-CTE BFS over a derived graph ------
+
+  /** Bounded-hop reachability over the event-transition graph via ANSI
+    * `WITH RECURSIVE` (Spark 4's UnionLoop): nodes are (event_type,
+    * value band) pairs, edges the DISTINCT consecutive transitions
+    * within each user's event_id-ordered stream, and the recursion
+    * walks ≤3 hops from 'click#0', reporting per reached node the
+    * minimum hop count and the number of distinct walks. Exercises the
+    * one SQL surface the engine had not yet covered: iterative queries
+    * executed by Catalyst's recursion operator rather than a
+    * hand-rolled driver loop.
+    *
+    * Scale shape: the edge build is a keyed per-user window (lead over
+    * event_id — never a global sort) + one distinct at the edge grain;
+    * the graph itself is model-sized (≤ node² edges) so every recursive
+    * step is frontier × broadcast-edges. For web-scale graphs where the
+    * edge list is data-sized, the engine's min-label-propagation kernel
+    * (dedup_components, Wave3) is the frontier-deduplicating form; this
+    * operator is the SQL-standard surface over it. UNION ALL + hop cap
+    * (not UNION) keeps Spark and DuckDB termination semantics
+    * bit-identical. */
+  private val graphReachability: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val band = least(floor(col("value") / 125.0), lit(3.0)).cast("int")
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val edges = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        concat(col("event_type"), lit("#"), band.cast("string")).as("src"))
+      .withColumn("dst", lead("src", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .select("src", "dst").distinct()
+    edges.createOrReplaceTempView("graft_edges")
+    s.sql(
+      """WITH RECURSIVE reach(node, hops) AS (
+        |  SELECT 'click#0', 0
+        |  UNION ALL
+        |  SELECT e.dst, r.hops + 1
+        |  FROM reach r JOIN graft_edges e ON e.src = r.node
+        |  WHERE r.hops < 3)
+        |SELECT node, CAST(MIN(hops) AS INT) AS min_hops,
+        |  CAST(COUNT(*) AS BIGINT) AS n_walks
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin)
+  }
+
+  private val graphReachabilityOracle =
+    """WITH RECURSIVE
+      |e0 AS (
+      |  SELECT user_id, event_id,
+      |    event_type || '#' ||
+      |      CAST(CAST(LEAST(FLOOR(value / 125.0), 3.0) AS INT) AS VARCHAR) AS src
+      |  FROM events),
+      |e1 AS (SELECT src,
+      |         LEAD(src) OVER (PARTITION BY user_id ORDER BY event_id) AS dst
+      |       FROM e0),
+      |edges AS (SELECT DISTINCT src, dst FROM e1 WHERE dst IS NOT NULL),
+      |reach(node, hops) AS (
+      |  SELECT 'click#0', 0
+      |  UNION ALL
+      |  SELECT e.dst, r.hops + 1
+      |  FROM reach r JOIN edges e ON e.src = r.node
+      |  WHERE r.hops < 3)
+      |SELECT node, CAST(MIN(hops) AS INT) AS min_hops,
+      |  CAST(COUNT(*) AS BIGINT) AS n_walks
+      |FROM reach GROUP BY node ORDER BY node""".stripMargin
+
+  // ---- sim_topk_mmr: diversity-reranked top-k (MMR) --------------------
+
+  /** Maximal Marginal Relevance rerank of the brute-force top-16: pick 8
+    * results maximizing 0.7·relevance − 0.3·max-similarity-to-already-
+    * picked (Carbonell & Goldstein 1998) — the standard redundancy
+    * killer for retrieval heads that would otherwise return 8 copies of
+    * the same near-duplicate. The DISTRIBUTED part is candidate
+    * generation (broadcast query + corpus scan + TakeOrderedAndProject,
+    * exactly sim_topk's plan); the greedy selection runs on the
+    * collected 16-candidate head — model-sized by construction, like
+    * every rerank stage (at 100 TB only the scan grows; the head stays
+    * 16 rows). Determinism: rel and the 16×16 pairwise cosines are
+    * 6-rounded before the greedy; scores combine as 0.7·rel − 0.3·max
+    * in identical IEEE order in both engines; ties break on vec_id. The
+    * oracle replays ALL 8 greedy steps as a generated CTE chain (the
+    * vocab_bpe precedent). */
+  private val simTopkMmr: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val cand = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(graft.functions.Native.cosineSim(col("v"), col("qv")), 6).as("rel"),
+        col("v"))
+      .orderBy(desc("rel"), asc("vec_id"))
+      .limit(16)
+    val rows = cand.collect()
+    val ids = rows.map(_.getLong(0))
+    val rel = rows.map(_.getDouble(1))
+    val vecs = rows.map(_.getSeq[Float](2).toArray)
+    // same single-traversal double accumulation as Native.CosineSim /
+    // DuckDB's left-to-right list_aggregate — bit-identical cosines
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sim = Array.tabulate(rows.length, rows.length)((i, j) =>
+      if (i == j) 1.0 else r6(cos(vecs(i), vecs(j))))
+    val selected = scala.collection.mutable.ArrayBuffer[Int](0) // rel-max seed
+    while (selected.size < 8 && selected.size < rows.length) {
+      var best = -1; var bestScore = Double.NegativeInfinity
+      for (c <- rows.indices if !selected.contains(c)) {
+        val maxSim = selected.map(p => sim(c)(p)).max
+        val score = 0.7 * rel(c) - 0.3 * maxSim
+        if (score > bestScore ||
+            (score == bestScore && (best < 0 || ids(c) < ids(best)))) {
+          best = c; bestScore = score
+        }
+      }
+      selected += best
+    }
+    import s.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case (c, i) => (i + 1, ids(c), rel(c)) }
+      .toDF("rank", "vec_id", "rel")
+  }
+
+  private val simTopkMmrOracle: String = {
+    def cosE(a: String, b: String) =
+      s"ROUND(list_aggregate(list_transform(list_zip($a, $b), x -> x[1] * x[2]), 'sum')" +
+        s" / (SQRT(list_aggregate(list_transform($a, x -> x*x), 'sum'))" +
+        s" * SQRT(list_aggregate(list_transform($b, x -> x*x), 'sum'))), 6)"
+    val steps = (2 to 8).map { t =>
+      s"""sel$t AS MATERIALIZED (SELECT * FROM sel${t - 1} UNION ALL
+         |  SELECT $t AS rank, x.vec_id, x.rel FROM (
+         |    SELECT c.vec_id, c.rel,
+         |      0.7*c.rel - 0.3*(SELECT MAX(s.s) FROM sim s JOIN sel${t - 1} p ON s.j = p.vec_id WHERE s.i = c.vec_id) AS score
+         |    FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+         |    ORDER BY score DESC, c.vec_id LIMIT 1) x)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |cand AS MATERIALIZED (SELECT vec_id, ${cosE("v", "qv")} AS rel, v
+       |  FROM e CROSS JOIN q WHERE vec_id <> 0 ORDER BY rel DESC, vec_id LIMIT 16),
+       |sim AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j, ${cosE("a.v", "b.v")} AS s
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |sel1 AS MATERIALIZED (SELECT 1 AS rank, vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT CAST(rank AS INT) AS rank, vec_id, rel FROM sel8 ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_topk_mmr" -> simTopkMmr,
     "sink_delete_dv" -> sinkDeleteDv,
     "search_inverted" -> searchInverted,
-    "search_phrase" -> searchPhrase
+    "search_phrase" -> searchPhrase,
+    "graph_reachability" -> graphReachability
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_topk_mmr" -> simTopkMmrOracle,
     "sink_delete_dv" -> sinkDeleteDvOracle,
     "search_inverted" -> searchInvertedOracle,
-    "search_phrase" -> searchPhraseOracle
+    "search_phrase" -> searchPhraseOracle,
+    "graph_reachability" -> graphReachabilityOracle
   )
 }
