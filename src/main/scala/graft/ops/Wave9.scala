@@ -317,7 +317,85 @@ object Wave9 {
        |SELECT CAST(rank AS INT) AS rank, vec_id, rel FROM sel8 ORDER BY rank""".stripMargin
   }
 
+  // ---- profile_kanonymity: privacy profile of a quasi-identifier set ---
+
+  /** k-anonymity / l-diversity profile (Sweeney 2002; Machanavajjhala
+    * 2007) of the event stream under the quasi-identifier set
+    * (event_type, day-of-week, value decile-band) with user_id as the
+    * sensitive attribute — the governance check a dataset release runs
+    * before publication: k = the smallest equivalence-class size (how
+    * re-identifiable is the most exposed row), l = the least-diverse
+    * class's distinct-sensitive count. Two aggregations: the class
+    * table (one keyed pass over the data — at 100 TB the only
+    * data-sized shuffle), then per-type k/l/min over the model-sized
+    * class table. Integer metrics end-to-end. */
+  private val profileKanonymity: Q = (s, dir) => {
+    val classes = t(s, dir, "events")
+      .select(col("event_type"),
+        (dayofweek(col("ts")) - lit(1)).as("dow"),
+        least(floor(col("value") / 50.0), lit(9.0)).cast("int").as("band"),
+        col("user_id"))
+      .groupBy("event_type", "dow", "band")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+    classes.groupBy("event_type")
+      .agg(count(lit(1)).as("n_classes"),
+        min("n").as("k_anon"),
+        min("n_users").as("l_div"),
+        sum("n").as("n_rows"))
+      .orderBy("event_type")
+  }
+
+  private val profileKanonymityOracle =
+    """WITH c AS (
+      |  SELECT event_type, dayofweek(ts) AS dow,
+      |    CAST(LEAST(FLOOR(value / 50.0), 9.0) AS INT) AS band,
+      |    COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(MIN(n) AS BIGINT) AS k_anon,
+      |  CAST(MIN(n_users) AS BIGINT) AS l_div,
+      |  CAST(SUM(n) AS BIGINT) AS n_rows
+      |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- profile_hotkeys: key-skew profile (the salting decision) --------
+
+  /** Hot-key skew profile of user_id in the event stream — the
+    * diagnostic that decides WHERE salting / AQE skew handling is needed
+    * before a 100 TB join or aggregation melts one reducer: the top-10
+    * hottest keys with their exact share (ppm), plus the global
+    * key-count and max/mean skew ratio on every row. All metrics are
+    * exact integers (floor-ppm) so the profile is engine-portable. One
+    * keyed aggregation builds the key-count table; the top-10 is
+    * TakeOrdered (bounded, never a global sort); the two global scalars
+    * ride a broadcast. */
+  private val profileHotkeys: Q = (s, dir) => {
+    val counts = t(s, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(
+      sum("n").as("total"), count(lit(1)).as("n_keys"), max("n").as("max_n"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("user_id"), col("n"),
+        floor(col("n") * lit(1000000L) / col("total")).as("share_ppm"),
+        col("n_keys"),
+        floor(col("max_n") * col("n_keys") * lit(1000L) / col("total"))
+          .as("skew_x1000"))
+      .orderBy(desc("n"), asc("user_id"))
+      .limit(10)
+  }
+
+  private val profileHotkeysOracle =
+    """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+      |t AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys, MAX(n) AS max_n FROM c)
+      |SELECT user_id, CAST(n AS BIGINT) AS n,
+      |  CAST(FLOOR(n * 1000000 / total) AS BIGINT) AS share_ppm,
+      |  CAST(n_keys AS BIGINT) AS n_keys,
+      |  CAST(FLOOR(max_n * n_keys * 1000 / total) AS BIGINT) AS skew_x1000
+      |FROM c CROSS JOIN t
+      |ORDER BY n DESC, user_id LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "profile_kanonymity" -> profileKanonymity,
+    "profile_hotkeys" -> profileHotkeys,
     "sim_topk_mmr" -> simTopkMmr,
     "sink_delete_dv" -> sinkDeleteDv,
     "search_inverted" -> searchInverted,
@@ -326,6 +404,8 @@ object Wave9 {
   )
 
   val oracles: Map[String, String] = Map(
+    "profile_kanonymity" -> profileKanonymityOracle,
+    "profile_hotkeys" -> profileHotkeysOracle,
     "sim_topk_mmr" -> simTopkMmrOracle,
     "sink_delete_dv" -> sinkDeleteDvOracle,
     "search_inverted" -> searchInvertedOracle,
