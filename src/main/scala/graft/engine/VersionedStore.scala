@@ -932,6 +932,39 @@ class VersionedStore(root: String) {
     if (withMeta) live else live.drop("__file", "__pos")
   }
 
+  /** OPTIMIZE with the small-file policy (Delta OPTIMIZE's actual
+    * contract): compact ONLY files below `minBytes` on disk, plus any
+    * file carrying deletion-vector debt (rewriting it retires the
+    * vector); every right-sized clean file carries over by reference.
+    * This is the form that survives 100 TB — the full-snapshot
+    * [[optimize]] is a table rewrite, fine after bulk loads, while the
+    * steady-state maintenance loop must only ever pay for the churn
+    * tail that upserts/streaming commits accumulate. Lost commit races
+    * restart from the new head like [[optimize]] (idempotent
+    * maintenance). Returns the current version unchanged when nothing
+    * qualifies. */
+  def optimizeIncremental(spark: SparkSession, name: String,
+      minBytes: Long, targetFiles: Int = 1): Long = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    var attempt = 0
+    while (attempt < 5) {
+      val cur = currentVersion(name).getOrElse(sys.error(s"no version for $name"))
+      val (schema, entries) = manifestWithStats(name, cur)
+      val small = entries.filter(e =>
+        e.dvs.nonEmpty || new java.io.File(absPath(name, e.file)).length < minBytes)
+      if (small.size < 2 && small.forall(_.dvs.isEmpty)) return cur
+      val staged = stageWithStats(
+        readEntries(spark, name, schema, small).coalesce(targetFiles), name)
+      val keep = entries.filterNot(e => small.exists(_.file == e.file))
+      if (tryCommitManifest(name, cur + 1L, schema, keep ++ staged))
+        return cur + 1L
+      dropStaged(name, staged)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"optimizeIncremental('$name'): lost the commit race $attempt times")
+  }
+
   /** Read the live snapshot. */
   def read(spark: SparkSession, name: String): DataFrame =
     readVersion(spark, name,

@@ -78,6 +78,58 @@ object Wave9 {
       |WHERE NOT (CAST(p_size AS INT) < 10) AND NOT (p_partkey % 7 = 0)
       |GROUP BY 1 ORDER BY band""".stripMargin
 
+  // ---- sink_optimize_small: steady-state incremental compaction --------
+
+  /** The maintenance loop a streaming/upsert-fed table actually runs:
+    * three single-row commits accumulate tail files, then
+    * `optimizeIncremental` compacts ONLY those (small-file policy, 4 KiB
+    * floor) while the right-sized base file carries over by reference —
+    * REQUIREd in-query: the base file name survives and the tail
+    * collapses to one file, so a silent full rewrite fails the gate. At
+    * 100 TB this is the difference between maintenance costing the
+    * churn tail vs. rewriting the table. Read-back aggregate is the
+    * oracle (base table + the three derivable appended rows). */
+  private val sinkOptimizeSmall: Q = (s, dir) => {
+    val root = graft.engine.Fs.freshScratch(s, "optsmall")
+    val store = new graft.engine.VersionedStore(root)
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    val maxK = base.agg(max("o_orderkey")).head().getLong(0)
+    store.write(base.coalesce(1), "orders")                        // v1: one base file
+    (1 to 3).foreach { i =>
+      import s.implicits._
+      store.upsert(s, "orders",
+        Seq((maxK + i, 100.0 + i)).toDF("o_orderkey", "o_totalprice"),
+        Seq("o_orderkey"))                                         // v2..v4: tail files
+    }
+    val before = store.manifestWithStats("orders", 4L)._2
+    val baseFile = before.maxBy(e =>
+      new java.io.File(s"$root/orders/files/${e.file}").length).file
+    val v5 = store.optimizeIncremental(s, "orders", minBytes = 4096L)
+    val after = store.manifestWithStats("orders", v5)._2
+    require(after.exists(_.file == baseFile),
+      "sink_optimize_small: the right-sized base file must carry over")
+    require(after.size == 2,
+      s"sink_optimize_small: tail files must compact to one (got ${after.size})")
+    store.read(s, "orders")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("price_sum"),
+        max("o_orderkey").as("max_key"))
+  }
+
+  private val sinkOptimizeSmallOracle =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+      |extra AS (SELECT mk + t.i AS o_orderkey, CAST(100.0 + t.i AS DOUBLE) AS o_totalprice
+      |          FROM m, (VALUES (1),(2),(3)) t(i)),
+      |allr AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM orders
+      |         UNION ALL SELECT o_orderkey, o_totalprice FROM extra)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+      |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+      |FROM allr""".stripMargin
+
   // ---- search_inverted / search_phrase: inverted-index retrieval -------
 
   /** Positional posting list of the corpus: one row per (term, doc_id,
@@ -398,6 +450,7 @@ object Wave9 {
     "profile_hotkeys" -> profileHotkeys,
     "sim_topk_mmr" -> simTopkMmr,
     "sink_delete_dv" -> sinkDeleteDv,
+    "sink_optimize_small" -> sinkOptimizeSmall,
     "search_inverted" -> searchInverted,
     "search_phrase" -> searchPhrase,
     "graph_reachability" -> graphReachability
@@ -408,6 +461,7 @@ object Wave9 {
     "profile_hotkeys" -> profileHotkeysOracle,
     "sim_topk_mmr" -> simTopkMmrOracle,
     "sink_delete_dv" -> sinkDeleteDvOracle,
+    "sink_optimize_small" -> sinkOptimizeSmallOracle,
     "search_inverted" -> searchInvertedOracle,
     "search_phrase" -> searchPhraseOracle,
     "graph_reachability" -> graphReachabilityOracle

@@ -813,6 +813,34 @@ class VersionedStoreSpec extends SparkSuite {
     assert(now(11L) === "v11", "the refused upsert must leave no trace")
   }
 
+  test("optimizeIncremental compacts only small + dv-debt files; clean big files carry over") {
+    val store = freshStore()
+    // one big clean file + three tiny upsert-appended files
+    val big = spark.range(0, 5000)
+      .select($"id".as("k"), concat(lit("v"), $"id").as("v")).coalesce(1)
+    store.write(big, "t")
+    (1 to 3).foreach { i =>
+      store.upsert(spark, "t",
+        Seq((5000L + i, s"tail$i")).toDF("k", "v"), Seq("k"))
+    }
+    val before = store.manifestWithStats("t", 4L)._2
+    val bigFile = before.maxBy(e => new java.io.File(
+      s"${storeRoot(store)}/t/files/${e.file}").length).file
+    val v5 = store.optimizeIncremental(spark, "t", minBytes = 10000L)
+    val after = store.manifestWithStats("t", v5)._2
+    assert(after.exists(_.file == bigFile), "right-sized file must carry over")
+    assert(after.size === 2, "three tails must compact into one file")
+    assert(store.read(spark, "t").count() === 5003L)
+    // nothing left to do -> no new version
+    assert(store.optimizeIncremental(spark, "t", minBytes = 10000L) === v5)
+    // dv debt makes even the big file eligible, and compaction retires it
+    store.deleteMor(spark, "t", $"k" === 0L)
+    val v7 = store.optimizeIncremental(spark, "t", minBytes = 10000L)
+    val finalEntries = store.manifestWithStats("t", v7)._2
+    assert(finalEntries.forall(_.dvs.isEmpty), "compaction must retire dv debt")
+    assert(store.read(spark, "t").count() === 5002L)
+  }
+
   test("point lookup through the key index applies deletion vectors") {
     val store = freshStore()
     twoFileBase(store)
