@@ -43,7 +43,13 @@ object Probe {
       "join_dpp_prune" -> "dynamic partition pruning: runtime dynamicpruning PartitionFilter on the fact scan from the dim's broadcast (r6)",
       "corpus_temperature" -> "temperature source mixing: two source-keyed aggregations + broadcast rate table, no window (r6)",
       "text_zipf" -> "Zipf fit: ungrouped two-phase rank (balanced range shuffle, pid-local windows) + one scalar aggregate (r6)",
-      "pipeline_funnel" -> "gate-survival funnel: corpus_filter's plan + one source-keyed conditional-sum aggregation (r6)")
+      "pipeline_funnel" -> "gate-survival funnel: corpus_filter's plan + one source-keyed conditional-sum aggregation (r6)",
+      "search_inverted" -> "inverted-index AND query: pushed In(term) probe of the term-sorted posting files + ONE doc-keyed aggregation (r6)",
+      "search_phrase" -> "positional phrase search: two single-term posting pulls (pushed EqualTo) joined on (doc, pos+1) adjacency (r6)",
+      "sink_delete_dv" -> "deletion-vector read: data scan left-anti joined to the broadcast dead-position vector — no rewritten files (r6)",
+      "graph_reachability" -> "recursive CTE BFS (UnionLoop): frontier x broadcast-edges per superstep, keyed lead window builds the edge list (r6)",
+      "profile_kanonymity" -> "k-anonymity/l-diversity: one data-sized keyed pass, second aggregate on the model-sized class table (r6)",
+      "profile_hotkeys" -> "hot-key profile: key-count aggregation + broadcast scalars + TakeOrderedAndProject (r6)")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.Probe` at sf0.001 (plan shape is scale-\n")

@@ -369,6 +369,78 @@ object Wave9 {
        |SELECT CAST(rank AS INT) AS rank, vec_id, rel FROM sel8 ORDER BY rank""".stripMargin
   }
 
+  // ---- sim_ann_lsh_md5: fully hash-checked LSH ANN twin ----------------
+
+  /** Engine-portable random-hyperplane LSH: ±1 plane weights derived
+    * from md5 parity DRIVER-SIDE and inlined as identical literal
+    * arrays into the Spark plan and the generated DuckDB SQL — so the
+    * ENTIRE bucketed ANN pipeline (sign buckets → (table, bucket)
+    * candidate equi-join → exact cosine rerank → top-10) is
+    * hash-checked end to end, upgrading the xxhash LSH family's
+    * rows-only status with an oracled twin (the dedup_minhash_md5
+    * precedent). 8 tables × 4 planes over dim 64.
+    *
+    * Scale shape: identical to sim_ann_lsh — the corpus buckets once
+    * (here via zip_with/aggregate HOFs; the xxhash form's fused native
+    * expression is the production path), candidates come from a
+    * broadcast (table, bucket) equi-join, only candidate rows pay the
+    * exact cosine. The oracle's OR-of-tables candidate predicate is the
+    * same set, small-data form. */
+  private def md5Sign(t: Int, p: Int, i: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"t${t}p${p}i$i".getBytes("UTF-8"))
+    if ((h(0) & 1) == 0) 1.0 else -1.0
+  }
+  private lazy val lshW: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    (0 until 8).map(t => (0 until 4).map(p => (0 until 64).map(i => md5Sign(t, p, i))))
+
+  private val simAnnLshMd5: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    def dot(tb: Int, p: Int): Column =
+      aggregate(zip_with(col("v"), typedLit(lshW(tb)(p)), (x, y) => x * y),
+        lit(0.0), (a, x) => a + x)
+    def bucket(tb: Int): Column =
+      (0 until 4).map(p => when(dot(tb, p) >= 0, lit(1 << p)).otherwise(lit(0)))
+        .reduce(_ + _)
+    val buckets = e.select(col("vec_id"),
+      posexplode(array((0 until 8).map(bucket): _*)).as(Seq("table", "bucket")))
+    val qCells = buckets.filter(col("vec_id") === 0)
+      .select(col("table").as("qt"), col("bucket").as("qb"))
+    val candIds = buckets
+      .join(broadcast(qCells), col("table") === col("qt") && col("bucket") === col("qb"))
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id").distinct()
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.join(candIds, "vec_id").crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.Native.cosineSim(col("v"), col("qv")), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(10)
+  }
+
+  private val simAnnLshMd5Oracle: String = {
+    def arr(tb: Int, p: Int) =
+      lshW(tb)(p).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    def dotSql(tb: Int, p: Int) =
+      s"list_aggregate(list_transform(list_zip(v, ${arr(tb, p)}), x -> x[1]*x[2]), 'sum')"
+    def bSql(tb: Int) =
+      (0 until 4).map(p => s"(CASE WHEN ${dotSql(tb, p)} >= 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString(" + ")
+    val bCols = (0 until 8).map(tb => s"${bSql(tb)} AS b$tb").mkString(",\n  ")
+    val orPred = (0 until 8).map(tb => s"x.b$tb = qb.b$tb").mkString(" OR ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |b AS MATERIALIZED (SELECT vec_id,
+       |  $bCols
+       |  FROM e),
+       |qb AS (SELECT * FROM b WHERE vec_id = 0),
+       |cand AS (SELECT DISTINCT x.vec_id FROM b x, qb WHERE x.vec_id <> 0 AND ($orPred)),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id, ROUND(list_aggregate(list_transform(list_zip(v, qv), x -> x[1] * x[2]), 'sum')
+       |  / (SQRT(list_aggregate(list_transform(v, x -> x*x), 'sum')) * SQRT(list_aggregate(list_transform(qv, x -> x*x), 'sum'))), 6) AS cos
+       |FROM e JOIN cand USING (vec_id) CROSS JOIN q
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   // ---- profile_kanonymity: privacy profile of a quasi-identifier set ---
 
   /** k-anonymity / l-diversity profile (Sweeney 2002; Machanavajjhala
@@ -449,6 +521,7 @@ object Wave9 {
     "profile_kanonymity" -> profileKanonymity,
     "profile_hotkeys" -> profileHotkeys,
     "sim_topk_mmr" -> simTopkMmr,
+    "sim_ann_lsh_md5" -> simAnnLshMd5,
     "sink_delete_dv" -> sinkDeleteDv,
     "sink_optimize_small" -> sinkOptimizeSmall,
     "search_inverted" -> searchInverted,
@@ -460,6 +533,7 @@ object Wave9 {
     "profile_kanonymity" -> profileKanonymityOracle,
     "profile_hotkeys" -> profileHotkeysOracle,
     "sim_topk_mmr" -> simTopkMmrOracle,
+    "sim_ann_lsh_md5" -> simAnnLshMd5Oracle,
     "sink_delete_dv" -> sinkDeleteDvOracle,
     "sink_optimize_small" -> sinkOptimizeSmallOracle,
     "search_inverted" -> searchInvertedOracle,

@@ -15,6 +15,7 @@ cd "$(dirname "$0")/.."
 
 PLAN_SUITES=(
   graft.Wave6PlanSpec        # wave-6 operator plan contracts
+  graft.Wave9PlanSpec        # inverted-index pushed-term-filter contracts
   graft.ClusterProfileSpec   # profiler single-pass / exchange budget
   graft.BandedJoinRuleSpec   # banded-join rewrite fires + plan shape
   graft.ScaleSpec            # pushdown / broadcast / no-collect asserts
