@@ -965,6 +965,108 @@ class VersionedStore(root: String) {
       s"optimizeIncremental('$name'): lost the commit race $attempt times")
   }
 
+  // ---- manifest-stats data-skipping read -------------------------------
+
+  /** Conservative may-match of a predicate against one file's manifest
+    * stats: false ONLY when the stats PROVE no row can match. Handles
+    * And/Or and the comparison shapes Delta's data skipping handles
+    * (=, <, <=, >, >=, IN between a column and literals); anything else
+    * is conservatively true. Stats are numeric decimal strings
+    * (collectStats); unparseable stats never prune. */
+  private def mayMatch(stats: Map[String, (String, String)],
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def name(x: Expression): Option[String] = x match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
+      case a: AttributeReference => Some(a.name)
+      case c: Cast => name(c.child)
+      case _ => None
+    }
+    def bd(x: Expression): Option[BigDecimal] = x match {
+      case l: Literal if l.value != null =>
+        try Some(BigDecimal(l.value.toString)) catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+    def range(col: String): Option[(BigDecimal, BigDecimal)] =
+      stats.get(col).flatMap { case (mn, mx) =>
+        try Some((BigDecimal(mn), BigDecimal(mx)))
+        catch { case _: NumberFormatException => None }
+      }
+    def cmp(a: Expression, b: Expression)(
+        f: ((BigDecimal, BigDecimal), BigDecimal) => Boolean): Boolean =
+      (name(a), bd(b)) match {
+        case (Some(c), Some(v)) => range(c).forall(r => f(r, v))
+        case _ => true
+      }
+    def eq2(a: Expression, b: Expression) =
+      cmp(a, b) { case ((mn, mx), v) => mn <= v && v <= mx } &&
+        cmp(b, a) { case ((mn, mx), v) => mn <= v && v <= mx }
+    def lt2(a: Expression, b: Expression) =
+      cmp(a, b) { case ((mn, _), v) => mn < v } &&
+        cmp(b, a) { case ((_, mx), v) => v < mx }
+    def le2(a: Expression, b: Expression) =
+      cmp(a, b) { case ((mn, _), v) => mn <= v } &&
+        cmp(b, a) { case ((_, mx), v) => v <= mx }
+    def in2(a: Expression, list: Seq[Expression]) = name(a) match {
+      case Some(c) => range(c).forall { case (mn, mx) =>
+        list.flatMap(bd).exists(v => mn <= v && v <= mx) ||
+          list.flatMap(bd).isEmpty }
+      case None => true
+    }
+    e match {
+      // the Column DSL converts to unresolved function calls — dispatch
+      // by name (probed: and/or/</<=/>/>=/=/in)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        (f.nameParts.last.toLowerCase(java.util.Locale.ROOT), f.arguments) match {
+          case ("and", Seq(l, r)) => mayMatch(stats, l) && mayMatch(stats, r)
+          case ("or", Seq(l, r)) => mayMatch(stats, l) || mayMatch(stats, r)
+          case ("=" | "==", Seq(a, b)) => eq2(a, b)
+          case ("<", Seq(a, b)) => lt2(a, b)
+          case ("<=", Seq(a, b)) => le2(a, b)
+          case (">", Seq(a, b)) => lt2(b, a)
+          case (">=", Seq(a, b)) => le2(b, a)
+          case ("in", a +: rest) => in2(a, rest)
+          case _ => true
+        }
+      // resolved forms (predicates built programmatically)
+      case And(l, r) => mayMatch(stats, l) && mayMatch(stats, r)
+      case Or(l, r) => mayMatch(stats, l) || mayMatch(stats, r)
+      case EqualTo(a, b) => eq2(a, b)
+      case LessThan(a, b) => lt2(a, b)
+      case LessThanOrEqual(a, b) => le2(a, b)
+      case GreaterThan(a, b) => lt2(b, a)
+      case GreaterThanOrEqual(a, b) => le2(b, a)
+      case In(a, list) => in2(a, list)
+      case _ => true
+    }
+  }
+
+  /** Data-skipping read (Delta/Iceberg scan planning on the manifest):
+    * prune the snapshot's file list against `condition` using the
+    * per-file min/max stats BEFORE any file is opened — at 100 TB with
+    * millions of files this is the difference between listing/footer-
+    * probing every file and touching only the clustered slice the
+    * predicate names (pair with OPTIMIZE ZORDER so every clustered
+    * dimension prunes). The surviving files still evaluate `condition`
+    * exactly (stats pruning is conservative, never authoritative).
+    * Returns (dataframe, files scanned, files total) so callers/specs
+    * can assert the skip actually happened. */
+  def readWhereDetailed(spark: SparkSession, name: String,
+      condition: org.apache.spark.sql.Column): (DataFrame, Int, Int) = {
+    val cur = currentVersion(name).getOrElse(sys.error(s"no version for $name"))
+    val (schema, entries) = manifestWithStats(name, cur)
+    val pruned = entries.filter(e => mayMatch(e.stats,
+      org.apache.spark.sql.graftx.GraftNative.exprOf(condition)))
+    val df =
+      if (pruned.isEmpty) emptyDf(spark, schema)
+      else readEntries(spark, name, schema, pruned)
+    (df.filter(condition), pruned.size, entries.size)
+  }
+
+  def readWhere(spark: SparkSession, name: String,
+      condition: org.apache.spark.sql.Column): DataFrame =
+    readWhereDetailed(spark, name, condition)._1
+
   /** Read the live snapshot. */
   def read(spark: SparkSession, name: String): DataFrame =
     readVersion(spark, name,

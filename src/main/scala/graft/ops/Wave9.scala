@@ -130,6 +130,42 @@ object Wave9 {
       |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
       |FROM allr""".stripMargin
 
+  // ---- sink_skipping_read: manifest-stats file pruning on read ---------
+
+  /** Data-skipping read: part stored as 8 key-range-clustered files,
+    * then a key-range predicate read resolves against the MANIFEST's
+    * per-file min/max before any file opens — REQUIREd in-query to scan
+    * at most half the files, so a silent full-scan regression fails the
+    * gate. This is Delta/Iceberg scan planning: at 100 TB the
+    * predicate's file list comes from metadata, not from listing and
+    * footer-probing millions of files; ZORDER extends the same pruning
+    * to every clustered dimension. Surviving files still evaluate the
+    * predicate exactly. */
+  private val sinkSkippingRead: Q = (s, dir) => {
+    val root = graft.engine.Fs.freshScratch(s, "skip")
+    val store = new graft.engine.VersionedStore(root)
+    val base = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_size").cast("int").as("p_size"))
+    store.write(base.repartitionByRange(8, col("p_partkey")), "part")
+    val maxK = base.agg(max("p_partkey")).head().getLong(0)
+    val cut = maxK / 4
+    val (df, scanned, total) =
+      store.readWhereDetailed(s, "part", col("p_partkey") <= cut)
+    require(total == 8, s"sink_skipping_read: expected 8 files, got $total")
+    require(scanned <= total / 2,
+      s"sink_skipping_read: stats pruning must skip files ($scanned of $total scanned)")
+    df.agg(count(lit(1)).as("n"),
+      sum(col("p_partkey")).as("key_sum"),
+      sum(col("p_size").cast("long")).as("size_sum"))
+  }
+
+  private val sinkSkippingReadOracle =
+    """WITH m AS (SELECT CAST(FLOOR(MAX(p_partkey) / 4) AS BIGINT) AS cut FROM part)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(p_partkey) AS BIGINT) AS key_sum,
+      |  CAST(SUM(CAST(p_size AS INT)) AS BIGINT) AS size_sum
+      |FROM part, m WHERE p_partkey <= cut""".stripMargin
+
   // ---- search_inverted / search_phrase: inverted-index retrieval -------
 
   /** Positional posting list of the corpus: one row per (term, doc_id,
@@ -441,6 +477,66 @@ object Wave9 {
        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** Multi-probe form of the md5-plane twin (Lv et al., VLDB 2007):
+    * besides each table's exact query cell, probe the 4 radius-1 cells
+    * (one sign flip) — recall up, corpus passes unchanged: only the
+    * BROADCAST probe-cell set expands (tables × 5 cells). Same full
+    * hash-check as [[simAnnLshMd5]]; the oracle expands the candidate
+    * predicate to bucket ∈ {cell XOR mask}. */
+  private val simAnnLshMultiprobeMd5: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    def dot(tb: Int, p: Int): Column =
+      aggregate(zip_with(col("v"), typedLit(lshW(tb)(p)), (x, y) => x * y),
+        lit(0.0), (a, x) => a + x)
+    def bucket(tb: Int): Column =
+      (0 until 4).map(p => when(dot(tb, p) >= 0, lit(1 << p)).otherwise(lit(0)))
+        .reduce(_ + _)
+    val buckets = e.select(col("vec_id"),
+      posexplode(array((0 until 8).map(bucket): _*)).as(Seq("table", "bucket")))
+    val masks = 0 +: (0 until 4).map(1 << _)
+    val qCells = buckets.filter(col("vec_id") === 0)
+      .select(col("table").as("qt"),
+        explode(typedLit(masks)).as("mask"), col("bucket"))
+      .select(col("qt"), col("bucket").bitwiseXOR(col("mask")).as("qb"))
+      .distinct()
+    val candIds = buckets
+      .join(broadcast(qCells), col("table") === col("qt") && col("bucket") === col("qb"))
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id").distinct()
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.join(candIds, "vec_id").crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.Native.cosineSim(col("v"), col("qv")), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(10)
+  }
+
+  private val simAnnLshMultiprobeMd5Oracle: String = {
+    def arr(tb: Int, p: Int) =
+      lshW(tb)(p).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    def dotSql(tb: Int, p: Int) =
+      s"list_aggregate(list_transform(list_zip(v, ${arr(tb, p)}), x -> x[1]*x[2]), 'sum')"
+    def bSql(tb: Int) =
+      (0 until 4).map(p => s"(CASE WHEN ${dotSql(tb, p)} >= 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString(" + ")
+    val bCols = (0 until 8).map(tb => s"${bSql(tb)} AS b$tb").mkString(",\n  ")
+    val orPred = (0 until 8).map { tb =>
+      val cells = Seq(0, 1, 2, 4, 8).map(m => s"xor(qb.b$tb, $m)").mkString(", ")
+      s"x.b$tb IN ($cells)"
+    }.mkString(" OR ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |b AS MATERIALIZED (SELECT vec_id,
+       |  $bCols
+       |  FROM e),
+       |qb AS (SELECT * FROM b WHERE vec_id = 0),
+       |cand AS (SELECT DISTINCT x.vec_id FROM b x, qb WHERE x.vec_id <> 0 AND ($orPred)),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id, ROUND(list_aggregate(list_transform(list_zip(v, qv), x -> x[1] * x[2]), 'sum')
+       |  / (SQRT(list_aggregate(list_transform(v, x -> x*x), 'sum')) * SQRT(list_aggregate(list_transform(qv, x -> x*x), 'sum'))), 6) AS cos
+       |FROM e JOIN cand USING (vec_id) CROSS JOIN q
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   // ---- profile_kanonymity: privacy profile of a quasi-identifier set ---
 
   /** k-anonymity / l-diversity profile (Sweeney 2002; Machanavajjhala
@@ -522,8 +618,10 @@ object Wave9 {
     "profile_hotkeys" -> profileHotkeys,
     "sim_topk_mmr" -> simTopkMmr,
     "sim_ann_lsh_md5" -> simAnnLshMd5,
+    "sim_ann_lsh_multiprobe_md5" -> simAnnLshMultiprobeMd5,
     "sink_delete_dv" -> sinkDeleteDv,
     "sink_optimize_small" -> sinkOptimizeSmall,
+    "sink_skipping_read" -> sinkSkippingRead,
     "search_inverted" -> searchInverted,
     "search_phrase" -> searchPhrase,
     "graph_reachability" -> graphReachability
@@ -534,8 +632,10 @@ object Wave9 {
     "profile_hotkeys" -> profileHotkeysOracle,
     "sim_topk_mmr" -> simTopkMmrOracle,
     "sim_ann_lsh_md5" -> simAnnLshMd5Oracle,
+    "sim_ann_lsh_multiprobe_md5" -> simAnnLshMultiprobeMd5Oracle,
     "sink_delete_dv" -> sinkDeleteDvOracle,
     "sink_optimize_small" -> sinkOptimizeSmallOracle,
+    "sink_skipping_read" -> sinkSkippingReadOracle,
     "search_inverted" -> searchInvertedOracle,
     "search_phrase" -> searchPhraseOracle,
     "graph_reachability" -> graphReachabilityOracle

@@ -345,6 +345,13 @@ case class PqCode(child: Expression, codebook: Array[Array[Float]])
 
 /** Column bridge used by graft.functions.Native. */
 object GraftNative {
+  /** The catalyst expression behind a public Column (for the store's
+    * manifest-stats predicate pruning — Spark 4 hides Column.expr and
+    * ExpressionUtils wraps it lazily; the converter yields the real
+    * UnresolvedAttribute/Literal/comparison tree). */
+  def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   def simhashAgg(h: Column): Column =
     ExpressionUtils.column(
       SimhashAgg(ExpressionUtils.expression(h)).toAggregateExpression())

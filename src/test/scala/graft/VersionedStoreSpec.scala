@@ -841,6 +841,44 @@ class VersionedStoreSpec extends SparkSuite {
     assert(store.read(spark, "t").count() === 5002L)
   }
 
+  test("readWhere prunes files by manifest stats and stays exact") {
+    val store = freshStore()
+    twoFileBase(store)   // keys 0..99 / 100..199 in two range files
+    // range predicate: only the low file may match
+    val (df1, scanned1, total1) =
+      store.readWhereDetailed(spark, "t", $"k" < 50L)
+    assert(total1 === 2 && scanned1 === 1, "high-key file must be skipped")
+    assert(df1.count() === 50L)
+    // equality + IN + OR shapes
+    val (df2, scanned2, _) =
+      store.readWhereDetailed(spark, "t", $"k" === 150L)
+    assert(scanned2 === 1 && df2.count() === 1L)
+    val (df3, scanned3, _) =
+      store.readWhereDetailed(spark, "t", $"k".isin(10L, 20L))
+    assert(scanned3 === 1 && df3.count() === 2L)
+    val (df4, scanned4, _) =
+      store.readWhereDetailed(spark, "t", $"k" === 10L || $"k" === 150L)
+    assert(scanned4 === 2 && df4.count() === 2L)
+    // non-statable (string) predicate: no pruning, still exact
+    val (df5, scanned5, _) =
+      store.readWhereDetailed(spark, "t", $"v" === "v7")
+    assert(scanned5 === 2 && df5.count() === 1L)
+    // result equivalence with the unpruned filter for a mixed predicate
+    val cond = ($"k" >= 40L && $"k" <= 60L) || $"v" === "v150"
+    val a = store.readWhere(spark, "t", cond).collect().map(_.getLong(0)).sorted
+    val b = store.read(spark, "t").filter(cond).collect().map(_.getLong(0)).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("readWhere applies deletion vectors on the pruned slice") {
+    val store = freshStore()
+    twoFileBase(store)
+    store.deleteMor(spark, "t", $"k" === 10L)
+    val (df, scanned, _) = store.readWhereDetailed(spark, "t", $"k" < 50L)
+    assert(scanned === 1)
+    assert(df.count() === 49L, "dv-dead row must not resurface in a pruned read")
+  }
+
   test("point lookup through the key index applies deletion vectors") {
     val store = freshStore()
     twoFileBase(store)
