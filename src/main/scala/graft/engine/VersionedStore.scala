@@ -203,7 +203,7 @@ class VersionedStore(root: String) {
   private def collectStats(spark: SparkSession, name: String, schema: StructType,
       files: Seq[String]): Map[String, Map[String, (String, String)]] = {
     val numeric = schema.fields.filter(statable).map(_.name).toSet
-    if (numeric.isEmpty || files.isEmpty) return Map.empty
+    if (files.isEmpty) return Map.empty
     val conf = spark.sessionState.newHadoopConf()
     files.map { f =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -239,9 +239,13 @@ class VersionedStore(root: String) {
             }
           }
         }
-        f -> agg.map { case (c, (mn, mx)) =>
+        // exact file row count from the footer (Σ block rows) under the
+        // reserved "__rows" key: the substrate for metadata-only COUNT
+        // (Delta answers count(*) from the log the same way)
+        val rows = reader.getRecordCount
+        f -> (agg.map { case (c, (mn, mx)) =>
           c -> (mn.bigDecimal.toPlainString, mx.bigDecimal.toPlainString)
-        }.toMap
+        }.toMap + ("__rows" -> (rows.toString, rows.toString)))
       } finally reader.close()
     }.toMap
   }
@@ -963,6 +967,29 @@ class VersionedStore(root: String) {
     }
     throw new IllegalStateException(
       s"optimizeIncremental('$name'): lost the commit race $attempt times")
+  }
+
+  /** Metadata-only COUNT(*) of the live snapshot: Σ per-file "__rows"
+    * manifest stats minus the deletion vectors' cardinalities (each dv
+    * marks only rows that were LIVE in its base snapshot, so dv row
+    * counts are disjoint and their sum is the exact dead count; the dv
+    * footer read is metadata, not data). None when any entry predates
+    * row-count stats — caller falls back to a scan. At 100 TB this
+    * answers the most common query of all without opening one data
+    * file, exactly like Delta counting from the log. */
+  def countMeta(name: String): Option[Long] = {
+    val cur = currentVersion(name).getOrElse(sys.error(s"no version for $name"))
+    val (_, entries) = manifestWithStats(name, cur)
+    val per = entries.map(_.stats.get("__rows").flatMap(_._1.toLongOption))
+    if (per.exists(_.isEmpty)) return None
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dead = entries.flatMap(_.dvs).distinct.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(absPath(name, f)), conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+    Some(per.flatten.sum - dead)
   }
 
   // ---- manifest-stats data-skipping read -------------------------------

@@ -166,6 +166,33 @@ object Wave9 {
       |  CAST(SUM(CAST(p_size AS INT)) AS BIGINT) AS size_sum
       |FROM part, m WHERE p_partkey <= cut""".stripMargin
 
+  // ---- sink_count_meta: metadata-only COUNT(*) -------------------------
+
+  /** COUNT(*) answered from the MANIFEST: per-file row counts recorded
+    * at stage time (parquet footer sums) minus the deletion vectors'
+    * cardinalities — no data file opened, the Delta count-from-the-log
+    * shape. The query builds a store from customer, MOR-deletes one
+    * nation, and emits BOTH the metadata count and the scan count; the
+    * oracle computes the same number independently, so a drifting
+    * metadata count (or a vector miscount) hash-fails. */
+  private val sinkCountMeta: Q = (s, dir) => {
+    val root = graft.engine.Fs.freshScratch(s, "cntmeta")
+    val store = new graft.engine.VersionedStore(root)
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    store.write(base.repartitionByRange(4, col("c_custkey")), "customer")
+    store.deleteMor(s, "customer", col("c_nationkey") === 3)
+    val meta = store.countMeta("customer").getOrElse(
+      sys.error("sink_count_meta: row-count stats must exist"))
+    import s.implicits._
+    Seq((meta, store.read(s, "customer").count()))
+      .toDF("n_meta", "n_scan")
+  }
+
+  private val sinkCountMetaOracle =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_meta, CAST(COUNT(*) AS BIGINT) AS n_scan
+      |FROM customer WHERE c_nationkey <> 3""".stripMargin
+
   // ---- search_inverted / search_phrase: inverted-index retrieval -------
 
   /** Positional posting list of the corpus: one row per (term, doc_id,
@@ -622,6 +649,7 @@ object Wave9 {
     "sink_delete_dv" -> sinkDeleteDv,
     "sink_optimize_small" -> sinkOptimizeSmall,
     "sink_skipping_read" -> sinkSkippingRead,
+    "sink_count_meta" -> sinkCountMeta,
     "search_inverted" -> searchInverted,
     "search_phrase" -> searchPhrase,
     "graph_reachability" -> graphReachability
@@ -636,6 +664,7 @@ object Wave9 {
     "sink_delete_dv" -> sinkDeleteDvOracle,
     "sink_optimize_small" -> sinkOptimizeSmallOracle,
     "sink_skipping_read" -> sinkSkippingReadOracle,
+    "sink_count_meta" -> sinkCountMetaOracle,
     "search_inverted" -> searchInvertedOracle,
     "search_phrase" -> searchPhraseOracle,
     "graph_reachability" -> graphReachabilityOracle

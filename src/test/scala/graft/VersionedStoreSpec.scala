@@ -879,6 +879,25 @@ class VersionedStoreSpec extends SparkSuite {
     assert(df.count() === 49L, "dv-dead row must not resurface in a pruned read")
   }
 
+  test("countMeta answers COUNT(*) from the manifest, through upserts and MOR deletes") {
+    val store = freshStore()
+    twoFileBase(store)
+    assert(store.countMeta("t") === Some(200L))
+    store.upsert(spark, "t", Seq((500L, "new"), (10L, "upd")).toDF("k", "v"), Seq("k"))
+    assert(store.countMeta("t") === Some(201L))
+    store.deleteMor(spark, "t", $"k" < 5L)
+    assert(store.countMeta("t") === Some(196L))
+    // a second vector on the same file stays disjoint (positions are
+    // computed on the live view) - the sum subtracts exactly
+    store.deleteMor(spark, "t", $"k" < 8L)
+    assert(store.countMeta("t") === Some(193L))
+    assert(store.read(spark, "t").count() === 193L)
+    // COW delete + compaction keep the metadata count exact
+    store.delete(spark, "t", $"k" >= 190L)
+    store.optimize(spark, "t")
+    assert(store.countMeta("t") === Some(store.read(spark, "t").count()))
+  }
+
   test("point lookup through the key index applies deletion vectors") {
     val store = freshStore()
     twoFileBase(store)
