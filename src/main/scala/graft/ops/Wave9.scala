@@ -564,6 +564,73 @@ object Wave9 {
        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  // ---- timeseries_forecast: linear-trend forecast per series -----------
+
+  /** Per-event-type linear trend forecast of daily volumes, horizons
+    * +1..+3 days — the capacity-planning twin of events_anomaly: fit
+    * y = a + b·day by closed-form least squares over the daily counts,
+    * extrapolate. Determinism: every regression moment (m, Σx, Σy, Σxy,
+    * Σx²) is an EXACT BIGINT (days and counts are integers; magnitudes
+    * stay far below 2^53), so the only floating steps are one rounded
+    * division for the slope, one for the intercept, and the rounded
+    * forecast combination — identical IEEE order in both engines.
+    * Scale shape: one (type, day) keyed aggregation over the data, then
+    * all regression algebra on the model-sized daily table; the
+    * 3-horizon explode is per type. */
+  private val timeseriesForecast: Q = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long").as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("y"))
+    val sums = daily.groupBy("event_type").agg(
+      count(lit(1)).as("m"),
+      sum("d").as("sx"), sum("y").as("sy"),
+      sum(col("d") * col("y")).as("sxy"),
+      sum(col("d") * col("d")).as("sxx"),
+      max("d").as("maxd"))
+    val slope = round(
+      (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+    val fitted = sums
+      .withColumn("slope", slope)
+      .withColumn("intercept",
+        round((col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+          col("m").cast("double"), 6))
+    fitted
+      .select(col("event_type"), col("slope"), col("intercept"), col("maxd"),
+        explode(typedLit(Seq(1, 2, 3))).as("h"))
+      .select(col("event_type"), col("h"),
+        round(col("intercept") + col("slope") * (col("maxd") + col("h")).cast("double"), 6)
+          .as("forecast"))
+      .orderBy("event_type", "h")
+  }
+
+  private val timeseriesForecastOracle =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |sums AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+      |    CAST(SUM(d) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(d * y) AS BIGINT) AS sxy, CAST(SUM(d * d) AS BIGINT) AS sxx,
+      |    CAST(MAX(d) AS BIGINT) AS maxd
+      |  FROM daily GROUP BY event_type),
+      |fit AS (
+      |  SELECT event_type, maxd,
+      |    round(CAST(m * sxy - sx * sy AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE), 6) AS slope
+      |  FROM sums),
+      |fit2 AS (
+      |  SELECT f.event_type, f.maxd, f.slope,
+      |    round((CAST(s.sy AS DOUBLE) - f.slope * CAST(s.sx AS DOUBLE)) / CAST(s.m AS DOUBLE), 6) AS intercept
+      |  FROM fit f JOIN sums s ON f.event_type = s.event_type)
+      |SELECT event_type, CAST(h AS INT) AS h,
+      |  round(intercept + slope * CAST(maxd + h AS DOUBLE), 6) AS forecast
+      |FROM fit2, (VALUES (1), (2), (3)) t(h)
+      |ORDER BY event_type, h""".stripMargin
+
   // ---- profile_kanonymity: privacy profile of a quasi-identifier set ---
 
   /** k-anonymity / l-diversity profile (Sweeney 2002; Machanavajjhala
@@ -641,6 +708,7 @@ object Wave9 {
       |ORDER BY n DESC, user_id LIMIT 10""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "timeseries_forecast" -> timeseriesForecast,
     "profile_kanonymity" -> profileKanonymity,
     "profile_hotkeys" -> profileHotkeys,
     "sim_topk_mmr" -> simTopkMmr,
@@ -656,6 +724,7 @@ object Wave9 {
   )
 
   val oracles: Map[String, String] = Map(
+    "timeseries_forecast" -> timeseriesForecastOracle,
     "profile_kanonymity" -> profileKanonymityOracle,
     "profile_hotkeys" -> profileHotkeysOracle,
     "sim_topk_mmr" -> simTopkMmrOracle,
