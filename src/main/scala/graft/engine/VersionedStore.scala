@@ -763,7 +763,11 @@ class VersionedStore(root: String) {
   private def stageDv(hits: DataFrame, name: String): String = {
     val tok = newToken()
     val stageDir = new java.io.File(tdir(name), s"_stage_$tok")
-    hits.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stageDir.getAbsolutePath)
+    // repartition, NOT coalesce: coalesce(1) would propagate up the
+    // narrow lineage and serialize the whole hit-detection scan onto one
+    // task; the shuffle boundary moves only the deleted-rows-sized
+    // (file, pos) output while the scan stays cluster-wide
+    hits.repartition(1).write.mode(SaveMode.Overwrite).parquet(stageDir.getAbsolutePath)
     val fd = filesDir(name)
     fd.mkdirs()
     val part = stageDir.listFiles.toSeq
@@ -969,26 +973,39 @@ class VersionedStore(root: String) {
       s"optimizeIncremental('$name'): lost the commit race $attempt times")
   }
 
-  /** Metadata-only COUNT(*) of the live snapshot: Σ per-file "__rows"
-    * manifest stats minus the deletion vectors' cardinalities (each dv
-    * marks only rows that were LIVE in its base snapshot, so dv row
-    * counts are disjoint and their sum is the exact dead count; the dv
-    * footer read is metadata, not data). None when any entry predates
-    * row-count stats — caller falls back to a scan. At 100 TB this
-    * answers the most common query of all without opening one data
-    * file, exactly like Delta counting from the log. */
-  def countMeta(name: String): Option[Long] = {
+  /** COUNT(*) of the live snapshot without opening one DATA file: Σ
+    * per-file "__rows" manifest stats minus the dead-position count.
+    * The dead count reads the deletion vectors themselves (deleted-
+    * rows-sized — log-scale I/O, like Delta replaying DV metadata) and
+    * counts DISTINCT (file, pos) pairs restricted to positions whose
+    * data file still carries that vector: a rewrite that retired a
+    * vector on one of its files must not have that file's positions
+    * subtracted, and concurrent vectors that double-marked a position
+    * (both computed on the same base snapshot) must count it once.
+    * None when any entry predates row-count stats — caller falls back
+    * to a scan. */
+  def countMeta(spark: SparkSession, name: String): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, substring_index}
     val cur = currentVersion(name).getOrElse(sys.error(s"no version for $name"))
     val (_, entries) = manifestWithStats(name, cur)
     val per = entries.map(_.stats.get("__rows").flatMap(_._1.toLongOption))
     if (per.exists(_.isEmpty)) return None
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val dead = entries.flatMap(_.dvs).distinct.map { f =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(absPath(name, f)), conf))
-      try r.getRecordCount finally r.close()
-    }.sum
+    // dv -> the data files still referencing it in THIS snapshot
+    val refs: Map[String, Set[String]] = entries
+      .flatMap(e => e.dvs.map(_ -> e.file))
+      .groupBy(_._1).map { case (dv, fs) => dv -> fs.map(_._2).toSet }
+    val dead =
+      if (refs.isEmpty) 0L
+      else {
+        val dv = spark.read.schema(dvSchema)
+          .parquet(refs.keys.toSeq.map(absPath(name, _)): _*)
+          .withColumn("__dv", substring_index(col("_metadata.file_path"), "/", -1))
+        val refRows = refs.toSeq.flatMap { case (d, fs) => fs.map(d -> _) }
+        import spark.implicits._
+        dv.join(refRows.toDF("__dv", "__file"), Seq("__dv", "__file"), "left_semi")
+          .select("__file", "__pos").distinct()
+          .count()
+      }
     Some(per.flatten.sum - dead)
   }
 
@@ -1006,7 +1023,9 @@ class VersionedStore(root: String) {
     def name(x: Expression): Option[String] = x match {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
       case a: AttributeReference => Some(a.name)
-      case c: Cast => name(c.child)
+      // NOT unwrapped: Cast changes comparison semantics (a double file
+      // range [1.5, 1.9] proves nothing about CAST(c AS INT) = 1, which
+      // a c = 1.9 row satisfies) — a cast column is un-prunable
       case _ => None
     }
     def bd(x: Expression): Option[BigDecimal] = x match {
@@ -1035,9 +1054,13 @@ class VersionedStore(root: String) {
       cmp(a, b) { case ((mn, _), v) => mn <= v } &&
         cmp(b, a) { case ((_, mx), v) => v <= mx }
     def in2(a: Expression, list: Seq[Expression]) = name(a) match {
-      case Some(c) => range(c).forall { case (mn, mx) =>
-        list.flatMap(bd).exists(v => mn <= v && v <= mx) ||
-          list.flatMap(bd).isEmpty }
+      case Some(c) =>
+        val vals = list.map(bd)
+        // every element must be a parseable literal to prune: a dropped
+        // non-literal element could match inside the file's range
+        if (vals.exists(_.isEmpty)) true
+        else range(c).forall { case (mn, mx) =>
+          vals.flatten.exists(v => mn <= v && v <= mx) }
       case None => true
     }
     e match {

@@ -868,6 +868,17 @@ class VersionedStoreSpec extends SparkSuite {
     val a = store.readWhere(spark, "t", cond).collect().map(_.getLong(0)).sorted
     val b = store.read(spark, "t").filter(cond).collect().map(_.getLong(0)).sorted
     assert(a.toSeq === b.toSeq)
+    // conservatism: a CAST changes comparison semantics -> un-prunable.
+    // CAST(k/100 AS INT) = 1 matches k in [100,199]; pruning on raw
+    // k-stats vs 1 would wrongly drop the high file
+    val (df6, scanned6, _) = store.readWhereDetailed(spark, "t",
+      ($"k" / 100L).cast("int") === 1)
+    assert(scanned6 === 2 && df6.count() === 100L)
+    // conservatism: IN with a non-literal element is un-prunable (the
+    // column element k===k matches everywhere)
+    val (df7, scanned7, _) = store.readWhereDetailed(spark, "t",
+      $"k".isin(lit(5L), $"k"))
+    assert(scanned7 === 2 && df7.count() === 200L)
   }
 
   test("readWhere applies deletion vectors on the pruned slice") {
@@ -882,20 +893,35 @@ class VersionedStoreSpec extends SparkSuite {
   test("countMeta answers COUNT(*) from the manifest, through upserts and MOR deletes") {
     val store = freshStore()
     twoFileBase(store)
-    assert(store.countMeta("t") === Some(200L))
+    assert(store.countMeta(spark, "t") === Some(200L))
     store.upsert(spark, "t", Seq((500L, "new"), (10L, "upd")).toDF("k", "v"), Seq("k"))
-    assert(store.countMeta("t") === Some(201L))
+    assert(store.countMeta(spark, "t") === Some(201L))
     store.deleteMor(spark, "t", $"k" < 5L)
-    assert(store.countMeta("t") === Some(196L))
+    assert(store.countMeta(spark, "t") === Some(196L))
     // a second vector on the same file stays disjoint (positions are
     // computed on the live view) - the sum subtracts exactly
     store.deleteMor(spark, "t", $"k" < 8L)
-    assert(store.countMeta("t") === Some(193L))
+    assert(store.countMeta(spark, "t") === Some(193L))
     assert(store.read(spark, "t").count() === 193L)
     // COW delete + compaction keep the metadata count exact
     store.delete(spark, "t", $"k" >= 190L)
     store.optimize(spark, "t")
-    assert(store.countMeta("t") === Some(store.read(spark, "t").count()))
+    assert(store.countMeta(spark, "t") === Some(store.read(spark, "t").count()))
+  }
+
+  test("countMeta stays exact when a rewrite retires a shared dv on one of its files") {
+    val store = freshStore()
+    twoFileBase(store)
+    // ONE vector spanning both files (one dead position in each)
+    store.deleteMor(spark, "t", $"k" === 10L || $"k" === 150L)
+    assert(store.countMeta(spark, "t") === Some(198L))
+    // merge key 11 -> rewrites the low-key file THROUGH the vector and
+    // drops its dv association; the vector's low-file position must no
+    // longer be subtracted (the rewritten file already excludes it)
+    store.upsert(spark, "t", Seq((11L, "A11")).toDF("k", "v"), Seq("k"))
+    assert(store.read(spark, "t").count() === 198L)
+    assert(store.countMeta(spark, "t") === Some(198L),
+      "dv position of a retired file must not be subtracted")
   }
 
   test("point lookup through the key index applies deletion vectors") {
