@@ -819,6 +819,7 @@ class VersionedStore(root: String) {
       new java.io.File(absPath(name, dvFile)).delete()
       return cur
     }
+    beforeCommitHook()
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val head = currentVersion(name).get

@@ -130,6 +130,61 @@ object Wave9 {
       |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
       |FROM allr""".stripMargin
 
+  // ---- sink_replicate: CDF-driven downstream replication ---------------
+
+  /** The CDC consumer pattern end to end: a replica table stays in sync
+    * with a source by reading the source's file-diff change feed and
+    * applying it — upserts for insert/update keys (rows pulled from the
+    * source head by a churn-sized semi-join), a merge-on-read delete
+    * for vanished keys. The net-change diff (changes v1→head) makes a
+    * key inserted then deleted inside the window correctly produce NO
+    * work. In-query REQUIRE: replica ≡ source after sync (symmetric
+    * difference empty), so a drifting replica fails the gate before the
+    * hash compare does. At 100 TB the replication cost is the churn
+    * (file-diff pruned CDF + churn-keyed merge), never the table. */
+  private val sinkReplicate: Q = (s, dir) => {
+    val root = graft.engine.Fs.freshScratch(s, "repl")
+    val store = new graft.engine.VersionedStore(root)
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    store.write(base, "src")                                     // v1
+    store.write(base, "replica")                                 // synced @ v1
+    val shift = base.agg(max("c_custkey")).head().getLong(0) + 1L
+    store.upsert(s, "src",                                       // v2: inserts
+      base.filter(col("c_mktsegment") === "BUILDING")
+        .withColumn("c_custkey", col("c_custkey") + lit(shift)),
+      Seq("c_custkey"))
+    store.delete(s, "src", col("c_nationkey") === 3)             // v3: deletes
+    // net change feed v1 -> head (insert-then-delete collapses to nothing)
+    val ch = store.changes(s, "src", 1L, store.currentVersion("src").get,
+      Seq("c_custkey"))
+    val upKeys = ch.filter(col("change_type") =!= "delete").select("c_custkey")
+    store.upsert(s, "replica",
+      store.read(s, "src").join(upKeys, Seq("c_custkey"), "left_semi"),
+      Seq("c_custkey"))
+    val delKeys = ch.filter(col("change_type") === "delete")
+      .select("c_custkey").collect().map(_.getLong(0))           // churn-sized
+    if (delKeys.nonEmpty)
+      store.deleteMor(s, "replica", col("c_custkey").isin(delKeys: _*))
+    val (a, b) = (store.read(s, "replica"), store.read(s, "src"))
+    require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "sink_replicate: replica diverged from source after CDC sync")
+    a.agg(count(lit(1)).as("n"), sum("c_custkey").as("key_sum"),
+      countDistinct("c_nationkey").as("n_nations"))
+  }
+
+  private val sinkReplicateOracle =
+    """WITH m AS (SELECT MAX(c_custkey) + 1 AS shift FROM customer),
+      |final AS (
+      |  SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey <> 3
+      |  UNION ALL
+      |  SELECT c_custkey + shift, c_nationkey FROM customer, m
+      |  WHERE c_mktsegment = 'BUILDING' AND c_nationkey <> 3)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+      |  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+      |FROM final""".stripMargin
+
   // ---- sink_skipping_read: manifest-stats file pruning on read ---------
 
   /** Data-skipping read: part stored as 8 key-range-clustered files,
@@ -687,6 +742,7 @@ object Wave9 {
     "sink_optimize_small" -> sinkOptimizeSmall,
     "sink_skipping_read" -> sinkSkippingRead,
     "sink_count_meta" -> sinkCountMeta,
+    "sink_replicate" -> sinkReplicate,
     "search_inverted" -> searchInverted,
     "search_phrase" -> searchPhrase,
     "graph_reachability" -> graphReachability
@@ -703,6 +759,7 @@ object Wave9 {
     "sink_optimize_small" -> sinkOptimizeSmallOracle,
     "sink_skipping_read" -> sinkSkippingReadOracle,
     "sink_count_meta" -> sinkCountMetaOracle,
+    "sink_replicate" -> sinkReplicateOracle,
     "search_inverted" -> searchInvertedOracle,
     "search_phrase" -> searchPhraseOracle,
     "graph_reachability" -> graphReachabilityOracle

@@ -924,6 +924,27 @@ class VersionedStoreSpec extends SparkSuite {
       "dv position of a retired file must not be subtracted")
   }
 
+  test("concurrent MOR deletes on the same file union their vectors (both stand)") {
+    val store = freshStore()
+    twoFileBase(store)
+    // B's MOR delete commits in the window between A staging its vector
+    // and A's commit — A must lose v2, rebase onto B's entry (which
+    // already carries B's vector), and commit the UNION as v3
+    store.beforeCommitHook = () => {
+      store.beforeCommitHook = () => ()
+      val vB = store.deleteMor(spark, "t", $"k" === 11L)
+      assert(vB === 2L)
+    }
+    val vA = store.deleteMor(spark, "t", $"k" === 10L)
+    assert(vA === 3L, "A must rebase onto B's head")
+    val entries = store.manifestWithStats("t", 3L)._2
+    assert(entries.exists(_.dvs.size === 2),
+      "the shared file must carry BOTH writers' vectors")
+    val now = asMap(store)
+    assert(!now.contains(10L) && !now.contains(11L) && now.size === 198)
+    assert(store.countMeta(spark, "t") === Some(198L))
+  }
+
   test("point lookup through the key index applies deletion vectors") {
     val store = freshStore()
     twoFileBase(store)
