@@ -655,6 +655,63 @@ object Wave9 {
       |FROM fit2, (VALUES (1), (2), (3)) t(h)
       |ORDER BY event_type, h""".stripMargin
 
+  // ---- split_leakage: train/test contamination audit -------------------
+
+  /** Split-leakage audit over corpus_split's content-hash partition: a
+    * fingerprint (exact doc_hash, or near-dup min-shingle hash) that
+    * appears in MORE THAN ONE split is evaluation contamination. The
+    * content-hash split makes exact-duplicate leakage structurally
+    * impossible (identical text → identical bucket → identical split) —
+    * the audit PROVES that property rather than assuming it
+    * (exact_leaked_fps is computed, not hardcoded) — while near-dup
+    * leakage (one shared shingle fingerprint across splits) remains
+    * possible and is the number an eval owner must stare down. One
+    * narrow map + two fingerprint-keyed aggregations; at 100 TB the
+    * leak table is duplicate-cluster-sized, never corpus-sized. */
+  private val splitLeakage: Q = (s, dir) => {
+    val bucket = Hashing.md5Bucket(col("text").cast("binary"), 100)
+    val tk = toks(col("text"))
+    val shingles = transform(sequence(lit(0), greatest(size(tk) - 3, lit(0))),
+      i => concat_ws(" ", slice(tk, i + 1, lit(3))))
+    val b = t(s, dir, "documents").select(
+      col("doc_id"),
+      when(bucket <= 97, "train").when(bucket === 98, "val")
+        .otherwise("test").as("split"),
+      md5(col("text").cast("binary")).as("doc_hash"),
+      array_min(transform(shingles, sh => LlmPipeline.h15(0, sh))).as("fp"))
+    def leaks(key: String) = b.groupBy(col(key))
+      .agg(countDistinct("split").as("ns"), count(lit(1)).as("nd"))
+      .filter(col("ns") > 1)
+      .agg(count(lit(1)).as(s"${key}_leaked_fps"),
+        coalesce(sum("nd"), lit(0L)).as(s"${key}_leaked_docs"))
+    b.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(leaks("doc_hash"))
+      .crossJoin(leaks("fp"))
+  }
+
+  private val splitLeakageOracle =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    CASE WHEN CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 <= 97 THEN 'train'
+       |         WHEN CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 = 98 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    md5(text) AS doc_hash,
+       |    list_min(list_transform(
+       |      list_transform(range(0, greatest(len(toks)-2, 1)), i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])),
+       |      sh -> CAST(concat('0x', substr(md5(concat('0#', sh)), 1, 15)) AS BIGINT))) AS fp
+       |  FROM (SELECT doc_id, text, $duckToks AS toks FROM documents)),
+       |dh AS (SELECT CAST(COUNT(*) AS BIGINT) AS doc_hash_leaked_fps,
+       |         CAST(COALESCE(SUM(nd), 0) AS BIGINT) AS doc_hash_leaked_docs
+       |       FROM (SELECT doc_hash, COUNT(DISTINCT split) AS ns, COUNT(*) AS nd
+       |             FROM b GROUP BY doc_hash) WHERE ns > 1),
+       |fh AS (SELECT CAST(COUNT(*) AS BIGINT) AS fp_leaked_fps,
+       |         CAST(COALESCE(SUM(nd), 0) AS BIGINT) AS fp_leaked_docs
+       |       FROM (SELECT fp, COUNT(DISTINCT split) AS ns, COUNT(*) AS nd
+       |             FROM b GROUP BY fp) WHERE ns > 1)
+       |SELECT CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_docs,
+       |  doc_hash_leaked_fps, doc_hash_leaked_docs, fp_leaked_fps, fp_leaked_docs
+       |FROM dh, fh""".stripMargin
+
   // ---- profile_kanonymity: privacy profile of a quasi-identifier set ---
 
   /** k-anonymity / l-diversity profile (Sweeney 2002; Machanavajjhala
@@ -733,6 +790,7 @@ object Wave9 {
 
   val queries: Map[String, Q] = Map(
     "timeseries_forecast" -> timeseriesForecast,
+    "split_leakage" -> splitLeakage,
     "profile_kanonymity" -> profileKanonymity,
     "profile_hotkeys" -> profileHotkeys,
     "sim_topk_mmr" -> simTopkMmr,
@@ -750,6 +808,7 @@ object Wave9 {
 
   val oracles: Map[String, String] = Map(
     "timeseries_forecast" -> timeseriesForecastOracle,
+    "split_leakage" -> splitLeakageOracle,
     "profile_kanonymity" -> profileKanonymityOracle,
     "profile_hotkeys" -> profileHotkeysOracle,
     "sim_topk_mmr" -> simTopkMmrOracle,
