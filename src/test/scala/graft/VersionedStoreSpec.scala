@@ -945,6 +945,20 @@ class VersionedStoreSpec extends SparkSuite {
     assert(store.countMeta(spark, "t") === Some(198L))
   }
 
+  test("predicate pushdown survives the deletion-vector anti-join read") {
+    val store = freshStore()
+    twoFileBase(store)
+    store.deleteMor(spark, "t", $"k" === 10L)
+    val df = store.read(spark, "t").filter($"k" < 50L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the filter must reach the parquet scan UNDER the anti-join, not
+    // evaluate post-join - at 100 TB that is the difference between
+    // scanning the slice and scanning the table
+    assert(plan.contains("PushedFilters: [IsNotNull(k), LessThan(k,50)"),
+      plan.take(2000))
+  }
+
   test("point lookup through the key index applies deletion vectors") {
     val store = freshStore()
     twoFileBase(store)
