@@ -588,6 +588,94 @@ object Wave9 {
   private val simAnnLshMultiprobeMd5Oracle: String =
     lshMd5Oracle(0 +: (0 until 4).map(1 << _))
 
+  // ---- events_pattern: consecutive-sequence detection ------------------
+
+  /** MATCH_RECOGNIZE-lite: detect the exact CONSECUTIVE event sequence
+    * view → click → purchase inside each user's event_id-ordered stream
+    * (funnel answers "eventually", this answers "immediately next" —
+    * the strict-adjacency pattern engines sell as MATCH_RECOGNIZE).
+    * Implementation is two keyed lags + one predicate: the pattern
+    * window is (user)-keyed, so a hot user costs its own stream length,
+    * never a global sort; match counting is one aggregation. */
+  private val eventsPattern: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("p1", lag("event_type", 1).over(w))
+      .withColumn("p2", lag("event_type", 2).over(w))
+      .filter(col("p2") === "view" && col("p1") === "click" &&
+        col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_matches"), min("event_id").as("first_match"))
+      .orderBy("user_id")
+  }
+
+  private val eventsPatternOracle =
+    """WITH p AS (
+      |  SELECT user_id, event_id, event_type,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS p1,
+      |    LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS p2
+      |  FROM events)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+      |  CAST(MIN(event_id) AS BIGINT) AS first_match
+      |FROM p
+      |WHERE p2 = 'view' AND p1 = 'click' AND event_type = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- profile_benford: first-digit distribution audit -----------------
+
+  /** Benford first-significant-digit audit of the value column per
+    * event type: observed digit shares vs the Benford expectation
+    * log10(1 + 1/d) — the classic fabricated-data / unit-mixing smell
+    * test a profiler runs on monetary columns. One narrow map (first
+    * digit via string math on the absolute value) + one (type, digit)
+    * aggregation; the chi-square-style statistic combines on the
+    * 9-rows-per-type model-sized table. Determinism: digit counts are
+    * integers; expected shares are the 9 rounded constants; the
+    * statistic sums 6-rounded addends in DECIMAL. */
+  private val profileBenford: Q = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    val digit = substring(regexp_replace(
+      format_number(abs(col("value")), 10), "[0.,]", ""), 1, 1).cast("int")
+    val counts = t(s, dir, "events")
+      .filter(col("value") =!= 0.0)
+      .select(col("event_type"), digit.as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy("event_type").agg(sum("n").as("tot"))
+    val exp9 = (1 to 9).map(d =>
+      (d, BigDecimal(math.log10(1.0 + 1.0 / d)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+    val expDf = inline(typedLit(exp9)).as(Seq("d_e", "p_exp"))
+    counts.join(tot, "event_type")
+      .select(col("event_type"), col("d"), col("n"), col("tot"), expDf)
+      .filter(col("d") === col("d_e"))
+      .withColumn("p_obs", round(col("n").cast("double") / col("tot"), 6))
+      .withColumn("dev",
+        round(pow(col("p_obs") - col("p_exp"), 2) / col("p_exp"), 6)
+          .cast(DecimalType(18, 6)))
+      .groupBy("event_type")
+      .agg(sum("n").as("n_values"),
+        sum("dev").cast("double").as("benford_stat"))
+      .orderBy("event_type")
+  }
+
+  private val profileBenfordOracle =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(substr(regexp_replace(format('{:.10f}', abs(value)), '[0.,]', '', 'g'), 1, 1) AS INT) AS d,
+      |    COUNT(*) AS n
+      |  FROM events WHERE value <> 0.0 GROUP BY 1, 2),
+      |t AS (SELECT event_type, SUM(n) AS tot FROM c GROUP BY event_type),
+      |e AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS d_e,
+      |             unnest([0.30103,0.176091,0.124939,0.09691,0.079181,0.066947,0.057992,0.051153,0.045757]) AS p_exp),
+      |j AS (SELECT c.event_type, c.n,
+      |        round(CAST(c.n AS DOUBLE) / t.tot, 6) AS p_obs, e.p_exp
+      |      FROM c JOIN t USING (event_type) JOIN e ON c.d = e.d_e)
+      |SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_values,
+      |  CAST(SUM(CAST(round(pow(p_obs - p_exp, 2) / p_exp, 6) AS DECIMAL(18,6))) AS DOUBLE) AS benford_stat
+      |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- timeseries_forecast: linear-trend forecast per series -----------
 
   /** Per-event-type linear trend forecast of daily volumes, horizons
@@ -789,6 +877,8 @@ object Wave9 {
       |ORDER BY n DESC, user_id LIMIT 10""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "events_pattern" -> eventsPattern,
+    "profile_benford" -> profileBenford,
     "timeseries_forecast" -> timeseriesForecast,
     "split_leakage" -> splitLeakage,
     "profile_kanonymity" -> profileKanonymity,
@@ -807,6 +897,8 @@ object Wave9 {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_pattern" -> eventsPatternOracle,
+    "profile_benford" -> profileBenfordOracle,
     "timeseries_forecast" -> timeseriesForecastOracle,
     "split_leakage" -> splitLeakageOracle,
     "profile_kanonymity" -> profileKanonymityOracle,
