@@ -32,4 +32,19 @@ object Hashing {
   /** Uniform residue bucket in [0, mod). */
   def md5Bucket(bin: Column, mod: Int): Column =
     pmod(md5Long(bin), lit(mod))
+
+  /** THE content-hash train/val/test assignment (98/1/1 over the text's
+    * md5 residue) — single definition shared by corpus_split and
+    * split_leakage so the audited partition can never drift from the
+    * produced one. */
+  def splitOf(text: Column): Column = {
+    val bucket = md5Bucket(text.cast("binary"), 100)
+    when(bucket <= 97, "train").when(bucket === 98, "val").otherwise("test")
+  }
+
+  /** DuckDB twin of [[splitOf]], shared by the same two oracles. */
+  val duckSplitCase: String =
+    """CASE WHEN CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 <= 97 THEN 'train'
+      |         WHEN CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 = 98 THEN 'val'
+      |         ELSE 'test' END""".stripMargin
 }

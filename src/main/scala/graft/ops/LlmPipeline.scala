@@ -446,20 +446,26 @@ object LlmPipeline {
     .orderBy("doc_id")
   }
 
+  /** Min-shingle near-dup fingerprint of a text column — shared by
+    * text_fingerprint and split_leakage so both audit the SAME
+    * fingerprint definition. */
+  def minShingleFp(text: Column): Column = {
+    val toks = tokens(text)
+    val shingles = transform(sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(3))))
+    array_min(transform(shingles, sh => h15(0, sh)))
+  }
+
   /** Document fingerprint: full-text content address (md5) + min-shingle
     * fingerprint — fully oracle-checked with the portable h15 hash
     * (production swaps h15 → xxhash64 for speed; identical plan: one
     * narrow map, no shuffle). */
-  private val textFingerprint: Q = (s, dir) => {
-    val toks = tokens(col("text"))
-    val shingles = transform(sequence(lit(0), greatest(size(toks) - 3, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(3))))
+  private val textFingerprint: Q = (s, dir) =>
     docs(s, dir).select(
       col("doc_id"),
       md5(col("text").cast("binary")).as("doc_hash"),
-      array_min(transform(shingles, sh => h15(0, sh))).as("min_shingle_hash"))
+      minShingleFp(col("text")).as("min_shingle_hash"))
     .orderBy("doc_id")
-  }
 
   /** Multimodal column plumbing (oracle-checked half): opaque binary
     * payload + typed metadata. The decode stub lives in

@@ -670,23 +670,18 @@ object Wave6 {
     * the reported per-split volumes are the budget sheet a training run
     * starts from.
     */
-  private val corpusSplit: Q = (s, dir) => {
-    val bucket = Hashing.md5Bucket(col("text").cast("binary"), 100)
+  private val corpusSplit: Q = (s, dir) =>
     t(s, dir, "documents")
       .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tok"),
-        when(bucket <= 97, "train").when(bucket === 98, "val")
-          .otherwise("test").as("split"))
+        Hashing.splitOf(col("text")).as("split"))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_total"))
       .orderBy("split")
-  }
 
   private val corpusSplitOracle =
     s"""WITH b AS (
        |  SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tok,
-       |    CASE WHEN CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 <= 97 THEN 'train'
-       |         WHEN CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 = 98 THEN 'val'
-       |         ELSE 'test' END AS split
+       |    ${Hashing.duckSplitCase} AS split
        |  FROM documents)
        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(n_tok) AS BIGINT) AS tok_total

@@ -155,17 +155,22 @@ object Wave9 {
         .withColumn("c_custkey", col("c_custkey") + lit(shift)),
       Seq("c_custkey"))
     store.delete(s, "src", col("c_nationkey") === 3)             // v3: deletes
-    // net change feed v1 -> head (insert-then-delete collapses to nothing)
+    // net change feed v1 -> head (insert-then-delete collapses to
+    // nothing); persisted so the upsert's semi-join and the delete-key
+    // collect pay the file-diff join ONCE
     val ch = store.changes(s, "src", 1L, store.currentVersion("src").get,
       Seq("c_custkey"))
-    val upKeys = ch.filter(col("change_type") =!= "delete").select("c_custkey")
-    store.upsert(s, "replica",
-      store.read(s, "src").join(upKeys, Seq("c_custkey"), "left_semi"),
-      Seq("c_custkey"))
-    val delKeys = ch.filter(col("change_type") === "delete")
-      .select("c_custkey").collect().map(_.getLong(0))           // churn-sized
-    if (delKeys.nonEmpty)
-      store.deleteMor(s, "replica", col("c_custkey").isin(delKeys: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val upKeys = ch.filter(col("change_type") =!= "delete").select("c_custkey")
+      store.upsert(s, "replica",
+        store.read(s, "src").join(upKeys, Seq("c_custkey"), "left_semi"),
+        Seq("c_custkey"))
+      val delKeys = ch.filter(col("change_type") === "delete")
+        .select("c_custkey").collect().map(_.getLong(0))         // churn-sized
+      if (delKeys.nonEmpty)
+        store.deleteMor(s, "replica", col("c_custkey").isin(delKeys: _*))
+    } finally { ch.unpersist(); () }
     val (a, b) = (store.read(s, "replica"), store.read(s, "src"))
     require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "sink_replicate: replica diverged from source after CDC sync")
@@ -639,7 +644,11 @@ object Wave9 {
     val digit = substring(regexp_replace(
       format_number(abs(col("value")), 10), "[0.,]", ""), 1, 1).cast("int")
     val counts = t(s, dir, "events")
-      .filter(col("value") =!= 0.0)
+      // magnitude floor, not just nonzero: below 5e-11 the 10-decimal
+      // rendering rounds to all zeros and the digit extraction yields
+      // NULL in Spark but a hard cast error in DuckDB — the guard keeps
+      // both engines on the same row set
+      .filter(abs(col("value")) >= 1e-9)
       .select(col("event_type"), digit.as("d"))
       .groupBy("event_type", "d").agg(count(lit(1)).as("n"))
     val tot = counts.groupBy("event_type").agg(sum("n").as("tot"))
@@ -665,7 +674,7 @@ object Wave9 {
       |  SELECT event_type,
       |    CAST(substr(regexp_replace(format('{:.10f}', abs(value)), '[0.,]', '', 'g'), 1, 1) AS INT) AS d,
       |    COUNT(*) AS n
-      |  FROM events WHERE value <> 0.0 GROUP BY 1, 2),
+      |  FROM events WHERE abs(value) >= 1e-9 GROUP BY 1, 2),
       |t AS (SELECT event_type, SUM(n) AS tot FROM c GROUP BY event_type),
       |e AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS d_e,
       |             unnest([0.30103,0.176091,0.124939,0.09691,0.079181,0.066947,0.057992,0.051153,0.045757]) AS p_exp),
@@ -753,36 +762,39 @@ object Wave9 {
     * the audit PROVES that property rather than assuming it
     * (exact_leaked_fps is computed, not hardcoded) — while near-dup
     * leakage (one shared shingle fingerprint across splits) remains
-    * possible and is the number an eval owner must stare down. One
-    * narrow map + two fingerprint-keyed aggregations; at 100 TB the
-    * leak table is duplicate-cluster-sized, never corpus-sized. */
+    * possible and is the number an eval owner must stare down. Two
+    * fingerprint-keyed corpus passes (one per fingerprint kind), the
+    * doc count riding the first for free; at 100 TB the leak table is
+    * duplicate-cluster-sized, never corpus-sized. */
   private val splitLeakage: Q = (s, dir) => {
-    val bucket = Hashing.md5Bucket(col("text").cast("binary"), 100)
-    val tk = toks(col("text"))
-    val shingles = transform(sequence(lit(0), greatest(size(tk) - 3, lit(0))),
-      i => concat_ws(" ", slice(tk, i + 1, lit(3))))
+    // split assignment and fingerprints come from the SHARED definitions
+    // (Hashing.splitOf, LlmPipeline.minShingleFp) so the audited
+    // partition can never drift from the produced one
     val b = t(s, dir, "documents").select(
       col("doc_id"),
-      when(bucket <= 97, "train").when(bucket === 98, "val")
-        .otherwise("test").as("split"),
+      Hashing.splitOf(col("text")).as("split"),
       md5(col("text").cast("binary")).as("doc_hash"),
-      array_min(transform(shingles, sh => LlmPipeline.h15(0, sh))).as("fp"))
-    def leaks(key: String) = b.groupBy(col(key))
+      LlmPipeline.minShingleFp(col("text")).as("fp"))
+    // two corpus scans total (one per fingerprint key); n_docs rides the
+    // doc_hash grouping for free instead of a third scan
+    def grouped(key: String) = b.groupBy(col(key))
       .agg(countDistinct("split").as("ns"), count(lit(1)).as("nd"))
-      .filter(col("ns") > 1)
-      .agg(count(lit(1)).as(s"${key}_leaked_fps"),
-        coalesce(sum("nd"), lit(0L)).as(s"${key}_leaked_docs"))
-    b.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(leaks("doc_hash"))
-      .crossJoin(leaks("fp"))
+    val hashAgg = grouped("doc_hash").agg(
+      sum("nd").as("n_docs"),
+      count(when(col("ns") > 1, 1)).as("doc_hash_leaked_fps"),
+      coalesce(sum(when(col("ns") > 1, col("nd"))), lit(0L))
+        .as("doc_hash_leaked_docs"))
+    val fpAgg = grouped("fp").agg(
+      count(when(col("ns") > 1, 1)).as("fp_leaked_fps"),
+      coalesce(sum(when(col("ns") > 1, col("nd"))), lit(0L))
+        .as("fp_leaked_docs"))
+    hashAgg.crossJoin(fpAgg)
   }
 
   private val splitLeakageOracle =
     s"""WITH b AS (
        |  SELECT doc_id,
-       |    CASE WHEN CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 <= 97 THEN 'train'
-       |         WHEN CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 = 98 THEN 'val'
-       |         ELSE 'test' END AS split,
+       |    ${Hashing.duckSplitCase} AS split,
        |    md5(text) AS doc_hash,
        |    list_min(list_transform(
        |      list_transform(range(0, greatest(len(toks)-2, 1)), i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])),
