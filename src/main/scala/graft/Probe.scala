@@ -49,7 +49,12 @@ object Probe {
       "sink_delete_dv" -> "deletion-vector read: data scan left-anti joined to the broadcast dead-position vector — no rewritten files (r6)",
       "graph_reachability" -> "recursive CTE BFS (UnionLoop): frontier x broadcast-edges per superstep, keyed lead window builds the edge list (r6)",
       "profile_kanonymity" -> "k-anonymity/l-diversity: one data-sized keyed pass, second aggregate on the model-sized class table (r6)",
-      "profile_hotkeys" -> "hot-key profile: key-count aggregation + broadcast scalars + TakeOrderedAndProject (r6)")
+      "profile_hotkeys" -> "hot-key profile: key-count aggregation + broadcast scalars + TakeOrderedAndProject (r6)",
+      "events_pattern" -> "strict-adjacency sequence match: two user-keyed lags + predicate, one aggregation (r6)",
+      "profile_benford" -> "Benford first-digit audit: narrow digit map + (type, digit) aggregation, statistic on the model-sized digit table (r6)",
+      "split_leakage" -> "train/test leakage audit: two fingerprint-keyed corpus passes, leak table duplicate-cluster-sized (r6)",
+      "timeseries_forecast" -> "linear-trend forecast: one (type, day) aggregation, regression algebra on the model-sized daily table (r6)",
+      "sim_ann_lsh_md5" -> "md5-plane LSH ANN: literal-plane sign buckets, broadcast (table,bucket) candidate join, exact rerank (r6)")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.Probe` at sf0.001 (plan shape is scale-\n")
