@@ -39,7 +39,8 @@ object SparkEntry {
     ops.Ivf.queries ++
     ops.Pq.queries ++
     ops.Bpe.queries ++
-    ops.Wave9.queries
+    ops.Wave9.queries ++
+    ops.Wave10.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -66,5 +67,6 @@ object SparkEntry {
     ops.Ivf.oracles ++
     ops.Pq.oracles ++
     ops.Bpe.oracles ++
-    ops.Wave9.oracles
+    ops.Wave9.oracles ++
+    ops.Wave10.oracles
 }

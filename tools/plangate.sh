@@ -20,6 +20,7 @@ PLAN_SUITES=(
   graft.BandedJoinRuleSpec   # banded-join rewrite fires + plan shape
   graft.ScaleSpec            # pushdown / broadcast / no-collect asserts
   graft.BehaviorSpec         # event-pipeline single-exchange shapes
+  graft.Wave10Spec           # KS kernel plan + CMS error contract
 )
 
 if [[ "${1:-}" == "--full" ]]; then
