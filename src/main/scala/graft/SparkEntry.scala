@@ -40,7 +40,8 @@ object SparkEntry {
     ops.Pq.queries ++
     ops.Bpe.queries ++
     ops.Wave9.queries ++
-    ops.Wave10.queries
+    ops.Wave10.queries ++
+    ops.Wave11.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -68,5 +69,6 @@ object SparkEntry {
     ops.Pq.oracles ++
     ops.Bpe.oracles ++
     ops.Wave9.oracles ++
-    ops.Wave10.oracles
+    ops.Wave10.oracles ++
+    ops.Wave11.oracles
 }

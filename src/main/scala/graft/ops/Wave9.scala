@@ -522,8 +522,23 @@ object Wave9 {
       .digest(s"t${t}p${p}i$i".getBytes("UTF-8"))
     if ((h(0) & 1) == 0) 1.0 else -1.0
   }
-  private lazy val lshW: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+  /** The engine-portable ±1 plane bank (8 tables × 4 planes × dim 64),
+    * shared with Wave11's ANN-quality evaluator so the evaluated index
+    * is EXACTLY the shipped one. */
+  private[ops] lazy val lshW: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
     (0 until 8).map(t => (0 until 4).map(p => (0 until 64).map(i => md5Sign(t, p, i))))
+
+  /** DuckDB SQL for table `tb`'s 4-bit sign bucket of list column `v` —
+    * the literal-inlined twin of the Spark bucket expression (shared
+    * with Wave11's evaluator oracle). */
+  private[ops] def duckBucketSql(tb: Int): String = {
+    def arr(p: Int) =
+      lshW(tb)(p).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    def dotSql(p: Int) =
+      s"list_aggregate(list_transform(list_zip(v, ${arr(p)}), x -> x[1]*x[2]), 'sum')"
+    (0 until 4).map(p => s"(CASE WHEN ${dotSql(p)} >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+  }
 
   /** Shared md5-plane ANN pipeline: sign-bucket the corpus over the 8x4
     * inlined-literal planes, expand the query's cells by the XOR
@@ -564,14 +579,7 @@ object Wave9 {
     * = per-table bucket membership in the query cell's XOR-mask
     * expansion (xor(b, 0) = b covers the single-probe case). */
   private def lshMd5Oracle(masks: Seq[Int]): String = {
-    def arr(tb: Int, p: Int) =
-      lshW(tb)(p).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-    def dotSql(tb: Int, p: Int) =
-      s"list_aggregate(list_transform(list_zip(v, ${arr(tb, p)}), x -> x[1]*x[2]), 'sum')"
-    def bSql(tb: Int) =
-      (0 until 4).map(p => s"(CASE WHEN ${dotSql(tb, p)} >= 0 THEN ${1 << p} ELSE 0 END)")
-        .mkString(" + ")
-    val bCols = (0 until 8).map(tb => s"${bSql(tb)} AS b$tb").mkString(",\n  ")
+    val bCols = (0 until 8).map(tb => s"${duckBucketSql(tb)} AS b$tb").mkString(",\n  ")
     val orPred = (0 until 8).map { tb =>
       val cells = masks.map(m => s"xor(qb.b$tb, $m)").mkString(", ")
       s"x.b$tb IN ($cells)"

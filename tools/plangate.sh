@@ -21,6 +21,7 @@ PLAN_SUITES=(
   graft.ScaleSpec            # pushdown / broadcast / no-collect asserts
   graft.BehaviorSpec         # event-pipeline single-exchange shapes
   graft.Wave10Spec           # KS kernel plan + CMS error contract
+  graft.Wave11Spec           # AQE skew-split contract + ANN metric sanity
 )
 
 if [[ "${1:-}" == "--full" ]]; then
