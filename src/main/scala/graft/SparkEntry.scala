@@ -41,7 +41,8 @@ object SparkEntry {
     ops.Bpe.queries ++
     ops.Wave9.queries ++
     ops.Wave10.queries ++
-    ops.Wave11.queries
+    ops.Wave11.queries ++
+    ops.Wave12.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -70,5 +71,6 @@ object SparkEntry {
     ops.Bpe.oracles ++
     ops.Wave9.oracles ++
     ops.Wave10.oracles ++
-    ops.Wave11.oracles
+    ops.Wave11.oracles ++
+    ops.Wave12.oracles
 }
