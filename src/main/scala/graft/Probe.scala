@@ -38,6 +38,10 @@ object Probe {
       "quality_classifier" -> "Naive Bayes distillation: training is ONE aggregation (model-sized shuffle state), model re-joined broadcast for scoring (r6)",
       "corpus_dsir" -> "DSIR importance resampling: vocab-sized LM count tables + scalar totals broadcast, narrow accept map (r6)",
       "text_bigram_lp" -> "bigram LM: pairs from a pure narrow array map (no window), tfidf-class linear shape (r6)",
+      "pipeline_e2e" -> "end-to-end curation funnel: gate joins + md5-keyed dedup agg + budget sheet, digest-width shuffle keys (r6)",
+      "profile_ks" -> "exact two-sample KS: packed (n1,n2) word through ONE two-phase prefix-sum pass, int64 numerator (r6)",
+      "join_skew_aqe" -> "AQE skew-join split of the hot partition (skew=true), dim materialized so the rule pattern matches (r6)",
+      "eval_ann" -> "ANN recall/nDCG evaluator: broadcast query set, bucket-candidate cosine only, inlined-literal discounts (r6)",
       "flagship_snowflake_join" -> "TPC-H Q5 shape: date range pushed to the orders scan, multi-hop broadcast dims, partial agg under the exchange (r6)",
       "join_bucketed" -> "co-bucketed join: zero exchanges — the write-time clustering is the shuffle (r6)",
       "join_dpp_prune" -> "dynamic partition pruning: runtime dynamicpruning PartitionFilter on the fact scan from the dim's broadcast (r6)",
