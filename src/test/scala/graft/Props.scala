@@ -194,3 +194,24 @@ object ChunkStrideProps extends Properties("chunk-stride") {
       chunkSizes(len).dropRight(1).forall(_ == W)
     }
 }
+
+/** The packed-count invariant behind profile_ks's single prefix pass:
+  * both half-counts ride one 64-bit word (n1·2^32 + n2) through the sum
+  * aggregate, and the halves decode exactly as long as each TOTAL stays
+  * below 2^32 — addition never carries across the split, so ONE
+  * two-phase prefix sum yields both cumulative ECDFs. */
+object KsPackProps extends Properties("kspack") {
+  private val B = 4294967296L // 2^32
+  private val half = Gen.chooseNum(0L, (1L << 31) - 1)
+
+  property("pack/unpack roundtrip") = forAll(half, half) { (n1, n2) =>
+    val pk = n1 * B + n2
+    Math.floorDiv(pk, B) == n1 && Math.floorMod(pk, B) == n2
+  }
+
+  property("componentwise sums are carry-free below the 2^32 halves bound") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(0L, 1000L), Gen.chooseNum(0L, 1000L)))) { xs =>
+      val s = xs.map { case (a, b) => a * B + b }.sum
+      Math.floorDiv(s, B) == xs.map(_._1).sum && Math.floorMod(s, B) == xs.map(_._2).sum
+    }
+}
