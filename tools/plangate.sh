@@ -22,6 +22,7 @@ PLAN_SUITES=(
   graft.BehaviorSpec         # event-pipeline single-exchange shapes
   graft.Wave10Spec           # KS kernel plan + CMS error contract
   graft.Wave11Spec           # AQE skew-split contract + ANN metric sanity
+  graft.Wave14Spec           # FD verdicts + packing mass conservation
 )
 
 if [[ "${1:-}" == "--full" ]]; then
