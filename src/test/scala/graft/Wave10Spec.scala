@@ -68,6 +68,30 @@ class Wave10Spec extends SparkSuite {
     assert(rows.forall(_.getBoolean(3)), "CMS overshot the eps*N cap")
   }
 
+  test("sketch_countmin: half-corpus sketches merge to the full-corpus sketch") {
+    import graft.engine.Tables
+    import org.apache.spark.util.sketch.CountMinSketch
+    val tok = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+        x => x =!= "")).as("w"))
+    def sketchOf(df: org.apache.spark.sql.DataFrame): CountMinSketch = {
+      val bytes = df.agg(expr("count_min_sketch(w, 0.001d, 0.99d, 42)"))
+        .head.getAs[Array[Byte]](0)
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    }
+    val full = sketchOf(tok)
+    val even = sketchOf(tok.filter(col("doc_id") % 2 === 0))
+    val odd = sketchOf(tok.filter(col("doc_id") % 2 =!= 0))
+    val merged = even.mergeInPlace(odd)
+    assert(merged.totalCount === full.totalCount)
+    val probes = tok.groupBy("w").count().orderBy(desc("count"), asc("w"))
+      .limit(16).collect().map(_.getString(0))
+    probes.foreach { w =>
+      assert(merged.estimateCount(w) === full.estimateCount(w),
+        s"merge changed the estimate for '$w'")
+    }
+  }
+
   test("text_heaps: monotone growth, final decile covers the whole corpus") {
     import graft.engine.Tables
     val rows = SparkEntry.queries("text_heaps")(spark, sf)
