@@ -45,7 +45,8 @@ object SparkEntry {
     ops.Wave12.queries ++
     ops.Wave13.queries ++
     ops.Wave14.queries ++
-    ops.Wave15.queries
+    ops.Wave15.queries ++
+    ops.Wave16.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -78,5 +79,6 @@ object SparkEntry {
     ops.Wave12.oracles ++
     ops.Wave13.oracles ++
     ops.Wave14.oracles ++
-    ops.Wave15.oracles
+    ops.Wave15.oracles ++
+    ops.Wave16.oracles
 }
