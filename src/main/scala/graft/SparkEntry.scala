@@ -47,7 +47,8 @@ object SparkEntry {
     ops.Wave14.queries ++
     ops.Wave15.queries ++
     ops.Wave16.queries ++
-    ops.Wave17.queries
+    ops.Wave17.queries ++
+    ops.Wave18.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -82,5 +83,6 @@ object SparkEntry {
     ops.Wave14.oracles ++
     ops.Wave15.oracles ++
     ops.Wave16.oracles ++
-    ops.Wave17.oracles
+    ops.Wave17.oracles ++
+    ops.Wave18.oracles
 }

@@ -78,6 +78,32 @@ object Merge {
     }
     t.join(srf, cond, "full_outer").select(cols.toIndexedSeq: _*)
   }
+
+  /** Delta's three-clause MERGE in one pass:
+    * WHEN MATCHED AND deleteWhen THEN DELETE /
+    * WHEN MATCHED THEN UPDATE SET * /
+    * WHEN NOT MATCHED AND NOT deleteWhen THEN INSERT *.
+    * `deleteWhen` is resolved against the SOURCE side (the CDC
+    * convention: the feed carries an op flag the target never stores);
+    * a delete arriving for an absent key is a no-op, matching Delta.
+    * Only the target's columns survive, so source-only flag columns
+    * never reach the table. */
+  def conditional(target: DataFrame, source: DataFrame, keys: Seq[String],
+      deleteWhen: DataFrame => org.apache.spark.sql.Column): DataFrame = {
+    val t = target.withColumn("__t_exists", lit(true))
+    val srf = source.withColumn("__s_exists", lit(true))
+    val cond = keys.map(k => t(k) === srf(k)).reduce(_ && _)
+    // isNotNull is two-valued, so unmatched target rows (null source
+    // side) evaluate del = false && ... = false and always survive
+    val sExists = srf("__s_exists").isNotNull
+    val del = sExists && coalesce(deleteWhen(srf), lit(false))
+    val cols = target.columns.map { c =>
+      when(sExists, srf(c)).otherwise(t(c)).as(c)
+    }
+    t.join(srf, cond, "full_outer")
+      .filter(!del)
+      .select(cols.toIndexedSeq: _*)
+  }
 }
 
 /** Parquet-backed store rooted at a directory; table = subdirectory. */

@@ -498,6 +498,27 @@ class VersionedStore(root: String) {
       keys: Seq[String], evolveSchema: Boolean = false): Long =
     upsertTxn(spark, name, source, keys, evolveSchema, None)
 
+  /** Delta's three-clause MERGE as ONE atomic commit:
+    * WHEN MATCHED AND deleteWhen THEN DELETE / WHEN MATCHED THEN UPDATE
+    * SET * / WHEN NOT MATCHED AND NOT deleteWhen THEN INSERT * — the
+    * CDC-apply shape (the source is a feed carrying an op flag;
+    * `deleteWhen` resolves against the source side, so the flag column
+    * never reaches the table). Rides the ENTIRE upsert machinery
+    * unchanged: stats-pruned hit-file detection (a delete-flagged key's
+    * file is a hit like any other — it rewrites without that row),
+    * CHECK validation, and the optimistic rebase/conflict commit loop.
+    * The target must exist (MERGE into nothing is a bug, matching
+    * Delta's error), and schema evolution composes with updates only,
+    * not with a flag-carrying delete feed. */
+  def merge(spark: SparkSession, name: String, source: DataFrame,
+      keys: Seq[String],
+      deleteWhen: DataFrame => org.apache.spark.sql.Column): Long = {
+    require(currentVersion(name).isDefined,
+      s"merge('$name'): target table does not exist")
+    upsertTxn(spark, name, source, keys, evolveSchema = false, None,
+      Some(deleteWhen))
+  }
+
   /** Exactly-once MERGE for streaming micro-batches (Delta's `txn`
     * action): each named writer's highest committed batch id is recorded
     * in the manifest, atomically with the commit. A (writerId, batchId)
@@ -553,7 +574,8 @@ class VersionedStore(root: String) {
 
   private def upsertTxn(spark: SparkSession, name: String, rawSource: DataFrame,
       keys: Seq[String], evolveSchema: Boolean,
-      addTxn: Option[(String, Long)]): Long =
+      addTxn: Option[(String, Long)],
+      deleteWhen: Option[DataFrame => org.apache.spark.sql.Column] = None): Long =
     currentVersion(name) match {
       case None =>
         val staged = stageWithStats(rawSource, name)
@@ -563,7 +585,7 @@ class VersionedStore(root: String) {
           // lost the CREATE race — the table exists now; this writer's
           // output must MERGE against it like any other upsert
           dropStaged(name, staged)
-          upsertTxn(spark, name, rawSource, keys, evolveSchema, addTxn)
+          upsertTxn(spark, name, rawSource, keys, evolveSchema, addTxn, deleteWhen)
         }
       case Some(cur) =>
         import org.apache.spark.sql.functions.col
@@ -611,7 +633,11 @@ class VersionedStore(root: String) {
                 source.schema.fields.filterNot(f => tSchema.fieldNames.contains(f.name))
               (align(rewriteTarget, all), align(source, all), StructType(all))
             }
-          val staged = stageWithStats(Merge.upsert(mTarget, mSource, keys), name)
+          val merged = deleteWhen match {
+            case Some(dw) => Merge.conditional(mTarget, mSource, keys, dw)
+            case None => Merge.upsert(mTarget, mSource, keys)
+          }
+          val staged = stageWithStats(merged, name)
           // CHECK constraints vet the staged merge output (carried rows
           // were vetted when they entered or by addCheck's declaration
           // scan, so only churn-sized files pay the pass); a violation
