@@ -48,7 +48,8 @@ object SparkEntry {
     ops.Wave15.queries ++
     ops.Wave16.queries ++
     ops.Wave17.queries ++
-    ops.Wave18.queries
+    ops.Wave18.queries ++
+    ops.Wave19.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -84,5 +85,6 @@ object SparkEntry {
     ops.Wave15.oracles ++
     ops.Wave16.oracles ++
     ops.Wave17.oracles ++
-    ops.Wave18.oracles
+    ops.Wave18.oracles ++
+    ops.Wave19.oracles
 }
