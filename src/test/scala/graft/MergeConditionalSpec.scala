@@ -50,6 +50,30 @@ class MergeConditionalSpec extends SparkSuite {
     assert(store.history("t") === Seq(1L, 2L))
   }
 
+  test("randomized model equivalence: merge matches the reference map semantics") {
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 5).foreach { trial =>
+      val store = freshStore()
+      val baseKeys = (0L to 30L).filter(_ => rnd.nextBoolean())
+      val base = baseKeys.map(k => (k, rnd.nextInt(1000).toDouble))
+      store.write(base.toDF("k", "v"), "t")
+      val feedKeys = rnd.shuffle((0L to 40L).toList).take(15)
+      val feed = feedKeys.map(k =>
+        (k, rnd.nextInt(1000).toDouble, if (rnd.nextInt(3) == 0) "D" else "U"))
+      store.merge(spark, "t", feed.toDF("k", "v", "op"), Seq("k"),
+        f => f("op") === "D")
+      // reference model: map update with conditional removal
+      val model = scala.collection.mutable.Map(base.map(r => r._1 -> r._2): _*)
+      feed.foreach {
+        case (k, _, "D") => model.remove(k)
+        case (k, v, _) => model(k) = v
+      }
+      val got = store.read(spark, "t").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got === model.toMap, s"trial $trial diverged")
+    }
+  }
+
   test("merge into a missing table refuses") {
     val store = freshStore()
     val feed = Seq((1L, "x")).toDF("k", "name")
