@@ -42,6 +42,9 @@ object Probe {
       "profile_ks" -> "exact two-sample KS: packed (n1,n2) word through ONE two-phase prefix-sum pass, int64 numerator (r6)",
       "join_skew_aqe" -> "AQE skew-join split of the hot partition (skew=true), dim materialized so the rule pattern matches (r6)",
       "eval_ann" -> "ANN recall/nDCG evaluator: broadcast query set, bucket-candidate cosine only, inlined-literal discounts (r6)",
+      "join_asof_tolerance" -> "merge_asof with max-lookback tolerance: the band predicate bounds as-of join fan-out (r6)",
+      "corpus_interleave" -> "round-robin multi-source training order: two-phase per-source rank + broadcast source index, no global sort (r6)",
+      "profile_outliers" -> "Tukey IQR fences: model-sized quartile aggregate broadcast back, one conditional-count pass (r6)",
       "flagship_snowflake_join" -> "TPC-H Q5 shape: date range pushed to the orders scan, multi-hop broadcast dims, partial agg under the exchange (r6)",
       "join_bucketed" -> "co-bucketed join: zero exchanges — the write-time clustering is the shuffle (r6)",
       "join_dpp_prune" -> "dynamic partition pruning: runtime dynamicpruning PartitionFilter on the fact scan from the dim's broadcast (r6)",

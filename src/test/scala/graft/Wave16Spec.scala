@@ -31,7 +31,9 @@ class Wave16Spec extends SparkSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getLong(rows.head.fieldIndex("n_versions")) === 3L))
     import graft.engine.Tables
-    val e = Tables.load(spark, sf, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val e = Tables.load(spark, sf, "events")
+      .filter(pmod(col("event_id"), lit(4)) === 0)
+      .select(col("event_id"), col("user_id"), col("ts"))
     val o = Tables.load(spark, sf, "orders").select(col("o_custkey"), col("o_orderdate"))
     val batch = ops.Wave16.asofTolerance(e, o)
       .groupBy("user_id")
