@@ -89,16 +89,27 @@ object Merge {
     * Only the target's columns survive, so source-only flag columns
     * never reach the table. */
   def conditional(target: DataFrame, source: DataFrame, keys: Seq[String],
-      deleteWhen: DataFrame => org.apache.spark.sql.Column): DataFrame = {
+      deleteWhen: DataFrame => org.apache.spark.sql.Column,
+      updateWhen: Option[(DataFrame, DataFrame) => org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     val t = target.withColumn("__t_exists", lit(true))
     val srf = source.withColumn("__s_exists", lit(true))
     val cond = keys.map(k => t(k) === srf(k)).reduce(_ && _)
     // isNotNull is two-valued, so unmatched target rows (null source
     // side) evaluate del = false && ... = false and always survive
     val sExists = srf("__s_exists").isNotNull
+    val tExists = t("__t_exists").isNotNull
     val del = sExists && coalesce(deleteWhen(srf), lit(false))
+    // guarded update (WHEN MATCHED AND cond THEN UPDATE, else keep):
+    // the out-of-order-CDC idiom — e.g. (target, source) => source
+    // version newer than target's. May read BOTH sides. Inserts are
+    // never guarded (an unmatched source row has no target to keep).
+    val upd = updateWhen
+      .map(f => coalesce(f(t, srf), lit(false)))
+      .getOrElse(lit(true))
+    val takeSource = sExists && (!tExists || upd)
     val cols = target.columns.map { c =>
-      when(sExists, srf(c)).otherwise(t(c)).as(c)
+      when(takeSource, srf(c)).otherwise(t(c)).as(c)
     }
     t.join(srf, cond, "full_outer")
       .filter(!del)

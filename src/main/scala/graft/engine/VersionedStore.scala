@@ -512,11 +512,13 @@ class VersionedStore(root: String) {
     * not with a flag-carrying delete feed. */
   def merge(spark: SparkSession, name: String, source: DataFrame,
       keys: Seq[String],
-      deleteWhen: DataFrame => org.apache.spark.sql.Column): Long = {
+      deleteWhen: DataFrame => org.apache.spark.sql.Column,
+      updateWhen: Option[(DataFrame, DataFrame) => org.apache.spark.sql.Column]
+        = None): Long = {
     require(currentVersion(name).isDefined,
       s"merge('$name'): target table does not exist")
     upsertTxn(spark, name, source, keys, evolveSchema = false, None,
-      Some(deleteWhen))
+      Some(deleteWhen), updateWhen)
   }
 
   /** Exactly-once MERGE for streaming micro-batches (Delta's `txn`
@@ -575,7 +577,9 @@ class VersionedStore(root: String) {
   private def upsertTxn(spark: SparkSession, name: String, rawSource: DataFrame,
       keys: Seq[String], evolveSchema: Boolean,
       addTxn: Option[(String, Long)],
-      deleteWhen: Option[DataFrame => org.apache.spark.sql.Column] = None): Long =
+      deleteWhen: Option[DataFrame => org.apache.spark.sql.Column] = None,
+      updateWhen: Option[(DataFrame, DataFrame) => org.apache.spark.sql.Column]
+        = None): Long =
     currentVersion(name) match {
       case None =>
         val staged = stageWithStats(rawSource, name)
@@ -585,7 +589,8 @@ class VersionedStore(root: String) {
           // lost the CREATE race — the table exists now; this writer's
           // output must MERGE against it like any other upsert
           dropStaged(name, staged)
-          upsertTxn(spark, name, rawSource, keys, evolveSchema, addTxn, deleteWhen)
+          upsertTxn(spark, name, rawSource, keys, evolveSchema, addTxn,
+            deleteWhen, updateWhen)
         }
       case Some(cur) =>
         import org.apache.spark.sql.functions.col
@@ -634,7 +639,7 @@ class VersionedStore(root: String) {
               (align(rewriteTarget, all), align(source, all), StructType(all))
             }
           val merged = deleteWhen match {
-            case Some(dw) => Merge.conditional(mTarget, mSource, keys, dw)
+            case Some(dw) => Merge.conditional(mTarget, mSource, keys, dw, updateWhen)
             case None => Merge.upsert(mTarget, mSource, keys)
           }
           val staged = stageWithStats(merged, name)

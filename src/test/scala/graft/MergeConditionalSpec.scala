@@ -74,6 +74,23 @@ class MergeConditionalSpec extends SparkSuite {
     }
   }
 
+  test("guarded update: stale rows are dropped on the floor, replay is idempotent") {
+    val store = freshStore()
+    store.write(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), "t")
+    val feed = Seq((1L, 15.0), (2L, 5.0)).toDF("k", "v") // fresh, stale
+    def applyFeed() = store.merge(spark, "t", feed, Seq("k"),
+      deleteWhen = _ => lit(false),
+      updateWhen = Some((t, s) => s("v") > t("v")))
+    applyFeed()
+    val out1 = store.read(spark, "t").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out1 === Seq((1L, 15.0), (2L, 20.0)))
+    applyFeed() // replaying the same old feed must change nothing
+    val out2 = store.read(spark, "t").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out2 === out1)
+  }
+
   test("merge into a missing table refuses") {
     val store = freshStore()
     val feed = Seq((1L, "x")).toDF("k", "name")
