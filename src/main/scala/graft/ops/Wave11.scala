@@ -59,7 +59,14 @@ object Wave11 {
     * evaluator costs one corpus bucketing pass + one brute-force pass
     * over the (sampled) query set: exactly what "measure recall before
     * you trust the index" costs on any engine. */
-  private val evalAnn: Q = (s, dir) => {
+  /** Shared batched-ANN pipeline: (corpus table, broadcast NQ-row
+    * query set, one corpus bucketing pass, broadcast probe-cell join,
+    * exact cosine on candidates only, bounded two-phase top-K).
+    * Returns (qs, scored, cand, ann): the query set, the brute-force
+    * scores, the candidate pairs and the ANN top-K with ranks — reused
+    * by eval_ann (metrics) and sim_ann_batch (the served results). */
+  private[ops] def annPipeline(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
     val qs = e.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -68,9 +75,6 @@ object Wave11 {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(graft.functions.Native.cosineSim(col("v"), col("qv")), 6).as("cos"))
-    val truth = Ranks.perGroupTopK(scored, Seq("qid"),
-      Seq(desc("cos"), asc("vec_id")), K)
-      .select(col("qid"), col("vec_id"), lit(1).as("rel"))
     // ANN side: the shipped md5-plane bucket bank (Wave9.lshW)
     def dot(tb: Int, p: Int): Column =
       aggregate(zip_with(col("v"), typedLit(Wave9.lshW(tb)(p)), (x, y) => x * y),
@@ -94,9 +98,17 @@ object Wave11 {
       .join(broadcast(qs), "qid")
       .select(col("qid"), col("vec_id"),
         round(graft.functions.Native.cosineSim(col("v"), col("qv")), 6).as("cos"))
-    val nCand = cand.groupBy("qid").agg(count(lit(1)).as("n_cand"))
     val ann = Ranks.perGroupTopK(annScored, Seq("qid"),
       Seq(desc("cos"), asc("vec_id")), K)
+    (qs, scored, cand, ann)
+  }
+
+  private val evalAnn: Q = (s, dir) => {
+    val (_, scored, cand, ann) = annPipeline(s, dir)
+    val truth = Ranks.perGroupTopK(scored, Seq("qid"),
+      Seq(desc("cos"), asc("vec_id")), K)
+      .select(col("qid"), col("vec_id"), lit(1).as("rel"))
+    val nCand = cand.groupBy("qid").agg(count(lit(1)).as("n_cand"))
     // metrics: inlined-literal rank discounts, decimal-summed DCG
     val disc = typedLit(discounts.map(_.toString)) // decimal-exact strings
     val hit = ann.join(truth, Seq("qid", "vec_id"), "left")
@@ -117,15 +129,16 @@ object Wave11 {
       .orderBy("qid")
   }
 
-  private def evalAnnOracle: String = {
+  /** Shared oracle CTE chain (e → q → scored → b → qb → cand → ann) —
+    * the SQL twin of [[annPipeline]], reused by both oracles. */
+  private def annCtes: String = {
     val bCols = (0 until 8).map(tb => s"${Wave9.duckBucketSql(tb)} AS b$tb")
       .mkString(",\n  ")
     val orPred = (0 until 8).map { tb =>
       val cells = Masks.map(m => s"xor(qb.b$tb, $m)").mkString(", ")
       s"x.b$tb IN ($cells)"
     }.mkString(" OR ")
-    val discList = discounts.map(_.toString).mkString("[", ", ", "]")
-    s"""WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NQ),
@@ -135,23 +148,28 @@ object Wave11 {
        |      / (SQRT(list_aggregate(list_transform(v, x -> x*x), 'sum'))
        |         * SQRT(list_aggregate(list_transform(qv, x -> x*x), 'sum'))), 6) AS cos
        |  FROM e, q WHERE e.vec_id <> q.qid),
-       |truth AS (
-       |  SELECT qid, vec_id FROM (
-       |    SELECT qid, vec_id,
-       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
-       |    FROM scored) WHERE rn <= $K),
        |b AS MATERIALIZED (SELECT vec_id, $bCols FROM e),
        |qb AS (SELECT * FROM b WHERE vec_id < $NQ),
        |cand AS (
        |  SELECT DISTINCT qb.vec_id AS qid, x.vec_id
        |  FROM b x, qb WHERE x.vec_id <> qb.vec_id AND ($orPred)),
-       |ncand AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY qid),
        |ann AS (
-       |  SELECT qid, vec_id, rn FROM (
-       |    SELECT s.qid, s.vec_id,
+       |  SELECT qid, vec_id, cos, rn FROM (
+       |    SELECT s.qid, s.vec_id, s.cos,
        |      row_number() OVER (PARTITION BY s.qid ORDER BY s.cos DESC, s.vec_id) AS rn
        |    FROM scored s JOIN cand c ON s.qid = c.qid AND s.vec_id = c.vec_id)
-       |  WHERE rn <= $K),
+       |  WHERE rn <= $K)""".stripMargin
+  }
+
+  private def evalAnnOracle: String = {
+    val discList = discounts.map(_.toString).mkString("[", ", ", "]")
+    s"""WITH $annCtes,
+       |truth AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |    FROM scored) WHERE rn <= $K),
+       |ncand AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY qid),
        |hit AS (
        |  SELECT a.qid,
        |    CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS rel,
@@ -166,6 +184,27 @@ object Wave11 {
        |FROM hit h JOIN ncand n USING (qid)
        |GROUP BY h.qid, n.n_cand ORDER BY qid""".stripMargin
   }
+
+  // ---- sim_ann_batch: batched ANN serving -----------------------------
+
+  /** Batched ANN serving: the multi-probe md5-plane index answering a
+    * BATCH of queries in one plan — the offline-inference shape
+    * (retrieval for a whole eval set / dedup candidate wave), versus
+    * sim_ann_lsh_md5's single-query form. One corpus bucketing pass
+    * amortizes across all queries; probe cells join broadcast; only
+    * candidates pay the exact cosine; per-query top-K is the bounded
+    * two-phase rank. Fully hash-checked (the md5 plane bank), serving
+    * the (qid, neighbor, cos, rank) table eval_ann grades. */
+  private val simAnnBatch: Q = (s, dir) => {
+    val (_, _, _, ann) = annPipeline(s, dir)
+    ann.select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  private def simAnnBatchOracle: String =
+    s"""WITH $annCtes
+       |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn
+       |FROM ann ORDER BY qid, rn""".stripMargin
 
   // ---- join_skew_aqe: hot-key join under AQE skew splitting ------------
 
@@ -252,9 +291,11 @@ object Wave11 {
 
   val queries: Map[String, Q] = Map(
     "eval_ann" -> evalAnn,
+    "sim_ann_batch" -> simAnnBatch,
     "join_skew_aqe" -> joinSkewAqe)
 
   val oracles: Map[String, String] = Map(
     "eval_ann" -> evalAnnOracle,
+    "sim_ann_batch" -> simAnnBatchOracle,
     "join_skew_aqe" -> joinSkewAqeOracle)
 }
