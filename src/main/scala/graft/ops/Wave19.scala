@@ -91,10 +91,65 @@ object Wave19 {
        |FROM c""".stripMargin
   }
 
+  // ---- eval_split_balance ---------------------------------------------
+
+  /** Representativeness audit of the content-hash train/val/test split
+    * (split_leakage's counterpart: that one proves no leakage, this one
+    * proves no BIAS): chi-squared of source composition per split
+    * against the corpus marginal. A content-hash split should be
+    * source-blind — large chi2_part flags a split a model would see as
+    * a domain shift. Same one-pass contingency plan as profile_chisq;
+    * the split column is the SHARED [[Hashing.splitOf]] definition, so
+    * the audited assignment can never drift from the produced one. */
+  private val evalSplitBalance: Q = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    val d = graft.engine.Tables.load(s, dir, "documents")
+      .select(Hashing.splitOf(col("text")).as("split"), col("source"))
+    val cells = d.groupBy("split", "source").agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("split").agg(sum("o").as("rt"))
+    val colTot = cells.groupBy("source").agg(sum("o").as("ct"))
+    val n = cells.agg(sum("o").as("n"))
+    cells
+      .join(broadcast(rowTot), "split")
+      .join(broadcast(colTot), "source")
+      .crossJoin(broadcast(n))
+      .select(col("split"),
+        round(
+          pow(col("o").cast("double") -
+            (col("rt") * col("ct")).cast("double") / col("n").cast("double"), 2)
+            / ((col("rt") * col("ct")).cast("double") / col("n").cast("double")),
+          9).cast(DecimalType(18, 9)).as("addend"))
+      .groupBy("split")
+      .agg(round(sum("addend").cast("double"), 6).as("chi2_part"),
+        count(lit(1)).as("n_cells"))
+      .orderBy("split")
+  }
+
+  private val evalSplitBalanceOracle =
+    s"""WITH d AS (
+       |  SELECT ${Hashing.duckSplitCase} AS split, source FROM documents),
+       |cells AS (
+       |  SELECT split, source, CAST(count(*) AS BIGINT) AS o
+       |  FROM d GROUP BY 1, 2),
+       |rt AS (SELECT split, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+       |ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+       |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+       |SELECT c.split,
+       |  round(CAST(SUM(CAST(round(
+       |    POW(CAST(c.o AS DOUBLE) - CAST(r.rt * t.ct AS DOUBLE) / CAST(n.n AS DOUBLE), 2)
+       |      / (CAST(r.rt * t.ct AS DOUBLE) / CAST(n.n AS DOUBLE)), 9)
+       |    AS DECIMAL(18,9))) AS DOUBLE), 6) AS chi2_part,
+       |  CAST(count(*) AS BIGINT) AS n_cells
+       |FROM cells c JOIN rt r USING (split) JOIN ct t USING (source)
+       |CROSS JOIN n
+       |GROUP BY c.split ORDER BY split""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "eval_langid_confusion" -> evalLangidConfusion,
-    "eval_classifier_confusion" -> evalClassifierConfusion)
+    "eval_classifier_confusion" -> evalClassifierConfusion,
+    "eval_split_balance" -> evalSplitBalance)
   val oracles: Map[String, String] = Map(
     "eval_langid_confusion" -> evalLangidConfusionOracle,
-    "eval_classifier_confusion" -> evalClassifierConfusionOracle)
+    "eval_classifier_confusion" -> evalClassifierConfusionOracle,
+    "eval_split_balance" -> evalSplitBalanceOracle)
 }

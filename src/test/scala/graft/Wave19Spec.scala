@@ -17,6 +17,17 @@ class Wave19Spec extends SparkSuite {
     }
   }
 
+  test("eval_split_balance: one row per split, chi2 non-negative, cells bounded by sources") {
+    val rows = SparkEntry.queries("eval_split_balance")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    val nSources = graft.engine.Tables.load(spark, sf, "documents")
+      .select("source").distinct().count()
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("chi2_part")) >= 0.0)
+      assert(r.getLong(r.fieldIndex("n_cells")) <= nSources)
+    }
+  }
+
   test("eval_classifier_confusion: quadrants partition the corpus; F1 consistent") {
     val r = SparkEntry.queries("eval_classifier_confusion")(spark, sf).head()
     val (tp, fp, tn, fn) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
