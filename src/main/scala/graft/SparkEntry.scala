@@ -49,7 +49,8 @@ object SparkEntry {
     ops.Wave16.queries ++
     ops.Wave17.queries ++
     ops.Wave18.queries ++
-    ops.Wave19.queries
+    ops.Wave19.queries ++
+    ops.Wave20.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -86,5 +87,6 @@ object SparkEntry {
     ops.Wave16.oracles ++
     ops.Wave17.oracles ++
     ops.Wave18.oracles ++
-    ops.Wave19.oracles
+    ops.Wave19.oracles ++
+    ops.Wave20.oracles
 }
