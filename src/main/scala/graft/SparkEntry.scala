@@ -50,7 +50,9 @@ object SparkEntry {
     ops.Wave17.queries ++
     ops.Wave18.queries ++
     ops.Wave19.queries ++
-    ops.Wave20.queries
+    ops.Wave20.queries ++
+    ops.Temporal.queries ++
+    ops.Wave21.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -88,5 +90,7 @@ object SparkEntry {
     ops.Wave17.oracles ++
     ops.Wave18.oracles ++
     ops.Wave19.oracles ++
-    ops.Wave20.oracles
+    ops.Wave20.oracles ++
+    ops.Temporal.oracles ++
+    ops.Wave21.oracles
 }

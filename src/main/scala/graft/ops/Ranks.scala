@@ -74,6 +74,64 @@ object Ranks {
     twoPhase(df, group, order, value, sumCol, None, partitions,
       maxOffsetEntries)._1
 
+  /** Adds `minCol` = the inclusive running MINIMUM of `value` within
+    * each group under `order` — `MIN(value) OVER (PARTITION BY group
+    * ORDER BY order ROWS UNBOUNDED PRECEDING)` without the per-group
+    * window task. Running min is associative, so the prefix-sum
+    * two-phase scheme transfers verbatim: per-(partition, group) MINs
+    * collect to the driver (model-sized), each partition's exclusive
+    * prefix offset is the min of the same group's mins in lower range
+    * partitions (identity = Long.MaxValue when none), and the result is
+    * `least(offset, local running min)`. `value` must be non-null
+    * integral. The kernel behind CUSUM drift (cum − prefix-min(cum))
+    * and max-drawdown (prefix-max via negation). */
+  def perGroupPrefixMin(df: DataFrame, group: Seq[String], order: Seq[Column],
+      value: Column, minCol: String, partitions: Int,
+      maxOffsetEntries: Int = MaxOffsetEntries): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val fullOrder = group.map(col) ++ order
+    val ranged = df.repartitionByRange(partitions, fullOrder: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", value.cast("long"))
+    val pinned = ranged.localCheckpoint()
+    val keyCols = col("__pid") +: group.map(col)
+    val mins = pinned.groupBy(keyCols: _*).agg(min("__v").as("__m"))
+      .limit(maxOffsetEntries + 1).collect()
+    require(mins.length <= maxOffsetEntries,
+      s"Ranks.perGroupPrefixMin: (partition x group) offset table exceeds " +
+        s"$maxOffsetEntries entries - the group key ${group.mkString(",")} " +
+        "is not driver-bounded; use a window form or coarser key")
+    val keyOf: Row => Seq[Any] = r => group.indices.map(i => r.get(1 + i))
+    val byGroup = mins.groupBy(keyOf)
+    val offRows = mins.map { r =>
+      val k = keyOf(r)
+      val pid = r.getInt(0)
+      val lower = byGroup(k).filter(_.getInt(0) < pid)
+        .map(_.getLong(r.length - 1))
+      val off = if (lower.isEmpty) Long.MaxValue else lower.min
+      Row.fromSeq(r.toSeq.init :+ off)
+    }
+    val offSchema = StructType(
+      pinned.select(keyCols: _*).schema.fields :+
+        StructField("__off", LongType, nullable = false))
+    val offDf = pinned.sparkSession.createDataFrame(
+      java.util.Arrays.asList(offRows: _*), offSchema)
+    val local = min(col("__v")).over(
+      Window.partitionBy(keyCols: _*).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val ogCols = group.indices.map(i => s"__og$i")
+    val offAliased = offDf.toDF(("__opid" +: ogCols) :+ "__off": _*)
+    val joinCond = group.zipWithIndex
+      .map { case (g, i) => col(g) <=> col(s"__og$i") }
+      .foldLeft(col("__pid") === col("__opid"))(_ && _)
+    pinned
+      .withColumn("__local", local)
+      .join(broadcast(offAliased), joinCond)
+      .withColumn(minCol, least(col("__off"), col("__local")))
+      .drop("__pid" +: "__v" +: "__local" +: "__off" +: "__opid" +: ogCols: _*)
+  }
+
   /** Shared two-phase core: range-partition on (group, order), collect
     * the (partition × group) value sums — ONE model-sized collect, from
     * which every per-group prefix offset (and group total) derives
