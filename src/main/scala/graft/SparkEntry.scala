@@ -52,7 +52,8 @@ object SparkEntry {
     ops.Wave19.queries ++
     ops.Wave20.queries ++
     ops.Temporal.queries ++
-    ops.Wave21.queries
+    ops.Wave21.queries ++
+    ops.Wave22.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -92,5 +93,6 @@ object SparkEntry {
     ops.Wave19.oracles ++
     ops.Wave20.oracles ++
     ops.Temporal.oracles ++
-    ops.Wave21.oracles
+    ops.Wave21.oracles ++
+    ops.Wave22.oracles
 }

@@ -28,6 +28,21 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
       .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"), col("n"))
 
+  /** Windowed per-type value sums (stream_topk's incremental state):
+    * the leaderboard's heavy part — the per-(window, type) totals —
+    * aggregates incrementally under the watermark; the final top-k rank
+    * is a per-window row_number over this state (batch-equivalence of
+    * state + rank proven in Wave22Spec). At scale the state is
+    * (windows x types) rows, watermark-bounded. */
+  def windowedValueSums(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(sum((col("value").cast("decimal(18,6)") * 1000000).cast("long"))
+        .as("sv_micro"))
+      .select(unix_timestamp(col("w.start")).as("wstart"),
+        col("event_type"), col("sv_micro"))
+
   /** Sliding 1-hour/15-minute windows. */
   def slidingCounts(events: DataFrame): DataFrame =
     events

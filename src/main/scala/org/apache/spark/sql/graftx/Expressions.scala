@@ -380,6 +380,27 @@ object GraftNative {
   def zvalue(bits: Int, cols: Column*): Column =
     ExpressionUtils.column(ZValue(
       cols.map(c => Cast(ExpressionUtils.expression(c), LongType)).toIndexedSeq, bits))
+
+  /** Spark's built-in bloom-filter aggregate (the expression behind the
+    * runtime-filter rule), exposed as a Column: builds a bloom over a
+    * LONG hash stream sized for `expectedItems`/`numBits`. Not in the
+    * public FunctionRegistry, hence this bridge. */
+  def bloomAgg(h: Column, expectedItems: Long, numBits: Long): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ExpressionUtils.expression(h),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+
+  /** Membership probe against a serialized bloom filter (BinaryType).
+    * The bloom side must be foldable (a literal of the collected,
+    * model-sized filter) — same contract as the injected runtime
+    * filter's scalar subquery. */
+  def mightContain(bloom: Column, h: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ExpressionUtils.expression(bloom), ExpressionUtils.expression(h)))
 }
 
 /** Native SimHash aggregate: accumulates the 64 per-bit counters of the
