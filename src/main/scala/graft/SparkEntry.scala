@@ -53,7 +53,8 @@ object SparkEntry {
     ops.Wave20.queries ++
     ops.Temporal.queries ++
     ops.Wave21.queries ++
-    ops.Wave22.queries
+    ops.Wave22.queries ++
+    ops.Wave23.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -94,5 +95,6 @@ object SparkEntry {
     ops.Wave20.oracles ++
     ops.Temporal.oracles ++
     ops.Wave21.oracles ++
-    ops.Wave22.oracles
+    ops.Wave22.oracles ++
+    ops.Wave23.oracles
 }

@@ -24,9 +24,9 @@ object Wave4 {
 
   /** Whitespace/punct token split — identical to LlmPipeline.tokens and
     * its DuckDB twin (pinned by the text_* oracles). */
-  private def toks(c: Column): Column =
+  private[ops] def toks(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
-  private val duckToks =
+  private[ops] val duckToks =
     "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x->x<>'')"
 
   // ---- decontaminate: train/eval n-gram overlap removal ----------------
@@ -134,14 +134,14 @@ object Wave4 {
     * frequency, per-term document frequency, and corpus size — the ONE
     * place the tokenization-to-tf semantics live, so text_tfidf and
     * rank_bm25 (and both oracles) can never drift apart. */
-  private def termStats(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  private[ops] def termStats(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
     val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     (tf, dfreq, n)
   }
-  private val duckTermStats =
+  private[ops] val duckTermStats =
     s"""terms AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, token),
        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
@@ -281,7 +281,10 @@ object Wave4 {
     * df table, broadcasts the two corpus scalars (N, avgdl); per-doc
     * length is one narrow map. One token-keyed shuffle, one doc-keyed
     * aggregation — nothing all-pairs. */
-  private val rankBm25: Q = (s, dir) => {
+  /** The (doc_id, bm25, n_terms) score frame for the fixed 3-term query
+    * — shared by rank_bm25 and the hybrid fusion (rank_rrf, Wave23) so
+    * the lexical scoring semantics live in exactly one place. */
+  private[ops] def bm25Scores(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val (tf, dfreq, n) = termStats(docs)
     val dl = docs.select(col("doc_id"), size(toks(col("text"))).cast("double").as("dl"))
@@ -303,20 +306,30 @@ object Wave4 {
       .agg(round(sum(round(col("s"), 6).cast("decimal(18,6)")), 6)
         .cast("double").as("bm25"),
         count(lit(1)).cast("bigint").as("n_terms"))
-      .orderBy("doc_id")
   }
 
-  private val rankBm25Oracle =
-    s"""WITH $duckTermStats,
+  /** DuckDB twin of [[bm25Scores]] (CTE body; expects $duckTermStats +
+    * dl + a in scope), kept adjacent so the two can't drift. */
+  private[ops] val duckBm25Body =
+    """SELECT doc_id, CAST(round(SUM(CAST(round(
+      |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+      |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS DECIMAL(18,6))), 6) AS DOUBLE) AS bm25,
+      |  CAST(count(*) AS BIGINT) AS n_terms
+      |FROM tf JOIN df USING (token) JOIN dl USING (doc_id), n, a
+      |WHERE token IN ('table', 'spark', 'query')
+      |GROUP BY doc_id""".stripMargin
+
+  private val rankBm25: Q = (s, dir) => bm25Scores(s, dir).orderBy("doc_id")
+
+  /** Shared DuckDB prelude for the BM25 score frame (term stats + doc
+    * lengths + avgdl), used by rank_bm25 here and rank_rrf (Wave23). */
+  private[ops] val duckBm25Prelude =
+    s"""$duckTermStats,
        |dl AS (SELECT doc_id, CAST(len($duckToks) AS DOUBLE) AS dl FROM documents),
-       |a AS (SELECT avg(dl) AS avgdl FROM dl)
-       |SELECT doc_id, CAST(round(SUM(CAST(round(
-       |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
-       |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS DECIMAL(18,6))), 6) AS DOUBLE) AS bm25,
-       |  CAST(count(*) AS BIGINT) AS n_terms
-       |FROM tf JOIN df USING (token) JOIN dl USING (doc_id), n, a
-       |WHERE token IN ('table', 'spark', 'query')
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |a AS (SELECT avg(dl) AS avgdl FROM dl)""".stripMargin
+
+  private val rankBm25Oracle =
+    s"WITH $duckBm25Prelude\n$duckBm25Body\nORDER BY doc_id"
 
   // ---- vocab_build / tokenize_ids: text -> training token ids ----------
 
