@@ -54,7 +54,8 @@ object SparkEntry {
     ops.Temporal.queries ++
     ops.Wave21.queries ++
     ops.Wave22.queries ++
-    ops.Wave23.queries
+    ops.Wave23.queries ++
+    ops.Wave24.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -96,5 +97,6 @@ object SparkEntry {
     ops.Temporal.oracles ++
     ops.Wave21.oracles ++
     ops.Wave22.oracles ++
-    ops.Wave23.oracles
+    ops.Wave23.oracles ++
+    ops.Wave24.oracles
 }

@@ -42,7 +42,7 @@ object LlmPipeline {
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
 
-  private val duckTokens =
+  private[ops] val duckTokens =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
   // ---- deduplication ---------------------------------------------------
@@ -382,7 +382,7 @@ object LlmPipeline {
     size(array_intersect(array_distinct(tokens(col("text"))),
       typedLit(stop(lang)))).cast("bigint")
 
-  private def duckHits(lang: String): String =
+  private[ops] def duckHits(lang: String): String =
     s"CAST(len(list_intersect(list_distinct($duckTokens), [${stop(lang).map("'" + _ + "'").mkString(",")}])) AS BIGINT)"
 
   /** Token counting: whitespace, regex-word, and a bytes/4 BPE-ish

@@ -343,7 +343,7 @@ object Wave4 {
     * vocabulary-sized sort or window exists at ANY corpus size; the id
     * window runs over the <= 256 surviving rows, bounded by the literal
     * k, not the vocabulary. */
-  private def vocabFrame(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def vocabFrame(s: SparkSession, dir: String): DataFrame = {
     val terms = t(s, dir, "documents")
       .select(explode(toks(col("text"))).as("token"))
     val freq = terms.groupBy("token").agg(count(lit(1)).as("freq"))
