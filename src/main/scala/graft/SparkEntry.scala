@@ -56,7 +56,8 @@ object SparkEntry {
     ops.Wave22.queries ++
     ops.Wave23.queries ++
     ops.Wave24.queries ++
-    ops.Wave25.queries
+    ops.Wave25.queries ++
+    ops.Wave26.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -100,5 +101,6 @@ object SparkEntry {
     ops.Wave22.oracles ++
     ops.Wave23.oracles ++
     ops.Wave24.oracles ++
-    ops.Wave25.oracles
+    ops.Wave25.oracles ++
+    ops.Wave26.oracles
 }
