@@ -57,7 +57,8 @@ object SparkEntry {
     ops.Wave23.queries ++
     ops.Wave24.queries ++
     ops.Wave25.queries ++
-    ops.Wave26.queries
+    ops.Wave26.queries ++
+    ops.Wave27.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -102,5 +103,6 @@ object SparkEntry {
     ops.Wave23.oracles ++
     ops.Wave24.oracles ++
     ops.Wave25.oracles ++
-    ops.Wave26.oracles
+    ops.Wave26.oracles ++
+    ops.Wave27.oracles
 }
