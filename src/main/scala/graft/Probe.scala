@@ -61,7 +61,20 @@ object Probe {
       "profile_benford" -> "Benford first-digit audit: narrow digit map + (type, digit) aggregation, statistic on the model-sized digit table (r6)",
       "split_leakage" -> "train/test leakage audit: two fingerprint-keyed corpus passes, leak table duplicate-cluster-sized (r6)",
       "timeseries_forecast" -> "linear-trend forecast: one (type, day) aggregation, regression algebra on the model-sized daily table (r6)",
-      "sim_ann_lsh_md5" -> "md5-plane LSH ANN: literal-plane sign buckets, broadcast (table,bucket) candidate join, exact rerank (r6)")
+      "sim_ann_lsh_md5" -> "md5-plane LSH ANN: literal-plane sign buckets, broadcast (table,bucket) candidate join, exact rerank (r6)",
+      "skyline_pareto" -> "2-D skyline without the quadratic dominance join: per-size min aggregate + tiny broadcast theta-join + narrow frontier filter (r6w21)",
+      "events_cusum" -> "CUSUM drift: prefix-sum kernel then the NEW prefix-MIN kernel (both pid-local), broadcast mean, exact micro units (r6w21)",
+      "sample_weighted" -> "A-Res weighted sampling: narrow ln(u)/w key map + TakeOrderedAndProject — per-partition heaps, no global sort (r6w21)",
+      "join_bloom" -> "explicit bloom-prefiltered join: literal 200KB filter probes the fact scan BEFORE the shuffle; exact join absorbs FPs (r6w22)",
+      "graph_sssp" -> "weighted SSSP: 6 Bellman-Ford supersteps, frontier joins localCheckpoint'ed edges + min-agg per step (r6w22)",
+      "rank_rrf" -> "hybrid RRF fusion: two bounded TakeOrderedAndProject channels, rank windows over <=50 literal rows, 50x50 outer fusion join (r6w23)",
+      "sim_maxsim" -> "MaxSim late interaction: broadcast 4-vector query set, ONE corpus scan, max-per-(label,qvec) then decimal sum (r6w23)",
+      "ewma_user" -> "exact EWMA: 20 lags sharing ONE window spec on the high-cardinality (user,type) key — single sort, integer num/den (r6w23)",
+      "profile_gini" -> "Gini: two-phase rank kernel + DECIMAL(38,0) sums, one rounded division at the end (r6w24)",
+      "sim_ann_filtered" -> "filtered ANN: label predicate at the scan (pre-filter), radius-1 multi-probe recovers recall, md5-plane hash-checked (r6w25)",
+      "events_concurrency" -> "interval sweep: +1/-1 boundary deltas, global cumulative on the EMPTY-GROUP prefix-sum kernel, scalar output (r6w26)",
+      "events_rfm" -> "RFM: three empty-group kernel ranks over the user frame + closed-form quintiles + cell histogram (r6w28)",
+      "agg_bitmap_distinct" -> "bitmap exact distinct: BIT_OR chunk aggregation (map-side mergeable) + popcount sum — no per-distinct-row shuffle (r6w28)")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.Probe` at sf0.001 (plan shape is scale-\n")

@@ -59,7 +59,8 @@ object SparkEntry {
     ops.Wave25.queries ++
     ops.Wave26.queries ++
     ops.Wave27.queries ++
-    ops.Wave28.queries
+    ops.Wave28.queries ++
+    ops.Wave29.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -106,5 +107,6 @@ object SparkEntry {
     ops.Wave25.oracles ++
     ops.Wave26.oracles ++
     ops.Wave27.oracles ++
-    ops.Wave28.oracles
+    ops.Wave28.oracles ++
+    ops.Wave29.oracles
 }
