@@ -60,7 +60,8 @@ object SparkEntry {
     ops.Wave26.queries ++
     ops.Wave27.queries ++
     ops.Wave28.queries ++
-    ops.Wave29.queries
+    ops.Wave29.queries ++
+    ops.Wave30.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -108,5 +109,6 @@ object SparkEntry {
     ops.Wave26.oracles ++
     ops.Wave27.oracles ++
     ops.Wave28.oracles ++
-    ops.Wave29.oracles
+    ops.Wave29.oracles ++
+    ops.Wave30.oracles
 }
