@@ -61,7 +61,8 @@ object SparkEntry {
     ops.Wave27.queries ++
     ops.Wave28.queries ++
     ops.Wave29.queries ++
-    ops.Wave30.queries
+    ops.Wave30.queries ++
+    ops.Wave31.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -110,5 +111,6 @@ object SparkEntry {
     ops.Wave27.oracles ++
     ops.Wave28.oracles ++
     ops.Wave29.oracles ++
-    ops.Wave30.oracles
+    ops.Wave30.oracles ++
+    ops.Wave31.oracles
 }
