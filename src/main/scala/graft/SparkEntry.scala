@@ -62,7 +62,8 @@ object SparkEntry {
     ops.Wave28.queries ++
     ops.Wave29.queries ++
     ops.Wave30.queries ++
-    ops.Wave31.queries
+    ops.Wave31.queries ++
+    ops.Wave32.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -112,5 +113,6 @@ object SparkEntry {
     ops.Wave28.oracles ++
     ops.Wave29.oracles ++
     ops.Wave30.oracles ++
-    ops.Wave31.oracles
+    ops.Wave31.oracles ++
+    ops.Wave32.oracles
 }
