@@ -63,7 +63,8 @@ object SparkEntry {
     ops.Wave29.queries ++
     ops.Wave30.queries ++
     ops.Wave31.queries ++
-    ops.Wave32.queries
+    ops.Wave32.queries ++
+    ops.Wave33.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -114,5 +115,6 @@ object SparkEntry {
     ops.Wave29.oracles ++
     ops.Wave30.oracles ++
     ops.Wave31.oracles ++
-    ops.Wave32.oracles
+    ops.Wave32.oracles ++
+    ops.Wave33.oracles
 }
