@@ -23,6 +23,11 @@ PLAN_SUITES=(
   graft.Wave10Spec           # KS kernel plan + CMS error contract
   graft.Wave11Spec           # AQE skew-split contract + ANN metric sanity
   graft.Wave14Spec           # FD verdicts + packing mass conservation
+  graft.Wave21Spec           # prefix-min kernel + cusum/twap plan contracts
+  graft.Wave22Spec           # bloom-prefilter probe + prune contracts
+  graft.Wave24Spec           # gini rank-kernel plan contract
+  graft.Wave26Spec           # sweep kernel + single-partition-exchange budget
+  graft.Wave28Spec           # rfm triple-kernel plan contract
 )
 
 if [[ "${1:-}" == "--full" ]]; then
