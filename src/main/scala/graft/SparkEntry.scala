@@ -64,7 +64,8 @@ object SparkEntry {
     ops.Wave30.queries ++
     ops.Wave31.queries ++
     ops.Wave32.queries ++
-    ops.Wave33.queries
+    ops.Wave33.queries ++
+    ops.Wave34.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -116,5 +117,6 @@ object SparkEntry {
     ops.Wave30.oracles ++
     ops.Wave31.oracles ++
     ops.Wave32.oracles ++
-    ops.Wave33.oracles
+    ops.Wave33.oracles ++
+    ops.Wave34.oracles
 }
