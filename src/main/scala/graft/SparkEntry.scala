@@ -65,7 +65,10 @@ object SparkEntry {
     ops.Wave31.queries ++
     ops.Wave32.queries ++
     ops.Wave33.queries ++
-    ops.Wave34.queries
+    ops.Wave34.queries ++
+    ops.Wave35.queries ++
+    ops.Wave36.queries ++
+    ops.Wave37.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -118,5 +121,8 @@ object SparkEntry {
     ops.Wave31.oracles ++
     ops.Wave32.oracles ++
     ops.Wave33.oracles ++
-    ops.Wave34.oracles
+    ops.Wave34.oracles ++
+    ops.Wave35.oracles ++
+    ops.Wave36.oracles ++
+    ops.Wave37.oracles
 }
