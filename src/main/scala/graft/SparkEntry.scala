@@ -68,7 +68,8 @@ object SparkEntry {
     ops.Wave34.queries ++
     ops.Wave35.queries ++
     ops.Wave36.queries ++
-    ops.Wave37.queries
+    ops.Wave37.queries ++
+    ops.Wave38.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -124,5 +125,6 @@ object SparkEntry {
     ops.Wave34.oracles ++
     ops.Wave35.oracles ++
     ops.Wave36.oracles ++
-    ops.Wave37.oracles
+    ops.Wave37.oracles ++
+    ops.Wave38.oracles
 }
