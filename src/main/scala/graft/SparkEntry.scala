@@ -69,7 +69,8 @@ object SparkEntry {
     ops.Wave35.queries ++
     ops.Wave36.queries ++
     ops.Wave37.queries ++
-    ops.Wave38.queries
+    ops.Wave38.queries ++
+    ops.Wave39.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -126,5 +127,6 @@ object SparkEntry {
     ops.Wave35.oracles ++
     ops.Wave36.oracles ++
     ops.Wave37.oracles ++
-    ops.Wave38.oracles
+    ops.Wave38.oracles ++
+    ops.Wave39.oracles
 }
