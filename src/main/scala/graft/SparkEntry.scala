@@ -70,7 +70,8 @@ object SparkEntry {
     ops.Wave36.queries ++
     ops.Wave37.queries ++
     ops.Wave38.queries ++
-    ops.Wave39.queries
+    ops.Wave39.queries ++
+    ops.Wave40.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -128,5 +129,6 @@ object SparkEntry {
     ops.Wave36.oracles ++
     ops.Wave37.oracles ++
     ops.Wave38.oracles ++
-    ops.Wave39.oracles
+    ops.Wave39.oracles ++
+    ops.Wave40.oracles
 }
