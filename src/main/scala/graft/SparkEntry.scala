@@ -71,7 +71,8 @@ object SparkEntry {
     ops.Wave37.queries ++
     ops.Wave38.queries ++
     ops.Wave39.queries ++
-    ops.Wave40.queries
+    ops.Wave40.queries ++
+    ops.Wave41.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -130,5 +131,6 @@ object SparkEntry {
     ops.Wave37.oracles ++
     ops.Wave38.oracles ++
     ops.Wave39.oracles ++
-    ops.Wave40.oracles
+    ops.Wave40.oracles ++
+    ops.Wave41.oracles
 }
