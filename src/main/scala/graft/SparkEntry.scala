@@ -72,7 +72,8 @@ object SparkEntry {
     ops.Wave38.queries ++
     ops.Wave39.queries ++
     ops.Wave40.queries ++
-    ops.Wave41.queries
+    ops.Wave41.queries ++
+    ops.Wave42.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -132,5 +133,6 @@ object SparkEntry {
     ops.Wave38.oracles ++
     ops.Wave39.oracles ++
     ops.Wave40.oracles ++
-    ops.Wave41.oracles
+    ops.Wave41.oracles ++
+    ops.Wave42.oracles
 }
