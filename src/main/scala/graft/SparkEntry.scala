@@ -73,7 +73,9 @@ object SparkEntry {
     ops.Wave39.queries ++
     ops.Wave40.queries ++
     ops.Wave41.queries ++
-    ops.Wave42.queries
+    ops.Wave42.queries ++
+    ops.Wave43.queries ++
+    ops.Wave44.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -134,5 +136,7 @@ object SparkEntry {
     ops.Wave39.oracles ++
     ops.Wave40.oracles ++
     ops.Wave41.oracles ++
-    ops.Wave42.oracles
+    ops.Wave42.oracles ++
+    ops.Wave43.oracles ++
+    ops.Wave44.oracles
 }
