@@ -1,0 +1,229 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.SparkEntry.Q
+import graft.engine.Tables
+
+/** Round-6 wave 45: spectral structure + ranking quality — the top
+  * principal direction of the embedding space by distributed power
+  * iteration (PCA whitening / anisotropy removal is a standard
+  * embedding post-process), with every superstep quantized to exact
+  * integers so the iteration is bit-identical across engines; and
+  * NDCG@100 of the heuristic quality score against an is-English
+  * relevance label (the standard ranking-eval read).
+  */
+object Wave45 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val Iters = 12
+
+  // ---- embed_pca_power: top principal direction ----------------------
+
+  /** Power iteration for the dominant eigenvector of the (uncentered)
+    * second-moment matrix of the embeddings. The ONLY data-sized work
+    * is the one pass building the dims² Gram cells (pair-exploded —
+    * dims²·rows products; at web scale this pass samples or
+    * mapPartitions-accumulates, the iteration itself never re-reads
+    * data). Everything else runs on the 64×64 cell table: 12 supersteps
+    * of matvec → truncate → normalize → requantize, all in exact
+    * integer arithmetic (vectors live as nano-unit longs, sums as
+    * DECIMAL(38,0)), so both engines walk the same orbit bit for bit.
+    * Output: the 64 loadings of v* and the Rayleigh-quotient
+    * eigenvalue, both from exact rational rounding. */
+  private val embedPcaPower: Q = (s, dir) => {
+    def d38(c: Column) = c.cast(DecimalType(38, 0))
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("x").cast("double") * 1e9 + 0.5).cast("long").as("xn"))
+    val a = e.select(col("vec_id"), col("dim").as("i"), col("xn").as("xi"))
+    val b = e.select(col("vec_id").as("vid_b"), col("dim").as("j"), col("xn").as("xj"))
+    // Gram cells, milli-scaled: Mq = truncdiv(Σ xi·xj, 1e9) — exact,
+    // sign-symmetric truncation toward zero on both engines
+    val cells = a.join(b, col("vec_id") === col("vid_b"))
+      .groupBy("i", "j")
+      .agg(sum(d38(col("xi")) * col("xj")).as("m_raw"))
+      .withColumn("m", signum(col("m_raw")).cast(DecimalType(38, 0)) *
+        expr("abs(m_raw) div 1000000000"))
+      .select("i", "j", "m")
+      .localCheckpoint()
+    // v0 = all-ones (nano units); 12 exact supersteps
+    var v = cells.select(col("i").as("dim")).distinct()
+      .withColumn("v", lit(1000000000L))
+      .localCheckpoint()
+    for (_ <- 1 to Iters) {
+      val w = cells.join(v, cells("j") === v("dim"))
+        .groupBy(cells("i").as("wd"))
+        .agg(sum(col("m") * col("v")).as("w"))
+        // truncate so norm² stays inside DECIMAL(38,0)
+        .withColumn("wq", signum(col("w")).cast(DecimalType(38, 0)) *
+          expr("abs(w) div 1000000000000"))
+      val nrm = w.agg(sum(col("wq") * col("wq")).as("n2"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("wd").as("dim"),
+          floor(col("wq").cast("double") * 1e9 /
+            sqrt(col("n2").cast("double")) + 0.5).cast("long").as("v"))
+        .localCheckpoint()
+    }
+    // Rayleigh quotient λ = (v·Mq·v)/(v·v), reported per-row in original
+    // units: divide by (1e9·n_rows); exact rational half-up at 6 dp
+    val wFin = cells.join(v, cells("j") === v("dim"))
+      .groupBy(cells("i").as("wd"))
+      .agg(sum(col("m") * col("v")).as("w"))
+    val vw = wFin.join(v, col("wd") === col("dim"))
+      .agg(sum(col("w") * col("v")).as("num_raw"), sum(d38(col("v")) * col("v")).as("vv"))
+    val nRows = t(s, dir, "embeddings").agg(count(lit(1)).as("n_rows"))
+    val lam = vw.crossJoin(nRows)
+      // λ = num_raw / (vv · 1e9 · n); truncate num first to keep the
+      // rational rounding inside DECIMAL(38,0). Spark's `div` returns
+      // BIGINT (would overflow here), so truncate via exact decimal
+      // pmod-subtract-divide on the absolute value instead.
+      .withColumn("numAbs", abs(col("num_raw")))
+      .withColumn("num2", signum(col("num_raw")).cast(DecimalType(38, 0)) *
+        ((col("numAbs") - pmod(col("numAbs"), lit(1000000L))) / lit(1000000L))
+          .cast(DecimalType(38, 0)))
+      .withColumn("den2", col("vv") * col("n_rows") * lit(1000L))
+      .withColumn("lam_micro",
+        signum(col("num2")).cast(DecimalType(38, 0)) *
+          expr("(2 * abs(num2) * 1000000 + den2) div (2 * den2)"))
+      .select((col("lam_micro").cast("double") / 1e6).as("eigenvalue"))
+    v.crossJoin(broadcast(lam))
+      .select(col("dim"), (col("v").cast("double") / 1e9).as("loading"),
+        col("eigenvalue"))
+      .orderBy("dim")
+  }
+
+  private val embedPcaPowerOracle: String = {
+    val iterCtes = (1 to Iters).map { k =>
+      val pv = if (k == 1) "v0" else s"v${k - 1}"
+      s"""w$k AS MATERIALIZED (
+         |  SELECT c.i AS wd,
+         |    CASE WHEN SUM(c.m * v.v) < 0 THEN -1 ELSE 1 END *
+         |      (abs(SUM(c.m * v.v)) // 1000000000000) AS wq
+         |  FROM cells c JOIN $pv v ON c.j = v.dim GROUP BY c.i),
+         |n$k AS MATERIALIZED (SELECT SUM(wq * wq) AS n2 FROM w$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT wd AS dim,
+         |    CAST(FLOOR(CAST(wq AS DOUBLE) * 1e9 / sqrt(CAST(n2 AS DOUBLE)) + 0.5)
+         |      AS BIGINT) AS v
+         |  FROM w$k, n$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, u.dim AS dim,
+       |    CAST(FLOOR(CAST(u.x AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS xn
+       |  FROM embeddings,
+       |    unnest(list_transform(range(len(embedding)),
+       |      i -> {'dim': i, 'x': embedding[i+1]})) AS t(u)),
+       |cells AS MATERIALIZED (
+       |  SELECT a.dim AS i, b.dim AS j,
+       |    CASE WHEN SUM(CAST(a.xn AS HUGEINT) * b.xn) < 0 THEN -1 ELSE 1 END *
+       |      (abs(SUM(CAST(a.xn AS HUGEINT) * b.xn)) // 1000000000) AS m
+       |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |v0 AS (SELECT DISTINCT i AS dim, CAST(1000000000 AS BIGINT) AS v FROM cells),
+       |$iterCtes,
+       |wf AS (
+       |  SELECT c.i AS wd, SUM(c.m * v.v) AS w
+       |  FROM cells c JOIN v$Iters v ON c.j = v.dim GROUP BY c.i),
+       |vw AS (
+       |  SELECT SUM(w.w * v.v) AS num_raw, SUM(CAST(v.v AS HUGEINT) * v.v) AS vv
+       |  FROM wf w JOIN v$Iters v ON w.wd = v.dim),
+       |nr AS (SELECT CAST(count(*) AS HUGEINT) AS n_rows FROM embeddings),
+       |lam AS (
+       |  SELECT CAST(
+       |    CASE WHEN num_raw < 0 THEN -1 ELSE 1 END *
+       |      ((2 * (abs(num_raw) // 1000000) * 1000000 + vv * n_rows * 1000)
+       |        // (2 * (vv * n_rows * 1000))) AS DOUBLE) / 1e6 AS eigenvalue
+       |  FROM vw, nr)
+       |SELECT dim, CAST(v AS DOUBLE) / 1e9 AS loading, eigenvalue
+       |FROM v$Iters, lam ORDER BY dim""".stripMargin
+  }
+
+  // ---- eval_ndcg: ranking quality of the heuristic score -------------
+
+  /** NDCG@100 of the stopword/punctuation quality score against
+    * rel = (lang = 'en'): DCG from the top-100 ranking (deterministic
+    * doc_id tie-break), IDCG from the ideal prefix of the n_en
+    * relevant docs. Per-position gains quantize to pico-unit longs
+    * with the same IEEE ops on both engines, so the 100-term sums are
+    * exact and order-free. Global top-k is TakeOrdered-shaped;
+    * everything after runs on 100 rows. */
+  private val evalNdcg: Q = (s, dir) => {
+    val toks = LlmPipeline.tokens(col("text"))
+    val enStop = Seq("the", "and", "of", "to", "in", "is", "a", "that")
+    val nTok = size(toks).cast("bigint")
+    val nChars = length(col("text")).cast("bigint")
+    val nClean = length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")).cast("bigint")
+    val stopHits = size(array_intersect(array_distinct(toks), typedLit(enStop)))
+      .cast("bigint")
+    val scored = t(s, dir, "documents")
+      .filter(nTok > 0 && nChars > 0)
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("rel"),
+        ((lit(1.0) - (nChars - nClean).cast("double") / nChars.cast("double")) * 0.5 +
+          (stopHits.cast("double") / nTok.cast("double")) * 0.5).as("q"))
+    val nen = scored.agg(sum("rel").as("n_en"))
+    val top = scored.orderBy(desc("q"), col("doc_id")).limit(100)
+      .withColumn("pos",
+        row_number().over(Window.orderBy(desc("q"), col("doc_id"))).cast("long"))
+      .crossJoin(broadcast(nen))
+    // picogain quantization with identical IEEE ops on both engines
+    def gain(relc: Column) = floor(
+      relc.cast("double") / (log(col("pos").cast("double") + 1.0) / math.log(2.0))
+        * 1e12 + 0.5).cast("long")
+    top.agg(
+      max("n_en").as("n_en"),
+      sum(gain(col("rel"))).as("dcg_p"),
+      sum(gain(when(col("pos") <= col("n_en"), 1L).otherwise(0L))).as("idcg_p"))
+      .select(col("n_en"),
+        (col("dcg_p").cast("double") / 1e12).as("dcg"),
+        (col("idcg_p").cast("double") / 1e12).as("idcg"),
+        (floor(col("dcg_p").cast("double") / col("idcg_p").cast("double") * 1e6 + 0.5)
+          .cast("double") / 1e6).as("ndcg"))
+  }
+
+  private val evalNdcgOracle =
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE 0 END AS rel,
+       |    (1.0 - CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+       |        AS DOUBLE) / LENGTH(text)) * 0.5 +
+       |      (CAST(${LlmPipeline.duckHits("en")} AS DOUBLE)
+       |        / len(${LlmPipeline.duckTokens})) * 0.5 AS q
+       |  FROM documents
+       |  WHERE len(${LlmPipeline.duckTokens}) > 0 AND LENGTH(text) > 0),
+       |nen AS (SELECT CAST(SUM(rel) AS BIGINT) AS n_en FROM scored),
+       |top AS (
+       |  SELECT rel, CAST(ROW_NUMBER() OVER (ORDER BY q DESC, doc_id) AS BIGINT) AS pos
+       |  FROM scored ORDER BY q DESC, doc_id LIMIT 100),
+       |g AS (
+       |  SELECT n_en,
+       |    CAST(FLOOR(CAST(rel AS DOUBLE) / (ln(pos + 1.0) / ln(2.0)) * 1e12 + 0.5)
+       |      AS BIGINT) AS dg,
+       |    CAST(FLOOR(CASE WHEN pos <= n_en THEN 1.0 ELSE 0.0 END
+       |      / (ln(pos + 1.0) / ln(2.0)) * 1e12 + 0.5) AS BIGINT) AS ig
+       |  FROM top, nen),
+       |agg AS (
+       |  SELECT MAX(n_en) AS n_en, CAST(SUM(dg) AS BIGINT) AS dcg_p,
+       |    CAST(SUM(ig) AS BIGINT) AS idcg_p FROM g)
+       |SELECT n_en, CAST(dcg_p AS DOUBLE) / 1e12 AS dcg,
+       |  CAST(idcg_p AS DOUBLE) / 1e12 AS idcg,
+       |  CAST(FLOOR(CAST(dcg_p AS DOUBLE) / CAST(idcg_p AS DOUBLE) * 1e6 + 0.5)
+       |    AS DOUBLE) / 1e6 AS ndcg
+       |FROM agg""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "embed_pca_power" -> embedPcaPower,
+    "eval_ndcg" -> evalNdcg
+  )
+
+  val oracles: Map[String, String] = Map(
+    "embed_pca_power" -> embedPcaPowerOracle,
+    "eval_ndcg" -> evalNdcgOracle
+  )
+}
