@@ -77,7 +77,8 @@ object SparkEntry {
     ops.Wave43.queries ++
     ops.Wave44.queries ++
     ops.Wave45.queries ++
-    ops.Wave46.queries
+    ops.Wave46.queries ++
+    ops.Wave47.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -142,5 +143,6 @@ object SparkEntry {
     ops.Wave43.oracles ++
     ops.Wave44.oracles ++
     ops.Wave45.oracles ++
-    ops.Wave46.oracles
+    ops.Wave46.oracles ++
+    ops.Wave47.oracles
 }
