@@ -78,7 +78,8 @@ object SparkEntry {
     ops.Wave44.queries ++
     ops.Wave45.queries ++
     ops.Wave46.queries ++
-    ops.Wave47.queries
+    ops.Wave47.queries ++
+    ops.Wave48.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -144,5 +145,6 @@ object SparkEntry {
     ops.Wave44.oracles ++
     ops.Wave45.oracles ++
     ops.Wave46.oracles ++
-    ops.Wave47.oracles
+    ops.Wave47.oracles ++
+    ops.Wave48.oracles
 }
