@@ -79,7 +79,8 @@ object SparkEntry {
     ops.Wave45.queries ++
     ops.Wave46.queries ++
     ops.Wave47.queries ++
-    ops.Wave48.queries
+    ops.Wave48.queries ++
+    ops.Wave49.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -146,5 +147,6 @@ object SparkEntry {
     ops.Wave45.oracles ++
     ops.Wave46.oracles ++
     ops.Wave47.oracles ++
-    ops.Wave48.oracles
+    ops.Wave48.oracles ++
+    ops.Wave49.oracles
 }
