@@ -80,7 +80,8 @@ object SparkEntry {
     ops.Wave46.queries ++
     ops.Wave47.queries ++
     ops.Wave48.queries ++
-    ops.Wave49.queries
+    ops.Wave49.queries ++
+    ops.Wave50.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -148,5 +149,6 @@ object SparkEntry {
     ops.Wave46.oracles ++
     ops.Wave47.oracles ++
     ops.Wave48.oracles ++
-    ops.Wave49.oracles
+    ops.Wave49.oracles ++
+    ops.Wave50.oracles
 }
