@@ -81,7 +81,8 @@ object SparkEntry {
     ops.Wave47.queries ++
     ops.Wave48.queries ++
     ops.Wave49.queries ++
-    ops.Wave50.queries
+    ops.Wave50.queries ++
+    ops.Wave51.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -150,5 +151,6 @@ object SparkEntry {
     ops.Wave47.oracles ++
     ops.Wave48.oracles ++
     ops.Wave49.oracles ++
-    ops.Wave50.oracles
+    ops.Wave50.oracles ++
+    ops.Wave51.oracles
 }
