@@ -82,7 +82,8 @@ object SparkEntry {
     ops.Wave48.queries ++
     ops.Wave49.queries ++
     ops.Wave50.queries ++
-    ops.Wave51.queries
+    ops.Wave51.queries ++
+    ops.Wave52.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -152,5 +153,6 @@ object SparkEntry {
     ops.Wave48.oracles ++
     ops.Wave49.oracles ++
     ops.Wave50.oracles ++
-    ops.Wave51.oracles
+    ops.Wave51.oracles ++
+    ops.Wave52.oracles
 }
