@@ -85,7 +85,8 @@ object SparkEntry {
     ops.Wave51.queries ++
     ops.Wave52.queries ++
     ops.Wave53.queries ++
-    ops.Wave54.queries
+    ops.Wave54.queries ++
+    ops.Wave55.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -158,5 +159,6 @@ object SparkEntry {
     ops.Wave51.oracles ++
     ops.Wave52.oracles ++
     ops.Wave53.oracles ++
-    ops.Wave54.oracles
+    ops.Wave54.oracles ++
+    ops.Wave55.oracles
 }
