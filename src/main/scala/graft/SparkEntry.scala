@@ -87,7 +87,8 @@ object SparkEntry {
     ops.Wave53.queries ++
     ops.Wave54.queries ++
     ops.Wave55.queries ++
-    ops.Wave56.queries
+    ops.Wave56.queries ++
+    ops.Wave57.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -162,5 +163,6 @@ object SparkEntry {
     ops.Wave53.oracles ++
     ops.Wave54.oracles ++
     ops.Wave55.oracles ++
-    ops.Wave56.oracles
+    ops.Wave56.oracles ++
+    ops.Wave57.oracles
 }
