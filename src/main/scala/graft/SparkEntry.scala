@@ -88,7 +88,8 @@ object SparkEntry {
     ops.Wave54.queries ++
     ops.Wave55.queries ++
     ops.Wave56.queries ++
-    ops.Wave57.queries
+    ops.Wave57.queries ++
+    ops.Wave58.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -164,5 +165,6 @@ object SparkEntry {
     ops.Wave54.oracles ++
     ops.Wave55.oracles ++
     ops.Wave56.oracles ++
-    ops.Wave57.oracles
+    ops.Wave57.oracles ++
+    ops.Wave58.oracles
 }
