@@ -89,7 +89,8 @@ object SparkEntry {
     ops.Wave55.queries ++
     ops.Wave56.queries ++
     ops.Wave57.queries ++
-    ops.Wave58.queries
+    ops.Wave58.queries ++
+    ops.Wave59.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -166,5 +167,6 @@ object SparkEntry {
     ops.Wave55.oracles ++
     ops.Wave56.oracles ++
     ops.Wave57.oracles ++
-    ops.Wave58.oracles
+    ops.Wave58.oracles ++
+    ops.Wave59.oracles
 }
