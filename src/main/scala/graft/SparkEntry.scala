@@ -90,7 +90,8 @@ object SparkEntry {
     ops.Wave56.queries ++
     ops.Wave57.queries ++
     ops.Wave58.queries ++
-    ops.Wave59.queries
+    ops.Wave59.queries ++
+    ops.Wave60.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -168,5 +169,6 @@ object SparkEntry {
     ops.Wave56.oracles ++
     ops.Wave57.oracles ++
     ops.Wave58.oracles ++
-    ops.Wave59.oracles
+    ops.Wave59.oracles ++
+    ops.Wave60.oracles
 }
