@@ -91,7 +91,8 @@ object SparkEntry {
     ops.Wave57.queries ++
     ops.Wave58.queries ++
     ops.Wave59.queries ++
-    ops.Wave60.queries
+    ops.Wave60.queries ++
+    ops.Wave61.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -170,5 +171,6 @@ object SparkEntry {
     ops.Wave57.oracles ++
     ops.Wave58.oracles ++
     ops.Wave59.oracles ++
-    ops.Wave60.oracles
+    ops.Wave60.oracles ++
+    ops.Wave61.oracles
 }
