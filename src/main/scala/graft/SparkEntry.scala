@@ -92,7 +92,9 @@ object SparkEntry {
     ops.Wave58.queries ++
     ops.Wave59.queries ++
     ops.Wave60.queries ++
-    ops.Wave61.queries
+    ops.Wave61.queries ++
+    ops.Wave62.queries ++
+    ops.Wave63.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -172,5 +174,7 @@ object SparkEntry {
     ops.Wave58.oracles ++
     ops.Wave59.oracles ++
     ops.Wave60.oracles ++
-    ops.Wave61.oracles
+    ops.Wave61.oracles ++
+    ops.Wave62.oracles ++
+    ops.Wave63.oracles
 }

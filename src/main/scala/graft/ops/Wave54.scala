@@ -40,14 +40,24 @@ object Wave54 {
     * so the oracle states the UNPRUNED all-pairs join and the results
     * must match row for row (the same lossless-pruning proof pattern
     * as dedup_ngram_jaccard's size-ratio bound). Shared prefix tokens
-    * are rare by construction (ascending-frequency order), which is
-    * what bounds candidate fan-out at corpus scale; the final exact
+    * are rare on natural corpora (ascending-frequency order), which is
+    * what bounds candidate fan-out at web scale; the final exact
     * Jaccard confirm joins only candidate pairs back to full token
     * sets. jaccard_micro is an integer rational so ordering is
-    * engine-exact. */
+    * engine-exact.
+    *
+    * SCOPE: the fixture corpus is template-generated — 74% of ALL doc
+    * pairs exceed tau = 0.5, so an exact tau-join's OUTPUT is Theta(n^2)
+    * on it regardless of algorithm (measured: 92k pairs from 500 docs;
+    * ~9M from 5000). The query therefore runs the exact machinery on
+    * the src0 slice (the demonstration stays lossless and bounded),
+    * and the corpus-scale path for such dense near-dup families is the
+    * sub-quadratic LSH family (dedup_minhash / simhash / semdedup)
+    * this library ships alongside. */
   private val dedupPrefixFilter: Q = (s, dir) => {
     val tau = 0.5
     val docToks = t(s, dir, "documents")
+      .filter(col("source") === "src0")
       .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("w"))
       .localCheckpoint()
     val sizes = docToks.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -86,7 +96,7 @@ object Wave54 {
   private val dedupPrefixFilterOracle =
     s"""WITH dt AS MATERIALIZED (
        |  SELECT doc_id, unnest(list_distinct($duckToks)) AS w
-       |  FROM documents),
+       |  FROM documents WHERE source = 'src0'),
        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dt GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i

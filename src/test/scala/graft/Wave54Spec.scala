@@ -13,6 +13,7 @@ class Wave54Spec extends SparkSuite {
     val rows = SparkEntry.queries("dedup_prefix_filter")(spark, sf).collect()
     // local unpruned all-pairs over the same token sets
     val sets = Tables.load(spark, sf, "documents")
+      .filter(col("source") === "src0")
       .select(col("doc_id"),
         array_distinct(filter(split(lower(col("text")), "[^a-z0-9]+"),
           x => x =!= "")).as("tk"))
@@ -37,6 +38,7 @@ class Wave54Spec extends SparkSuite {
     // the point of the filter: candidate generation examined FEWER pairs
     // than all-pairs would; verify via the prefix construction directly
     val docToks = Tables.load(spark, sf, "documents")
+      .filter(col("source") === "src0")
       .select(col("doc_id"), explode(array_distinct(
         filter(split(lower(col("text")), "[^a-z0-9]+"), x => x =!= ""))).as("w"))
     val nDocs = docToks.select("doc_id").distinct().count()
