@@ -25,17 +25,9 @@ object Wave53 {
     * round_half_up(10⁶·i/u) in integer arithmetic, so ordering and
     * values are engine-exact. */
   private val graphNodeJaccard: Q = (s, dir) => {
-    val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
-      .distinct()
-      .localCheckpoint()
-    val deg = edges.groupBy("p").agg(count(lit(1)).as("d"))
-    val inter = edges.as("a").join(edges.as("b"),
-        col("a.c") === col("b.c") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
-      .agg(count(lit(1)).as("i"))
+    val deg = SupplierGraph.edges(s, dir).groupBy("p").agg(count(lit(1)).as("d"))
+    val inter = SupplierGraph.pairWeights(s, dir)
+      .select(col("p1"), col("p2"), col("w").as("i"))
     inter
       .join(broadcast(deg.select(col("p").as("p1"), col("d").as("d1"))), "p1")
       .join(broadcast(deg.select(col("p").as("p2"), col("d").as("d2"))), "p2")

@@ -30,16 +30,7 @@ object Wave60 {
     * for the nation partition — positive structure means nations truly
     * shop apart. */
   private val graphModularity: Q = (s, dir) => {
-    val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
-      .distinct()
-    val pairW = edges.as("a").join(edges.as("b"),
-        col("a.c") === col("b.c") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
-      .agg(count(lit(1)).as("w"))
-      .localCheckpoint()
+    val pairW = SupplierGraph.pairWeights(s, dir)
     val nat = t(s, dir, "supplier")
       .select(col("s_suppkey").as("p"), col("s_nationkey").as("nation"))
     val withNat = pairW

@@ -95,16 +95,7 @@ object Wave61 {
     * = hubs trade with hubs (resilient core); negative = hub-and-
     * spoke. */
   private val graphAssortativity: Q = (s, dir) => {
-    val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
-      .distinct()
-    val pairs = edges.as("a").join(edges.as("b"),
-        col("a.c") === col("b.c") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("p1"), col("b.p").as("p2"))
-      .distinct()
-      .localCheckpoint()
+    val pairs = SupplierGraph.pairWeights(s, dir).select("p1", "p2")
     val deg = pairs.select(col("p1").as("p"))
       .union(pairs.select(col("p2").as("p")))
       .groupBy("p").agg(count(lit(1)).as("d"))
