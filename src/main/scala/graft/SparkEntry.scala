@@ -94,7 +94,9 @@ object SparkEntry {
     ops.Wave60.queries ++
     ops.Wave61.queries ++
     ops.Wave62.queries ++
-    ops.Wave63.queries
+    ops.Wave63.queries ++
+    ops.Wave64.queries ++
+    ops.Wave65.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -176,5 +178,7 @@ object SparkEntry {
     ops.Wave60.oracles ++
     ops.Wave61.oracles ++
     ops.Wave62.oracles ++
-    ops.Wave63.oracles
+    ops.Wave63.oracles ++
+    ops.Wave64.oracles ++
+    ops.Wave65.oracles
 }

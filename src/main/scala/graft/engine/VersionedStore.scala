@@ -606,6 +606,30 @@ class VersionedStore(root: String) {
         val source = rawSource.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val (tSchema, entries) = manifestWithStats(name, cur)
+          // SCHEMA ENFORCEMENT (Delta semantics): without evolveSchema a
+          // drifted source is REJECTED loudly, not silently truncated —
+          // extra columns and diverged types both refuse before any file
+          // is staged, so the table is untouched. The conditional-merge
+          // path (deleteWhen) is exempt from the extra-column check: its
+          // CDC op flag is a source-side column by design and never
+          // reaches the table.
+          if (!evolveSchema) {
+            val extras = source.schema.fieldNames
+              .filterNot(tSchema.fieldNames.contains)
+            require(deleteWhen.isDefined || extras.isEmpty,
+              s"upsert('$name'): source carries columns absent from the " +
+                s"table schema: ${extras.mkString(", ")} — pass " +
+                "evolveSchema=true to add them")
+            val diverged = source.schema.fields.flatMap { f =>
+              tSchema.fields.find(_.name == f.name)
+                .filter(_.dataType != f.dataType)
+                .map(t => s"${f.name} (${f.dataType.simpleString} vs " +
+                  s"table ${t.dataType.simpleString})")
+            }
+            require(diverged.isEmpty,
+              s"upsert('$name'): source column types diverge from the " +
+                s"table schema: ${diverged.mkString("; ")}")
+          }
           val (keyField, srcRange) = sourceKeyRange(tSchema, source, keys.head)
           val candidates = (keyField, srcRange) match {
             case (Some(kf), Some(src)) =>
