@@ -96,7 +96,8 @@ object SparkEntry {
     ops.Wave62.queries ++
     ops.Wave63.queries ++
     ops.Wave64.queries ++
-    ops.Wave65.queries
+    ops.Wave65.queries ++
+    ops.Wave66.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -180,5 +181,6 @@ object SparkEntry {
     ops.Wave62.oracles ++
     ops.Wave63.oracles ++
     ops.Wave64.oracles ++
-    ops.Wave65.oracles
+    ops.Wave65.oracles ++
+    ops.Wave66.oracles
 }
