@@ -97,7 +97,8 @@ object SparkEntry {
     ops.Wave63.queries ++
     ops.Wave64.queries ++
     ops.Wave65.queries ++
-    ops.Wave66.queries
+    ops.Wave66.queries ++
+    ops.Wave67.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -182,5 +183,6 @@ object SparkEntry {
     ops.Wave63.oracles ++
     ops.Wave64.oracles ++
     ops.Wave65.oracles ++
-    ops.Wave66.oracles
+    ops.Wave66.oracles ++
+    ops.Wave67.oracles
 }
