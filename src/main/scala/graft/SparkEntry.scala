@@ -98,7 +98,8 @@ object SparkEntry {
     ops.Wave64.queries ++
     ops.Wave65.queries ++
     ops.Wave66.queries ++
-    ops.Wave67.queries
+    ops.Wave67.queries ++
+    ops.Wave68.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -184,5 +185,6 @@ object SparkEntry {
     ops.Wave64.oracles ++
     ops.Wave65.oracles ++
     ops.Wave66.oracles ++
-    ops.Wave67.oracles
+    ops.Wave67.oracles ++
+    ops.Wave68.oracles
 }
