@@ -100,7 +100,8 @@ object SparkEntry {
     ops.Wave66.queries ++
     ops.Wave67.queries ++
     ops.Wave68.queries ++
-    ops.Wave69.queries
+    ops.Wave69.queries ++
+    ops.Wave70.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -188,5 +189,6 @@ object SparkEntry {
     ops.Wave66.oracles ++
     ops.Wave67.oracles ++
     ops.Wave68.oracles ++
-    ops.Wave69.oracles
+    ops.Wave69.oracles ++
+    ops.Wave70.oracles
 }
