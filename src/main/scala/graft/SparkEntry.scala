@@ -101,7 +101,8 @@ object SparkEntry {
     ops.Wave67.queries ++
     ops.Wave68.queries ++
     ops.Wave69.queries ++
-    ops.Wave70.queries
+    ops.Wave70.queries ++
+    ops.Wave71.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -190,5 +191,6 @@ object SparkEntry {
     ops.Wave67.oracles ++
     ops.Wave68.oracles ++
     ops.Wave69.oracles ++
-    ops.Wave70.oracles
+    ops.Wave70.oracles ++
+    ops.Wave71.oracles
 }
