@@ -102,7 +102,8 @@ object SparkEntry {
     ops.Wave68.queries ++
     ops.Wave69.queries ++
     ops.Wave70.queries ++
-    ops.Wave71.queries
+    ops.Wave71.queries ++
+    ops.Wave72.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -192,5 +193,6 @@ object SparkEntry {
     ops.Wave68.oracles ++
     ops.Wave69.oracles ++
     ops.Wave70.oracles ++
-    ops.Wave71.oracles
+    ops.Wave71.oracles ++
+    ops.Wave72.oracles
 }
