@@ -103,7 +103,10 @@ object SparkEntry {
     ops.Wave69.queries ++
     ops.Wave70.queries ++
     ops.Wave71.queries ++
-    ops.Wave72.queries
+    ops.Wave72.queries ++
+    ops.Wave73.queries ++
+    ops.Wave74.queries ++
+    ops.Wave75.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -194,5 +197,8 @@ object SparkEntry {
     ops.Wave69.oracles ++
     ops.Wave70.oracles ++
     ops.Wave71.oracles ++
-    ops.Wave72.oracles
+    ops.Wave72.oracles ++
+    ops.Wave73.oracles ++
+    ops.Wave74.oracles ++
+    ops.Wave75.oracles
 }

@@ -378,7 +378,7 @@ object LlmPipeline {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un"),
     "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den"))
 
-  private def hits(lang: String): Column =
+  private[ops] def hits(lang: String): Column =
     size(array_intersect(array_distinct(tokens(col("text"))),
       typedLit(stop(lang)))).cast("bigint")
 

@@ -28,41 +28,14 @@ object Wave30 {
     * O(sqrt(|E|)), so the wedge fan-out never explodes on hubs (the
     * trick that makes triangle counting feasible at web scale; here the
     * graph is catalog-sized but the plan is the 100 TB one). Exact
-    * integer degrees and counts throughout. */
+    * integer degrees and counts throughout. The edge list and the
+    * oriented wedge closure live in the shared [[BrandGraph]] kernel
+    * (materialized once per session, also feeding the per-node
+    * clustering coefficients). */
   private val graphTriangles: Q = (s, dir) => {
-    val basket = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey"))
-      .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand").as("brand")),
-        col("l_partkey") === col("p_partkey"))
-      .select("ok", "brand").distinct()
-    val totals = basket.agg(countDistinct("ok").as("n_orders"))
-    val edges = basket.as("a")
-      .join(basket.as("b"), col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
-      .groupBy(col("a.brand").as("u"), col("b.brand").as("v"))
-      .agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(totals))
-      .filter(col("cnt") * 50 >= col("n_orders"))
-      .select("u", "v")
-    val deg = edges.select(col("u").as("x")).unionByName(edges.select(col("v").as("x")))
-      .groupBy("x").agg(count(lit(1)).as("d"))
-    // orient low-degree -> high-degree (ties broken by name)
-    val du = deg.select(col("x").as("u"), col("d").as("du"))
-    val dv = deg.select(col("x").as("v"), col("d").as("dv"))
-    val oriented = edges.join(broadcast(du), "u").join(broadcast(dv), "v")
-      .select(
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("u"))
-          .otherwise(col("v")).as("src"),
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("v"))
-          .otherwise(col("u")).as("dst"))
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
-    // the closing edge may be oriented either way between b and c
-    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
-      .unionByName(oriented.select(col("dst").as("b"), col("src").as("c")))
-    val tri = wedges.join(closing, Seq("b", "c")).agg(count(lit(1)).as("n_triangles"))
+    val edges = BrandGraph.edges(s, dir)
+    val deg = BrandGraph.degrees(s, dir)
+    val tri = BrandGraph.triangles(s, dir).agg(count(lit(1)).as("n_triangles"))
     tri.crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
       .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
       .select("n_triangles", "n_edges", "n_nodes")
