@@ -106,7 +106,8 @@ object SparkEntry {
     ops.Wave72.queries ++
     ops.Wave73.queries ++
     ops.Wave74.queries ++
-    ops.Wave75.queries
+    ops.Wave75.queries ++
+    ops.Wave76.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -200,5 +201,6 @@ object SparkEntry {
     ops.Wave72.oracles ++
     ops.Wave73.oracles ++
     ops.Wave74.oracles ++
-    ops.Wave75.oracles
+    ops.Wave75.oracles ++
+    ops.Wave76.oracles
 }

@@ -1,0 +1,245 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry.Q
+import graft.engine.Tables
+
+/** Round-6 wave 76: trained gates + graph influence — 1-feature
+  * logistic regression by Newton/IRLS (the trained twin of the
+  * decision stump: same feature, now a calibrated probability), and
+  * personalized PageRank from the hub brand (the "what else moves
+  * with this product" influence read), both as fixed-superstep
+  * iterations whose state is micro/nano-quantized integers so every
+  * step is engine-exact.
+  */
+object Wave76 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- ml_logreg_newton: 1-feature logistic regression -----------------
+
+  /** Logistic regression of is-English on the en-stopword share by 6
+    * Newton/IRLS steps. Per step: ONE aggregation over the cached
+    * (x_milli, y) table builds the exact-integer sufficient statistics
+    * (per-row score/weight contributions nano-rounded BEFORE summing —
+    * the attribution_markov discipline), the 2×2 Newton solve is one
+    * exact integer rational per coefficient (unit bookkeeping:
+    * Δb0 = (W11·G0 − W01·G1)/D, Δb1 = 1000·(W00·G1 − W01·G0)/D,
+    * D = W00·W11 − W01²), sign-magnitude micro-quantized into the
+    * micro-integer coefficients. The logistic link itself runs on
+    * η = (b0µ·1000 + b1µ·x_m)/1e9 — one exact long numerator, one
+    * double division, identical IEEE in both engines. Output: fitted
+    * coefficients, training accuracy and the confusion counts of the
+    * σ(η) > 1/2 gate (exact integers). */
+  private val mlLogregNewton: Q = (s, dir) => {
+    val base = t(s, dir, "documents").select(
+      (col("lang") === "en").cast("long").as("y"),
+      expr("""(2 * 1000 * size(array_intersect(array_distinct(
+          filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')),
+          array('the','and','of','to','in','is','a','that')))
+        + size(filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')))
+        div (2 * size(filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')))"""
+        .replaceAll("\\s+", " ")).as("x_m"))
+      .localCheckpoint()
+    var b = s.range(1).select(lit(0L).as("b0m"), lit(0L).as("b1m"))
+    for (_ <- 1 to 6) {
+      val stats = base.crossJoin(broadcast(b))
+        .withColumn("mu", lit(1.0) /
+          (lit(1.0) + exp(-((col("b0m") * 1000 + col("b1m") * col("x_m"))
+            .cast("double") / 1e9))))
+        .withColumn("gn", round((col("y") - col("mu")) * 1e9).cast("long"))
+        .withColumn("wn", round(col("mu") * (lit(1.0) - col("mu")) * 1e9)
+          .cast("long"))
+        .groupBy("b0m", "b1m")
+        .agg(sum(expr("cast(gn as decimal(38,0))")).as("g0"),
+          sum(expr("cast(gn as decimal(38,0)) * x_m")).as("g1"),
+          sum(expr("cast(wn as decimal(38,0))")).as("w00"),
+          sum(expr("cast(wn as decimal(38,0)) * x_m")).as("w01"),
+          sum(expr("cast(wn as decimal(38,0)) * x_m * x_m")).as("w11"))
+      b = stats
+        .withColumn("dd", expr("w00 * w11 - w01 * w01"))
+        .withColumn("n0", expr("w11 * g0 - w01 * g1"))
+        .withColumn("n1", expr("(w00 * g1 - w01 * g0) * 1000"))
+        .select(
+          (col("b0m") + expr("case when dd = 0 then 0 else " +
+            "cast(case when n0 < 0 then -((2 * abs(n0) * 1000000 + dd) div (2 * dd)) " +
+            "else (2 * abs(n0) * 1000000 + dd) div (2 * dd) end as long) end"))
+            .as("b0m"),
+          (col("b1m") + expr("case when dd = 0 then 0 else " +
+            "cast(case when n1 < 0 then -((2 * abs(n1) * 1000000 + dd) div (2 * dd)) " +
+            "else (2 * abs(n1) * 1000000 + dd) div (2 * dd) end as long) end"))
+            .as("b1m"))
+        .localCheckpoint()
+    }
+    base.crossJoin(broadcast(b))
+      .withColumn("pred", (col("b0m") * 1000 + col("b1m") * col("x_m")) > 0)
+      .agg(first("b0m").as("b0m"), first("b1m").as("b1m"),
+        count(lit(1)).as("n"),
+        sum(when(col("pred") && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("y") === 0, 1L).otherwise(0L)).as("tn"),
+        sum(when(!col("pred") && col("y") === 1, 1L).otherwise(0L)).as("fn"))
+      .select(
+        (col("b0m").cast("double") / 1e6).as("b0"),
+        (col("b1m").cast("double") / 1e6).as("b1"),
+        col("n"), col("tp"), col("fp"), col("tn"), col("fn"),
+        expr("cast((2 * (tp + tn) * 1000000 + n) div (2 * n) as double)")
+          .divide(lit(1e6)).as("accuracy"))
+  }
+
+  private val mlLogregNewtonOracle: String = {
+    val dBase =
+      """SELECT CAST(lang = 'en' AS BIGINT) AS y,
+        |    (2 * 1000 * len(list_intersect(list_distinct(
+        |        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |          x -> x <> '')),
+        |        ['the','and','of','to','in','is','a','that']))
+        |      + len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |          x -> x <> '')))
+        |      // (2 * len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |          x -> x <> ''))) AS x_m
+        |  FROM documents""".stripMargin
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT
+         |    b0m + CASE WHEN dd = 0 THEN 0 ELSE CAST(
+         |      (CASE WHEN n0 < 0 THEN -1 ELSE 1 END) *
+         |      ((2 * abs(n0) * 1000000 + dd) // (2 * dd)) AS BIGINT) END AS b0m,
+         |    b1m + CASE WHEN dd = 0 THEN 0 ELSE CAST(
+         |      (CASE WHEN n1 < 0 THEN -1 ELSE 1 END) *
+         |      ((2 * abs(n1) * 1000000 + dd) // (2 * dd)) AS BIGINT) END AS b1m
+         |  FROM (
+         |    SELECT b0m, b1m, w00 * w11 - w01 * w01 AS dd,
+         |      w11 * g0 - w01 * g1 AS n0, (w00 * g1 - w01 * g0) * 1000 AS n1
+         |    FROM (
+         |      SELECT b0m, b1m,
+         |        SUM(gn::HUGEINT) AS g0, SUM(gn::HUGEINT * x_m) AS g1,
+         |        SUM(wn::HUGEINT) AS w00, SUM(wn::HUGEINT * x_m) AS w01,
+         |        SUM(wn::HUGEINT * x_m * x_m) AS w11
+         |      FROM (
+         |        SELECT b0m, b1m, x_m, y,
+         |          CAST(round((y - mu) * 1e9) AS BIGINT) AS gn,
+         |          CAST(round(mu * (1 - mu) * 1e9) AS BIGINT) AS wn
+         |        FROM (
+         |          SELECT b0m, b1m, x_m, y,
+         |            1 / (1 + exp(-(CAST(b0m * 1000 + b1m * x_m AS DOUBLE) / 1e9)))
+         |              AS mu
+         |          FROM d, $prev))
+         |      GROUP BY b0m, b1m)))""".stripMargin
+    val steps = (1 to 6).map(i => step(if (i == 1) "s0" else s"s${i - 1}", s"s$i"))
+      .mkString(",\n")
+    s"""WITH d AS MATERIALIZED ($dBase),
+       |s0 AS (SELECT CAST(0 AS BIGINT) AS b0m, CAST(0 AS BIGINT) AS b1m),
+       |$steps
+       |SELECT CAST(b0m AS DOUBLE) / 1e6 AS b0, CAST(b1m AS DOUBLE) / 1e6 AS b1,
+       |  n, tp, fp, tn, fn,
+       |  CAST((2 * (tp + tn) * 1000000 + n) // (2 * n) AS DOUBLE) / 1e6
+       |    AS accuracy
+       |FROM (
+       |  SELECT b0m, b1m, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN b0m * 1000 + b1m * x_m > 0 AND y = 1
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN b0m * 1000 + b1m * x_m > 0 AND y = 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN b0m * 1000 + b1m * x_m <= 0 AND y = 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |    CAST(SUM(CASE WHEN b0m * 1000 + b1m * x_m <= 0 AND y = 1
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM d, s6 GROUP BY 1, 2)""".stripMargin
+  }
+
+  // ---- graph_ppr: personalized PageRank from the hub brand -------------
+
+  /** Personalized PageRank on the brand co-purchase graph, seeded at
+    * the max-degree brand (ties by name), damping 17/20, 8 supersteps
+    * — ALL arithmetic on nano-integer rank mass (per-neighbor share =
+    * half-up integer division by degree; 0.85 = the exact rational
+    * 17/20), so every superstep is engine-bit-identical with no float
+    * anywhere. The rank table is model-sized (one row per brand);
+    * edges come from the shared materialized [[BrandGraph]]. Rounding
+    * leaks sub-nano mass per step by design — conservation is asserted
+    * in the spec up to that documented slack. */
+  private val graphPpr: Q = (s, dir) => {
+    val edges = BrandGraph.edges(s, dir)
+    val both = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
+    val deg = BrandGraph.degrees(s, dir)
+    val seed = deg.orderBy(desc("d"), asc("x")).limit(1)
+      .select(col("x").as("seed"))
+    val nodes = deg.crossJoin(broadcast(seed))
+      .select(col("x"), col("d"), (col("x") === col("seed")).as("is_seed"))
+      .localCheckpoint()
+    var r = nodes.select(col("x"),
+      when(col("is_seed"), lit(1000000000L)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to 8) {
+      val contrib = both
+        .join(r.withColumnRenamed("x", "src"), "src")
+        .join(nodes.select(col("x").as("src"), col("d")), "src")
+        .select(col("dst").as("x"),
+          expr("(2 * r + d) div (2 * d)").as("c"))
+        .groupBy("x").agg(sum("c").as("inflow"))
+      r = nodes.select("x", "is_seed")
+        .join(contrib, Seq("x"), "left")
+        .withColumn("inflow", coalesce(col("inflow"), lit(0L)))
+        .select(col("x"),
+          (expr("(2 * 17 * inflow + 20) div (2 * 20)") +
+            when(col("is_seed"), lit(150000000L)).otherwise(lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    r.join(nodes.select("x", "d", "is_seed"), "x")
+      .select(col("x").as("brand"), col("d").as("degree"), col("is_seed"),
+        (col("r").cast("double") / 1e9).as("ppr"))
+      .orderBy(desc("r"), asc("brand"))
+  }
+
+  private val graphPprOracle: String = {
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT n.x,
+         |    (2 * 17 * COALESCE(i.inflow, 0) + 20) // (2 * 20)
+         |      + CASE WHEN n.is_seed THEN 150000000 ELSE 0 END AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS x, SUM((2 * p.r + d.d) // (2 * d.d)) AS inflow
+         |    FROM bidir e JOIN $prev p ON p.x = e.src
+         |    JOIN deg d ON d.x = e.src
+         |    GROUP BY 1) i ON i.x = n.x)""".stripMargin
+    val steps = (1 to 8).map(i => step(if (i == 1) "r0" else s"r${i - 1}", s"r$i"))
+      .mkString(",\n")
+    s"""WITH basket AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |tot AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM basket),
+       |edges AS MATERIALIZED (
+       |  SELECT a.brand AS u, b.brand AS v
+       |  FROM basket a JOIN basket b ON a.ok = b.ok AND a.brand < b.brand
+       |  GROUP BY 1, 2
+       |  HAVING count(*) * 50 >= (SELECT n_orders FROM tot)),
+       |bidir AS (SELECT u AS src, v AS dst FROM edges
+       |  UNION ALL SELECT v, u FROM edges),
+       |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
+       |  SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges) GROUP BY 1),
+       |seed AS (SELECT x AS sd FROM deg ORDER BY d DESC, x LIMIT 1),
+       |nodes AS (SELECT deg.x, deg.d, deg.x = (SELECT sd FROM seed) AS is_seed
+       |  FROM deg),
+       |r0 AS (SELECT x, CASE WHEN is_seed THEN CAST(1000000000 AS BIGINT)
+       |  ELSE 0 END AS r FROM nodes),
+       |$steps
+       |SELECT n.x AS brand, n.d AS degree, n.is_seed,
+       |  CAST(r.r AS DOUBLE) / 1e9 AS ppr
+       |FROM r8 r JOIN nodes n USING (x)
+       |ORDER BY r.r DESC, brand""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ml_logreg_newton" -> mlLogregNewton,
+    "graph_ppr" -> graphPpr
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ml_logreg_newton" -> mlLogregNewtonOracle,
+    "graph_ppr" -> graphPprOracle
+  )
+}
