@@ -107,7 +107,8 @@ object SparkEntry {
     ops.Wave73.queries ++
     ops.Wave74.queries ++
     ops.Wave75.queries ++
-    ops.Wave76.queries
+    ops.Wave76.queries ++
+    ops.Wave77.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -202,5 +203,6 @@ object SparkEntry {
     ops.Wave73.oracles ++
     ops.Wave74.oracles ++
     ops.Wave75.oracles ++
-    ops.Wave76.oracles
+    ops.Wave76.oracles ++
+    ops.Wave77.oracles
 }
