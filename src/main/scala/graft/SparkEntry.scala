@@ -108,7 +108,8 @@ object SparkEntry {
     ops.Wave74.queries ++
     ops.Wave75.queries ++
     ops.Wave76.queries ++
-    ops.Wave77.queries
+    ops.Wave77.queries ++
+    ops.Wave78.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -204,5 +205,6 @@ object SparkEntry {
     ops.Wave74.oracles ++
     ops.Wave75.oracles ++
     ops.Wave76.oracles ++
-    ops.Wave77.oracles
+    ops.Wave77.oracles ++
+    ops.Wave78.oracles
 }

@@ -1,0 +1,245 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry.Q
+import graft.engine.Tables
+
+/** Round-6 wave 78: sequential smoothing + community structure —
+  * Holt double-exponential smoothing of the daily activity series
+  * (level + trend + h-step forecast: the classical operational
+  * forecast the one-shot regression queries can't express), and one
+  * local-move sweep of Louvain community detection on the brand
+  * co-purchase graph (singleton init, exact ΔQ sign test — the first
+  * and most informative pass of the modularity-greedy family).
+  */
+object Wave78 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- timeseries_holt: double exponential smoothing -------------------
+
+  /** Holt linear smoothing (α = β = 1/2) of daily event value per
+    * type, run as one integer superstep per calendar day: state =
+    * (level, trend, Σ|one-step error|) in milli-cents, every halving
+    * sign-magnitude half-up rounded so each of the ~29 steps is
+    * engine-bit-identical. The state table is model-sized (one row per
+    * type); each step joins exactly one calendar slice of the cached
+    * daily table (a day the type missed carries state forward
+    * unchanged). Output: final level/trend, the 7-day-ahead forecast
+    * and the one-step MAE — the honesty column for whether the
+    * smoother actually tracked the series. */
+  private val timeseriesHolt: Q = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("cast(floor(unix_timestamp(ts) / 86400) as long)").as("day"),
+        expr("cast(round(value * 100) as long)").as("c"))
+      .groupBy("event_type", "day").agg(sum("c").as("yc"))
+      .withColumn("idx", row_number().over(
+        Window.partitionBy("event_type").orderBy("day")))
+      .withColumn("y", col("yc") * 1000)
+      .localCheckpoint()
+    val tMax = daily.agg(max("idx")).head.getInt(0)
+    require(tMax <= 366, s"timeseries_holt: $tMax daily steps - cap the window")
+    def smHalf(c: String): String =
+      s"cast(sign($c) as long) * ((2 * abs($c) + 2) div 4)"
+    var st = daily.filter(col("idx") === 1)
+      .select(col("event_type"), col("y").as("l"))
+      .join(daily.filter(col("idx") === 2)
+        .select(col("event_type"), col("y").as("y2")), Seq("event_type"), "left")
+      .select(col("event_type"), col("l"),
+        coalesce(col("y2") - col("l"), lit(0L)).as("tr"),
+        lit(0L).as("errsum"), lit(0L).as("nerr"))
+      .localCheckpoint()
+    for (tt <- 2 to tMax) {
+      st = st
+        .join(daily.filter(col("idx") === tt).select(col("event_type"), col("y")),
+          Seq("event_type"), "left")
+        .withColumn("e", when(col("y").isNull, lit(null))
+          .otherwise(abs(col("y") - (col("l") + col("tr")))))
+        .withColumn("lnew", when(col("y").isNull, col("l"))
+          .otherwise(expr(smHalf("(y + l + tr)"))))
+        .withColumn("trnew", when(col("y").isNull, col("tr"))
+          .otherwise(expr(smHalf("(tr + (lnew - l))"))))
+        .select(col("event_type"), col("lnew").as("l"), col("trnew").as("tr"),
+          (col("errsum") + coalesce(col("e"), lit(0L))).as("errsum"),
+          (col("nerr") + when(col("e").isNull, 0L).otherwise(1L)).as("nerr"))
+        .localCheckpoint()
+    }
+    st.select(col("event_type"), col("nerr").as("n_steps"),
+        (col("l").cast("double") / 1000).as("level_c"),
+        (col("tr").cast("double") / 1000).as("trend_c"),
+        ((col("l") + col("tr") * 7).cast("double") / 1000).as("forecast7_c"),
+        expr("cast((2 * errsum * 1000 + nerr) div (2 * nerr) as double)")
+          .divide(lit(1e6)).as("mae_c"))
+      .orderBy("event_type")
+  }
+
+  private val timeseriesHoltOracle: String = {
+    def smHalf(c: String): String =
+      s"CAST(sign($c) AS HUGEINT) * ((2 * abs($c) + 2) // 4)"
+    def step(prev: String, cur: String, tt: Int): String =
+      s"""$cur AS (
+         |  SELECT event_type, l2 AS l,
+         |    CASE WHEN ynull THEN tr ELSE ${smHalf("(tr + (l2 - l))")} END AS tr,
+         |    errsum, nerr
+         |  FROM (
+         |    SELECT p.event_type, p.l, p.tr, d.y IS NULL AS ynull,
+         |      CASE WHEN d.y IS NULL THEN p.l
+         |        ELSE ${smHalf("(d.y + p.l + p.tr)")} END AS l2,
+         |      p.errsum + COALESCE(abs(d.y - (p.l + p.tr)), 0) AS errsum,
+         |      p.nerr + CASE WHEN d.y IS NULL THEN 0 ELSE 1 END AS nerr
+         |    FROM $prev p LEFT JOIN (SELECT event_type, y FROM daily
+         |      WHERE idx = $tt) d USING (event_type)))""".stripMargin
+    // tMax is pinned to the fixture's 30-day calendar; the Spark side
+    // derives it from the data and the spec cross-checks both agree
+    val steps = (2 to 30).map(i => step(if (i == 2) "s1" else s"s${i - 1}", s"s$i", i))
+      .mkString(",\n")
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT event_type, day,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS idx,
+       |    yc * 1000 AS y
+       |  FROM (
+       |    SELECT event_type, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+       |      SUM(CAST(round(value * 100) AS BIGINT)) AS yc
+       |    FROM events GROUP BY 1, 2)),
+       |s1 AS (
+       |  SELECT a.event_type, a.y AS l,
+       |    COALESCE(b.y - a.y, 0) AS tr,
+       |    CAST(0 AS HUGEINT) AS errsum, CAST(0 AS BIGINT) AS nerr
+       |  FROM (SELECT event_type, y FROM daily WHERE idx = 1) a
+       |  LEFT JOIN (SELECT event_type, y FROM daily WHERE idx = 2) b
+       |    USING (event_type)),
+       |$steps
+       |SELECT event_type, nerr AS n_steps,
+       |  CAST(l AS DOUBLE) / 1000 AS level_c,
+       |  CAST(tr AS DOUBLE) / 1000 AS trend_c,
+       |  CAST(l + 7 * tr AS DOUBLE) / 1000 AS forecast7_c,
+       |  CAST((2 * errsum * 1000 + nerr) // (2 * nerr) AS DOUBLE) / 1e6 AS mae_c
+       |FROM s30 ORDER BY event_type""".stripMargin
+  }
+
+  // ---- graph_community_move: one Louvain local-move sweep --------------
+
+  /** One synchronous local-move sweep of Louvain over the brand
+    * co-purchase graph from singleton communities: node i joins its
+    * best neighbor j iff the exact ΔQ sign test 2m − d_i·d_j > 0 holds
+    * (argmax of ΔQ over neighbors = min d_j, ties by name — all
+    * integer), the chosen edges' undirected components become the
+    * communities (min-label propagation, 12 fixed double-hops — a
+    * provable bound, since the brand graph is catalog-sized and the
+    * guard enforces it), and each community reports its exact
+    * modularity contribution (the Wave60 micro rationals). */
+  private val graphCommunityMove: Q = (s, dir) => {
+    val edges = BrandGraph.edges(s, dir).localCheckpoint()
+    val bidir = edges.select(col("u").as("i"), col("v").as("j"))
+      .unionByName(edges.select(col("v").as("i"), col("u").as("j")))
+    val deg = BrandGraph.degrees(s, dir)
+    val m = edges.count()
+    val nNodes = deg.count()
+    require(nNodes <= 64,
+      s"graph_community_move: $nNodes nodes - the label loop bound assumes a catalog-sized graph")
+    val dj = deg.select(col("x").as("j"), col("d").as("dj"))
+    val di = deg.select(col("x").as("i"), col("d").as("di"))
+    val choice = bidir.join(broadcast(dj), "j").join(broadcast(di), "i")
+      .filter(lit(2L * m) > col("di") * col("dj"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("i").orderBy(asc("dj"), asc("j"))))
+      .filter(col("rk") === 1)
+      .select("i", "j")
+    val chosen = choice.unionByName(choice.select(col("j").as("i"), col("i").as("j")))
+      .distinct().localCheckpoint()
+    // min-label propagation: 12 x 2 hops covers any diameter <= 24,
+    // and the require above bounds the graph at 64 nodes
+    var lbl = deg.select(col("x").as("v")).withColumn("lbl", col("v"))
+      .localCheckpoint()
+    def hop(l: DataFrame): DataFrame =
+      l.unionByName(
+          chosen.join(l.withColumnRenamed("v", "i"), "i")
+            .select(col("j").as("v"), col("lbl")))
+        .groupBy("v").agg(min("lbl").as("lbl"))
+    for (_ <- 1 to 12) lbl = hop(hop(lbl)).localCheckpoint()
+    // per-community modularity contribution: e_c/m - (sum d_c / 2m)^2,
+    // micro-quantized as ONE integer rational (4m^2 common denominator)
+    val withC = lbl.select(col("v"), col("lbl").as("community"))
+    val degC = deg.join(withC, deg("x") === withC("v"))
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum("d").as("d_sum"))
+    val eC = edges
+      .join(withC.select(col("v").as("u"), col("community").as("cu")), "u")
+      .join(withC.select(col("v"), col("community").as("cv")), "v")
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("e_in"))
+    degC.join(eC, Seq("community"), "left")
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("m"))))
+      .withColumn("qnum", expr("4 * e_in * m - d_sum * d_sum"))
+      .withColumn("qmag", expr("(2 * abs(qnum) * 1000000 + 4 * m * m) div (2 * 4 * m * m)"))
+      .select(col("community"), col("n_nodes"), col("e_in"), col("d_sum"),
+        (when(col("qnum") < 0, -col("qmag")).otherwise(col("qmag"))
+          .cast("double") / 1e6).as("q_contrib"))
+      .orderBy("community")
+  }
+
+  private val graphCommunityMoveOracle =
+    """WITH RECURSIVE basket AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |tot AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM basket),
+      |edges AS MATERIALIZED (
+      |  SELECT a.brand AS u, b.brand AS v
+      |  FROM basket a JOIN basket b ON a.ok = b.ok AND a.brand < b.brand
+      |  GROUP BY 1, 2
+      |  HAVING count(*) * 50 >= (SELECT n_orders FROM tot)),
+      |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+      |bidir AS (SELECT u AS i, v AS j FROM edges UNION ALL SELECT v, u FROM edges),
+      |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
+      |  SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges) GROUP BY 1),
+      |choice AS (
+      |  SELECT i, j FROM (
+      |    SELECT b.i, b.j,
+      |      row_number() OVER (PARTITION BY b.i ORDER BY dj.d, b.j) AS rk
+      |    FROM bidir b
+      |    JOIN deg di ON di.x = b.i JOIN deg dj ON dj.x = b.j, mm
+      |    WHERE 2 * mm.m > di.d * dj.d)
+      |  WHERE rk = 1),
+      |chosen AS (SELECT DISTINCT i, j FROM (
+      |  SELECT i, j FROM choice UNION ALL SELECT j, i FROM choice)),
+      |reach(v, r) AS (
+      |  SELECT x, x FROM deg
+      |  UNION
+      |  SELECT c.j, r.r FROM reach r JOIN chosen c ON c.i = r.v),
+      |lbl AS (SELECT v, MIN(r) AS community FROM reach GROUP BY v),
+      |degc AS (
+      |  SELECT community, CAST(count(*) AS BIGINT) AS n_nodes,
+      |    CAST(SUM(d) AS BIGINT) AS d_sum
+      |  FROM deg JOIN lbl ON lbl.v = deg.x GROUP BY 1),
+      |ec AS (
+      |  SELECT lu.community, CAST(count(*) AS BIGINT) AS e_in
+      |  FROM edges e JOIN lbl lu ON lu.v = e.u JOIN lbl lv ON lv.v = e.v
+      |  WHERE lu.community = lv.community GROUP BY 1)
+      |SELECT community, n_nodes, e_in, d_sum,
+      |  CAST((CASE WHEN qnum < 0 THEN -1 ELSE 1 END) *
+      |    ((2 * abs(qnum) * 1000000 + den) // (2 * den))
+      |    AS DOUBLE) / 1e6 AS q_contrib
+      |FROM (
+      |  SELECT d.community, d.n_nodes, COALESCE(ec.e_in, 0) AS e_in, d.d_sum,
+      |    4 * COALESCE(ec.e_in, 0)::HUGEINT * m - d.d_sum::HUGEINT * d.d_sum
+      |      AS qnum,
+      |    4 * m::HUGEINT * m AS den
+      |  FROM degc d LEFT JOIN ec ON ec.community = d.community, mm)
+      |ORDER BY community""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "timeseries_holt" -> timeseriesHolt,
+    "graph_community_move" -> graphCommunityMove
+  )
+
+  val oracles: Map[String, String] = Map(
+    "timeseries_holt" -> timeseriesHoltOracle,
+    "graph_community_move" -> graphCommunityMoveOracle
+  )
+}
