@@ -109,7 +109,8 @@ object SparkEntry {
     ops.Wave75.queries ++
     ops.Wave76.queries ++
     ops.Wave77.queries ++
-    ops.Wave78.queries
+    ops.Wave78.queries ++
+    ops.Wave79.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -206,5 +207,6 @@ object SparkEntry {
     ops.Wave75.oracles ++
     ops.Wave76.oracles ++
     ops.Wave77.oracles ++
-    ops.Wave78.oracles
+    ops.Wave78.oracles ++
+    ops.Wave79.oracles
 }
