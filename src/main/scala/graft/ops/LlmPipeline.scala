@@ -405,16 +405,13 @@ object LlmPipeline {
   /** Corpus bigram frequencies — the n-gram half of text analysis
     * (SURVEY §2.10): sliding window over the token array, one explode +
     * one groupBy. */
-  private val textBigrams: Q = (s, dir) => {
-    val toks = tokens(col("text"))
-    val bigrams = transform(sequence(lit(0), greatest(size(toks) - 2, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(2))))
-    docs(s, dir)
-      .select(explode(bigrams).as("bigram"))
-      .filter(instr(col("bigram"), " ") > 0)
-      .groupBy("bigram").agg(count(lit(1)).as("n"))
+  private val textBigrams: Q = (s, dir) =>
+    // rides the shared materialized bigram count kernel (same tokenizer,
+    // same pair extraction — the kernel only holds real two-token pairs)
+    TextKernels.bigramCounts(s, dir)
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("c12").as("n"))
       .orderBy("bigram")
-  }
 
   /** Quality scoring: length, punctuation ratio, stopword ratio →
     * composite score. Exact double arithmetic end to end. */

@@ -132,14 +132,10 @@ object Wave42 {
     * broadcasts. Reports the 20 most frequent bigrams with their
     * smoothed probability. */
   private val textKneserNey: Q = (s, dir) => {
-    val toks = LlmPipeline.tokens(col("text"))
-    val prs = transform(sequence(lit(0), greatest(size(toks) - 2, lit(0))),
-      i => struct(get(toks, i).as("w1"), get(toks, i + 1).as("w2")))
-    val pairs = t(s, dir, "documents")
-      .select(explode(prs).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .filter(col("w1").isNotNull && col("w2").isNotNull)
-    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // the bigram count table feeds FOUR readers (left/right marginals,
+    // the grand total and the final join) and two other LM queries —
+    // it comes from the shared materialized TextKernels pass
+    val big = TextKernels.bigramCounts(s, dir)
     val left = big.groupBy("w1")
       .agg(sum("c12").as("c1"), count(lit(1)).as("n1fw"))
     val right = big.groupBy("w2").agg(count(lit(1)).as("n1bw"))

@@ -38,7 +38,14 @@ object Wave48 {
       .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
       .distinct()
       .localCheckpoint()
-    for (_ <- 1 to PeelRounds) {
+    // peeling is monotone: an unchanged edge count proves the surviving
+    // set is unchanged (subset + equal size), i.e. the fixpoint — so the
+    // driver stops early instead of running no-op rounds (the count is a
+    // cheap metadata read off the just-materialized checkpoint). The
+    // 12-round cap stays as the bound the oracle unrolls to.
+    var prevCount = edges.count()
+    var converged = false
+    for (_ <- 1 to PeelRounds if !converged) {
       val cDeg = edges.groupBy("c").agg(count(lit(1)).as("dc"))
         .filter(col("dc") >= K)
       val pDeg = edges.groupBy("p").agg(count(lit(1)).as("dp"))
@@ -47,6 +54,9 @@ object Wave48 {
         .join(cDeg.select("c"), Seq("c"), "left_semi")
         .join(pDeg.select("p"), Seq("p"), "left_semi")
         .localCheckpoint()
+      val n = edges.count()
+      converged = n == prevCount
+      prevCount = n
     }
     val cOut = edges.groupBy("c").agg(count(lit(1)).as("degree"))
       .select(lit("customer").as("side"), col("c").as("id"), col("degree"))

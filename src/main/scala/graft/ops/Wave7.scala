@@ -76,8 +76,12 @@ object Wave7 {
     val docs = t(s, dir, "documents")
     val pp = bigramPairs(docs)
     val pf = pp.groupBy("doc_id", "prev", "tok").agg(count(lit(1)).as("tf"))
-    val c2 = pp.groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
-    val c1 = pp.groupBy("prev").agg(count(lit(1)).as("c1"))
+    // the model side (c2/c1) derives from the shared materialized bigram
+    // count table — c1 = Σ_tok c12 is exactly the pair count per prev
+    val counts = TextKernels.bigramCounts(s, dir)
+      .select(col("w1").as("prev"), col("w2").as("tok"), col("c12"))
+    val c2 = counts.select(col("prev"), col("tok"), col("c12").as("c2"))
+    val c1 = counts.groupBy("prev").agg(sum("c12").as("c1"))
     val vv = docs.select(explode(toks(col("text"))).as("token"))
       .agg(countDistinct("token").cast("double").as("v"))
     val addend = round(col("tf") *
