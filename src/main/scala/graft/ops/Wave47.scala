@@ -42,14 +42,18 @@ object Wave47 {
       .agg(count(lit(1)).as("w"))
       .localCheckpoint()
     def normQ(df: DataFrame, key: String, raw: String): DataFrame = {
-      val q = df.withColumn("q", signum(col(raw)).cast(DecimalType(38, 0)) *
+      // pin the RAW scores (the data-sized edge join runs once); the
+      // norm aggregate and the quantized division then derive narrowly
+      // from the model-sized pinned table — previously the agg and the
+      // checkpoint each re-ran the edge join (2 data passes/half-step)
+      val pinned = df.localCheckpoint()
+      val q = pinned.withColumn("q", signum(col(raw)).cast(DecimalType(38, 0)) *
         expr(s"abs($raw) div 1000"))
       val n2 = q.agg(sum(col("q") * col("q")).as("n2"))
       q.crossJoin(broadcast(n2))
         .select(col(key),
           floor(col("q").cast("double") * 1e9 /
             sqrt(col("n2").cast("double")) + 0.5).cast("long").as("v"))
-        .localCheckpoint()
     }
     var h = edges.select(col("c")).distinct()
       .withColumn("v", lit(1000000000L)).localCheckpoint()

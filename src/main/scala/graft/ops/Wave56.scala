@@ -173,7 +173,13 @@ object Wave56 {
         .select(col("v").as(cn),
           (lit(2L) * col("sacc") - col("c") + 1).as(s"r_$cn"))
     }
-    val wr = cols0.foldLeft(li)((df, cn) => df.join(ranks(cn), cn))
+    // join the one unbounded-domain rank map (extendedprice: near-unique
+    // per row) first as the shuffle join, then BROADCAST the two
+    // bounded-domain maps (quantity: ~50 distinct cent values, discount:
+    // ~11) — the frame reshuffles once instead of three times
+    val wr = li.join(ranks("e"), "e")
+      .join(broadcast(ranks("q")), "q")
+      .join(broadcast(ranks("d")), "d")
     val prods = cols0.map(c => (Seq(c, c), s"q_$c")) ++
       cols0.combinations(2).map { case Seq(a, b) => (Seq(a, b), s"p_${a}_$b") }
     val withP = wr.select(cols0.map(c => col(s"r_$c")) ++
