@@ -111,7 +111,8 @@ object SparkEntry {
     ops.Wave77.queries ++
     ops.Wave78.queries ++
     ops.Wave79.queries ++
-    ops.Wave80.queries
+    ops.Wave80.queries ++
+    ops.Wave81.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -210,5 +211,6 @@ object SparkEntry {
     ops.Wave77.oracles ++
     ops.Wave78.oracles ++
     ops.Wave79.oracles ++
-    ops.Wave80.oracles
+    ops.Wave80.oracles ++
+    ops.Wave81.oracles
 }
