@@ -62,8 +62,12 @@ object BrandGraph {
   /** Every triangle exactly once as (a, b, c): oriented wedges
     * (a->b, a->c with b < c) closed by an edge in either
     * orientation. */
-  def triangles(s: SparkSession, dir: String): DataFrame = {
-    val o = oriented(s, dir)
+  def triangles(s: SparkSession, dir: String): DataFrame =
+    trianglesOf(oriented(s, dir))
+
+  /** Triangle enumeration over an arbitrary oriented edge set — the
+    * k-truss peel re-runs this on its shrinking edge list. */
+  def trianglesOf(o: DataFrame): DataFrame = {
     val wedges = o.as("e1")
       .join(o.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))

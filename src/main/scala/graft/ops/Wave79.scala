@@ -22,10 +22,14 @@ object Wave79 {
   // ---- eval_perplexity_kn: held-out KN bigram cross-entropy ------------
 
   private def bigramsOf(df: DataFrame, extra: Column*): DataFrame = {
-    val toks = LlmPipeline.tokens(col("text"))
-    val prs = transform(sequence(lit(0), greatest(size(toks) - 2, lit(0))),
-      i => struct(get(toks, i).as("w1"), get(toks, i + 1).as("w2")))
-    df.select(extra :+ explode(prs).as("p"): _*)
+    // bind the token array to a column FIRST: inlining the tokenizer
+    // into the lambda re-runs the regex split per element access
+    // (O(tokens²) — the Wave7.bigramPairs lesson)
+    val tk = col("__tk")
+    val prs = transform(sequence(lit(0), greatest(size(tk) - 2, lit(0))),
+      i => struct(get(tk, i).as("w1"), get(tk, i + 1).as("w2")))
+    df.withColumn("__tk", LlmPipeline.tokens(col("text")))
+      .select(extra :+ explode(prs).as("p"): _*)
       .withColumn("w1", col("p.w1")).withColumn("w2", col("p.w2"))
       .drop("p")
       .filter(col("w1").isNotNull && col("w2").isNotNull)
@@ -43,9 +47,13 @@ object Wave79 {
   private val evalPerplexityKn: Q = (s, dir) => {
     val d = t(s, dir, "documents")
       .withColumn("split", Hashing.splitOf(col("text")))
-    val trainBi = bigramsOf(d.filter(col("split") === "train"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("split").isin("train", "val"))
+    // ONE tokenize+explode pass builds both splits' bigram tables
+    val allBi = bigramsOf(d, col("split"), col("source"))
+      .groupBy("split", "source", "w1", "w2").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
+    val trainBi = allBi.filter(col("split") === "train")
+      .groupBy("w1", "w2").agg(sum("cnt").as("c12"))
     val left = trainBi.groupBy("w1")
       .agg(sum("c12").as("c1"), count(lit(1)).as("n1fw"))
     val right = trainBi.groupBy("w2").agg(count(lit(1)).as("n1bw"))
@@ -53,8 +61,8 @@ object Wave79 {
       .crossJoin(broadcast(
         trainBi.select(col("w1").as("w")).union(trainBi.select(col("w2")))
           .distinct().agg(count(lit(1)).as("v"))))
-    val valBi = bigramsOf(d.filter(col("split") === "val"), col("source"))
-      .groupBy("source", "w1", "w2").agg(count(lit(1)).as("cnt"))
+    val valBi = allBi.filter(col("split") === "val")
+      .select("source", "w1", "w2", "cnt")
     val pc = (coalesce(col("n1bw"), lit(0L)).cast("double") + 1.0) /
       (col("tt") + col("v")).cast("double")
     val pKn =
