@@ -63,10 +63,13 @@ object Corpus {
     val tokStats = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
       .groupBy("doc_id")
       .agg(sum("n").as("n_tok"), count(lit(1)).as("n_distinct"), max("n").as("max_n"))
-    val toks = LlmPipeline.tokens(col("text"))
-    val bigrams = transform(sequence(lit(0), greatest(size(toks) - 2, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(2))))
-    val biStats = d.select(col("doc_id"), explode(bigrams).as("b"))
+    // bind the token array first: inlining the tokenizer into the
+    // lambda re-splits the text per element access (O(tokens^2))
+    val tk = col("__tk")
+    val bigrams = transform(sequence(lit(0), greatest(size(tk) - 2, lit(0))),
+      i => concat_ws(" ", slice(tk, i + 1, lit(2))))
+    val biStats = d.withColumn("__tk", LlmPipeline.tokens(col("text")))
+      .select(col("doc_id"), explode(bigrams).as("b"))
       .filter(instr(col("b"), " ") > 0)
       .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
       .groupBy("doc_id")
@@ -88,13 +91,15 @@ object Corpus {
     * hash is the shuffle key; output is (passage_md5, n_docs, example
     * doc). At 100 TB: one explode + one groupBy, partitioned by hash. */
   private val dedupPassage: Q = (s, dir) => {
-    val toks = LlmPipeline.tokens(col("text"))
-    val nWin = (size(toks) / 8).cast("int")
+    // bound token column — the O(tokens^2) inline-tokenizer trap
+    val tk = col("__tk")
+    val nWin = (size(tk) / 8).cast("int")
     val passages = when(nWin >= 1,
         transform(sequence(lit(0), nWin - 1),
-          i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8)))))
+          i => concat_ws(" ", slice(tk, i * 8 + 1, lit(8)))))
       .otherwise(array().cast("array<string>"))
     docs(s, dir)
+      .withColumn("__tk", LlmPipeline.tokens(col("text")))
       .select(col("doc_id"), explode(passages).as("passage"))
       .filter(size(split(col("passage"), " ")) === 8)
       .groupBy(md5(col("passage").cast("binary")).as("passage_md5"))

@@ -70,16 +70,18 @@ object LlmPipeline {
     * detection linear-ish at 100 TB (SURVEY §2.10 dedup_minhash).
     * Engine-specific hashing → rows-only check + MinHashSpec. */
   def minhashSignatures(d: DataFrame, k: Int): DataFrame = {
-    val toks = tokens(col("text"))
+    // bound token column — the O(tokens^2) inline-tokenizer trap
+    val tk = col("__tk")
     val shingles = array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - 3, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+      sequence(lit(0), greatest(size(tk) - 3, lit(0))),
+      i => concat_ws(" ", slice(tk, i + 1, lit(3)))))
     // Explode shingles once, then k min-aggregates in ONE groupBy: each
     // shingle string is constructed and scanned a single time, each of the
     // k permutation hashes is an O(1) xxhash64 per shingle. (A nested
     // transform(sequence(k), p -> array_min(...)) re-builds the shingle
     // array k times per row — 60x slower at sf0.1.)
-    val exploded = d.select(col("doc_id"), explode(shingles).as("sh"))
+    val exploded = d.withColumn("__tk", tokens(col("text")))
+      .select(col("doc_id"), explode(shingles).as("sh"))
     val mins = (0 until k).map(p => min(xxhash64(lit(p), col("sh"))).as(s"m$p"))
     exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until k).map(p => col(s"m$p")): _*).as("sig"))
@@ -131,16 +133,17 @@ object LlmPipeline {
       s"minhash-md5-pairs:$dir") {
     val k = 32; val bands = 8; val r = k / bands
     val d = docs(s, dir)
-    val toks = tokens(col("text"))
+    val tk = col("__tk")
     val shingles = array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - 3, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+      sequence(lit(0), greatest(size(tk) - 3, lit(0))),
+      i => concat_ws(" ", slice(tk, i + 1, lit(3)))))
     // ONE md5 per shingle (the 60-bit portable hash, truncated to 30 bits
     // so every permutation below stays in exact signed-64 arithmetic on
     // any engine), then k universal-hash permutations (a·h+b) mod 2^31-1 —
     // a multiply-add-mod per perm instead of k md5s per shingle
     // (measured ~3.5x cheaper at sf0.1).
-    val sg = d.select(col("doc_id"), explode(shingles).as("sh"))
+    val sg = d.withColumn("__tk", tokens(col("text")))
+      .select(col("doc_id"), explode(shingles).as("sh"))
       .withColumn("h",
         Hashing.md5Long(col("sh").cast("binary")) % lit(minhashHBits))
     val mins = minhashPerms.take(k).zipWithIndex.map { case ((a, b), p) =>

@@ -80,11 +80,13 @@ object Wave37 {
     * singleton shingles dies in the partial aggregate's map-side
     * combine. Top 20 via TakeOrderedAndProject (no global sort). */
   private val textBoilerplate: Q = (s, dir) => {
-    val toks = LlmPipeline.tokens(col("text"))
+    // bound token column — the O(tokens^2) inline-tokenizer trap
+    val tk = col("__tk")
     val shingles = array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - 5, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(5)))))
+      sequence(lit(0), greatest(size(tk) - 5, lit(0))),
+      i => concat_ws(" ", slice(tk, i + 1, lit(5)))))
     t(s, dir, "documents")
+      .withColumn("__tk", LlmPipeline.tokens(col("text")))
       .select(col("doc_id"), col("source"), explode(shingles).as("sh"))
       .filter(size(split(col("sh"), " ")) === 5)
       .groupBy("sh")
