@@ -114,7 +114,8 @@ object SparkEntry {
     ops.Wave80.queries ++
     ops.Wave81.queries ++
     ops.Wave82.queries ++
-    ops.Wave83.queries
+    ops.Wave83.queries ++
+    ops.Wave84.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -216,5 +217,6 @@ object SparkEntry {
     ops.Wave80.oracles ++
     ops.Wave81.oracles ++
     ops.Wave82.oracles ++
-    ops.Wave83.oracles
+    ops.Wave83.oracles ++
+    ops.Wave84.oracles
 }
