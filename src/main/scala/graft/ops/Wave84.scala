@@ -26,7 +26,7 @@ object Wave84 {
   /** The wave-74 exact Gini machinery, per branch: cells (branch,
     * feature, bucket, n, pos) → bounded-domain cumulative window →
     * micro-quantized weighted impurity → argmin (g, bucket, feature). */
-  private def bestSplits(cells: DataFrame): DataFrame = {
+  private[ops] def bestSplits(cells: DataFrame): DataFrame = {
     // totals per (branch, feature): the cell table carries each row
     // once PER FEATURE, so a branch-only total would triple-count
     val tot = cells.groupBy("branch", "feature")
