@@ -115,7 +115,9 @@ object SparkEntry {
     ops.Wave81.queries ++
     ops.Wave82.queries ++
     ops.Wave83.queries ++
-    ops.Wave84.queries
+    ops.Wave84.queries ++
+    ops.Wave85.queries ++
+    ops.Wave86.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -218,5 +220,7 @@ object SparkEntry {
     ops.Wave81.oracles ++
     ops.Wave82.oracles ++
     ops.Wave83.oracles ++
-    ops.Wave84.oracles
+    ops.Wave84.oracles ++
+    ops.Wave85.oracles ++
+    ops.Wave86.oracles
 }

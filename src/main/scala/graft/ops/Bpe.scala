@@ -234,7 +234,8 @@ object Bpe {
        |  FROM (SELECT DISTINCT token FROM tok)),
        |$vStages,
        |enc AS (SELECT token, array_to_string(syms, ' ') AS enc, CAST(len(syms) AS BIGINT) AS n_sym FROM v$Rounds)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, SUM(n_sym) AS n_bpe,
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe,
        |  md5(string_agg(enc, ' ' ORDER BY pos)) AS stream_md5
        |FROM tok JOIN enc USING (token)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin

@@ -128,7 +128,8 @@ object Wave74 {
       |    AS rk FROM g),
       |w AS (SELECT * FROM best WHERE rk = 1),
       |winner AS (SELECT feature AS wf FROM w ORDER BY g_micro, feature LIMIT 1)
-      |SELECT feature, b AS threshold_bucket, nl AS n_left, pl AS pos_left,
+      |SELECT feature, b AS threshold_bucket,
+      |  CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
       |  CAST(g_micro AS DOUBLE) / 1e6 AS gini_split,
       |  CAST(base_micro AS DOUBLE) / 1e6 AS gini_base,
       |  CAST(base_micro - g_micro AS DOUBLE) / 1e6 AS gain,

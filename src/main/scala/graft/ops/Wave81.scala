@@ -142,7 +142,7 @@ object Wave81 {
        |  SELECT event_type, true_n,
        |    CAST(${g("a")} - ${g("b")} AS BIGINT) AS noise
        |  FROM c)
-       |SELECT event_type, 1.0 AS eps, true_n, noise,
+       |SELECT event_type, CAST(1.0 AS DOUBLE) AS eps, true_n, noise,
        |  true_n + noise AS released_n
        |FROM n ORDER BY event_type""".stripMargin
   }

@@ -183,7 +183,8 @@ object Wave83 {
       |      AS start
       |  FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb
       |        FROM documents))
-      |SELECT start // 65536 AS shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |SELECT CAST(start // 65536 AS BIGINT) AS shard_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(nb) AS BIGINT) AS payload_bytes,
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
       |  CAST(MIN(start) AS BIGINT) AS start_offset

@@ -62,9 +62,9 @@ object Wave85 {
   private val textGenerateGreedyOracle: String = {
     def step(prev: String, cur: String, k: Int): String =
       s"""$cur AS (
-         |  SELECT CAST($k AS BIGINT) AS step, w2 AS token, pn
+         |  SELECT CAST($k AS BIGINT) AS step, w2 AS token, probs.pn AS pn
          |  FROM probs JOIN $prev p ON probs.w1 = p.token
-         |  ORDER BY pn DESC, w2 LIMIT 1)""".stripMargin
+         |  ORDER BY probs.pn DESC, w2 LIMIT 1)""".stripMargin
     val steps = (1 to 10).map(k =>
       step(if (k == 1) "s0" else s"s${k - 1}", s"s$k", k)).mkString(",\n")
     val sel = (0 to 10).map(k => s"SELECT * FROM s$k").mkString("\nUNION ALL ")

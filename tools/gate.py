@@ -92,8 +92,21 @@ def main() -> int:
         rows = len(g) == len(w)
         schema = list(g.columns) == list(w.columns)
         vals = rows and schema and values_match(g, w)
-        status = "OK" if (rows and schema and vals) else \
-            f"FAIL rows={rows} schema={schema} vals={vals} " \
+        # the driver's hash is dtype-sensitive across the int/float line:
+        # a DuckDB HUGEINT (SUM, //) lands in pandas as float64 and
+        # hash-mismatches a Spark long even when every value is equal.
+        # Catch that here so it never reaches the driver.
+        dtype_bad = []
+        if schema:
+            for c in g.columns:
+                gi = pd.api.types.is_integer_dtype(g[c])
+                wi = pd.api.types.is_integer_dtype(w[c])
+                gf = pd.api.types.is_float_dtype(g[c])
+                wf = pd.api.types.is_float_dtype(w[c])
+                if (gi and wf) or (gf and wi):
+                    dtype_bad.append(f"{c}:{g[c].dtype}vs{w[c].dtype}")
+        status = "OK" if (rows and schema and vals and not dtype_bad) else \
+            f"FAIL rows={rows} schema={schema} vals={vals} dtype={dtype_bad} " \
             f"({len(g)} vs {len(w)}; cols {list(g.columns)} vs {list(w.columns)})"
         print(f"{name}: {status}")
         if status != "OK":
