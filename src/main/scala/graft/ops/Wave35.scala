@@ -122,26 +122,54 @@ object Wave35 {
   /** Containment dedup: pairs where the SMALLER token set is >= 80%
     * inside the union — |A∩B| / min(|A|,|B|) >= 0.8 — the asymmetric
     * criterion that catches a short doc quoted inside a long one,
-    * which symmetric Jaccard scores near |A|/|B| and misses. Same
-    * candidate machinery as dedup_ngram_jaccard: (lang, source)-block
-    * the token equi-join so fan-out is bounded by the block, count
-    * intersections in one hash aggregate, and confirm with exact
-    * integer arithmetic (inter·5 >= 4·min). No size-ratio pruning —
-    * containment deliberately pairs very different sizes, which is
-    * the point. At 100 TB the block key is the shuffle key and the
-    * candidate count is linear-ish in the corpus, never all-pairs. */
+    * which symmetric Jaccard scores near |A|/|B| and misses. No
+    * size-ratio pruning — containment deliberately pairs very
+    * different sizes, which is the point.
+    *
+    * Candidate stage is the Wave54 PPJoin prefix filter adapted to
+    * the asymmetric threshold: tokens rank by ascending global
+    * document frequency ((df, w) — a total order), and the SMALLER
+    * doc of a qualifying pair must share one of its first
+    * n − ⌈0.8n⌉ + 1 rarest tokens with the larger doc (containment
+    * ≥ 0.8 leaves < 0.2n + 1 tokens of A outside B, so any
+    * ⌊0.2n⌋ + 1 of A's tokens hit B). Candidates therefore come from
+    * prefix(smaller) ⋈ all-tokens(larger) inside the (lang, source)
+    * block — exact, and bounded per token by the df of PREFIX tokens,
+    * which ascending-df ranking keeps small: the r06 form joined the
+    * full token stream to itself, so one common token inside a block
+    * went quadratic at corpus scale. The confirm stage recounts the
+    * intersection over candidate pairs only (equi-join on (pair, w),
+    * so only intersection tokens materialize), with exact integer
+    * arithmetic (inter·5 >= 4·min). */
   private val dedupContainment: Q = (s, dir) => {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(LlmPipeline.tokens(col("text"))).as("toks"))
-    val sizes = d.select(col("doc_id"), size(col("toks")).cast("bigint").as("sz"))
     val tok = d.select(col("doc_id"), col("lang"), col("source"),
-      explode(col("toks")).as("w"))
-    val inter = tok.as("a").join(tok.as("b"),
+        size(col("toks")).cast("bigint").as("sz"), explode(col("toks")).as("w"))
+      .localCheckpoint()
+    val sizes = d.select(col("doc_id"), size(col("toks")).cast("bigint").as("sz"))
+    val dfRank = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    // prefix length for tau = 0.8: n - ceil(4n/5) + 1
+    val prefix = tok.join(dfRank, "w")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("w"))))
+      .filter(col("rn") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("sz"), col("w"))
+    val cand = prefix.as("a").join(tok.as("b"),
         col("a.w") === col("b.w") && col("a.lang") === col("b.lang") &&
           col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") &&
+              col("a.doc_id") < col("b.doc_id"))))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
+      .distinct()
+    val inter = cand
+      .join(tok.select(col("doc_id").as("i"), col("w")), "i")
+      .join(tok.select(col("doc_id").as("j"), col("w")), Seq("j", "w"))
+      .groupBy("i", "j")
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("sz", "szi"), "i")

@@ -38,64 +38,65 @@ object Wave45 {
     * eigenvalue, both from exact rational rounding. */
   private val embedPcaPower: Q = (s, dir) => {
     def d38(c: Column) = c.cast(DecimalType(38, 0))
-    val e = t(s, dir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("vec_id"), col("dim"),
-        floor(col("x").cast("double") * 1e9 + 0.5).cast("long").as("xn"))
-    val a = e.select(col("vec_id"), col("dim").as("i"), col("xn").as("xi"))
-    val b = e.select(col("vec_id").as("vid_b"), col("dim").as("j"), col("xn").as("xj"))
-    // Gram cells, milli-scaled: Mq = truncdiv(Σ xi·xj, 1e9) — exact,
-    // sign-symmetric truncation toward zero on both engines
-    val cells = a.join(b, col("vec_id") === col("vid_b"))
+    // Gram cells from a NARROW per-row outer product: quantize the
+    // vector once, flatten the 64×64 in-row product table, and feed it
+    // straight into a partially-aggregating groupBy — no join, no
+    // rows×dim shuffle (the r06 plan self-joined the exploded table on
+    // vec_id: two rows×64 shuffles before the dims² aggregate). The
+    // shuffle now carries at most 4096 cells per map partition.
+    // Products stay inside long (xi,xj ≤ ~5e8·1e9-scale ⇒ |xi·xj| ≤
+    // ~2.5e17); the cross-row sum widens to DECIMAL(38,0) as before.
+    val q = t(s, dir, "embeddings")
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 1e9 + 0.5).cast("long")).as("xq"))
+    val cells = q
+      .select(posexplode(flatten(transform(col("xq"),
+        xi => transform(col("xq"), xj => xi * xj)))).as(Seq("k", "p")))
+      .select(expr("cast(k div 64 as int)").as("i"),
+        expr("cast(k % 64 as int)").as("j"), col("p"))
       .groupBy("i", "j")
-      .agg(sum(d38(col("xi")) * col("xj")).as("m_raw"))
+      .agg(sum(d38(col("p"))).as("m_raw"))
       .withColumn("m", signum(col("m_raw")).cast(DecimalType(38, 0)) *
         expr("abs(m_raw) div 1000000000"))
       .select("i", "j", "m")
-      .localCheckpoint()
-    // v0 = all-ones (nano units); 12 exact supersteps
-    var v = cells.select(col("i").as("dim")).distinct()
-      .withColumn("v", lit(1000000000L))
-      .localCheckpoint()
+    // The Gram matrix is dims² = 64×64 — MODEL-sized — so the 12
+    // power-iteration supersteps run on the DRIVER in exact BigInt
+    // (the Ivf.train trained-model contract): identical integer
+    // arithmetic to the r06 distributed loop (which paid ~24 tiny
+    // checkpoint/broadcast jobs for 4096-row inputs — pure scheduler
+    // overhead), and still bit-identical to the DuckDB oracle's CTE
+    // chain. Data-sized work is exactly two jobs: the Gram pass and
+    // the row count.
+    import s.implicits._
+    val m: Map[(Int, Int), BigInt] = cells.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        BigInt(r.getDecimal(2).toBigInteger))).toMap
+    val dims = m.keys.map(_._1).toSeq.distinct.sorted
+    def matvec(v: Map[Int, Long]): Map[Int, BigInt] =
+      dims.map(i => i ->
+        dims.map(j => m.getOrElse((i, j), BigInt(0)) * v(j)).sum).toMap
+    var v: Map[Int, Long] = dims.map(_ -> 1000000000L).toMap
     for (_ <- 1 to Iters) {
-      val w = cells.join(v, cells("j") === v("dim"))
-        .groupBy(cells("i").as("wd"))
-        .agg(sum(col("m") * col("v")).as("w"))
-        // truncate so norm² stays inside DECIMAL(38,0)
-        .withColumn("wq", signum(col("w")).cast(DecimalType(38, 0)) *
-          expr("abs(w) div 1000000000000"))
-      val nrm = w.agg(sum(col("wq") * col("wq")).as("n2"))
-      v = w.crossJoin(broadcast(nrm))
-        .select(col("wd").as("dim"),
-          floor(col("wq").cast("double") * 1e9 /
-            sqrt(col("n2").cast("double")) + 0.5).cast("long").as("v"))
-        .localCheckpoint()
+      val wq = matvec(v).map { case (i, x) =>
+        i -> x.signum * (x.abs / BigInt(1000000000000L)) }
+      val n2 = wq.values.map(x => x * x).sum
+      v = dims.map(i => i ->
+        math.floor(wq(i).toDouble * 1e9 / math.sqrt(n2.toDouble) + 0.5)
+          .toLong).toMap
     }
-    // Rayleigh quotient λ = (v·Mq·v)/(v·v), reported per-row in original
-    // units: divide by (1e9·n_rows); exact rational half-up at 6 dp
-    val wFin = cells.join(v, cells("j") === v("dim"))
-      .groupBy(cells("i").as("wd"))
-      .agg(sum(col("m") * col("v")).as("w"))
-    val vw = wFin.join(v, col("wd") === col("dim"))
-      .agg(sum(col("w") * col("v")).as("num_raw"), sum(d38(col("v")) * col("v")).as("vv"))
-    val nRows = t(s, dir, "embeddings").agg(count(lit(1)).as("n_rows"))
-    val lam = vw.crossJoin(nRows)
-      // λ = num_raw / (vv · 1e9 · n); truncate num first to keep the
-      // rational rounding inside DECIMAL(38,0). Spark's `div` returns
-      // BIGINT (would overflow here), so truncate via exact decimal
-      // pmod-subtract-divide on the absolute value instead.
-      .withColumn("numAbs", abs(col("num_raw")))
-      .withColumn("num2", signum(col("num_raw")).cast(DecimalType(38, 0)) *
-        ((col("numAbs") - pmod(col("numAbs"), lit(1000000L))) / lit(1000000L))
-          .cast(DecimalType(38, 0)))
-      .withColumn("den2", col("vv") * col("n_rows") * lit(1000L))
-      .withColumn("lam_micro",
-        signum(col("num2")).cast(DecimalType(38, 0)) *
-          expr("(2 * abs(num2) * 1000000 + den2) div (2 * den2)"))
-      .select((col("lam_micro").cast("double") / 1e6).as("eigenvalue"))
-    v.crossJoin(broadcast(lam))
-      .select(col("dim"), (col("v").cast("double") / 1e9).as("loading"),
-        col("eigenvalue"))
+    // Rayleigh quotient λ = (v·Mq·v)/(v·v), in original units: divide
+    // by (1e9·n_rows); exact rational half-up at 6 dp
+    val wFin = matvec(v)
+    val numRaw = dims.map(i => wFin(i) * v(i)).sum
+    val vv = dims.map(i => BigInt(v(i)) * v(i)).sum
+    val nRows = t(s, dir, "embeddings").count()
+    val num2 = numRaw.signum * (numRaw.abs / 1000000L)
+    val den2 = vv * nRows * 1000L
+    val lamMicro = num2.signum *
+      ((2 * num2.abs * 1000000L + den2) / (2 * den2))
+    val eigenvalue = lamMicro.toDouble / 1e6
+    dims.map(i => (i, v(i).toDouble / 1e9, eigenvalue))
+      .toDF("dim", "loading", "eigenvalue")
       .orderBy("dim")
   }
 

@@ -118,68 +118,62 @@ object Wave82 {
         "cast(sign(m * 1000 - mm) as long) * ((2 * abs(m * 1000 - mm) * 1000 + sd) div (2 * sd))")
         .as("z"))
       .localCheckpoint()
-    var st = s.range(1).select(
-      lit(500000L).as("p1"), lit(-1000L).as("mu1"), lit(1000000L).as("v1"),
-      lit(1000L).as("mu2"), lit(1000000L).as("v2"))
+    // EM state is 5 longs — MODEL-sized driver state (the Ivf.train
+    // contract), so each superstep is ONE aggregate-collect job over
+    // the checkpointed z table with the parameters inlined as
+    // literals. The r06 form broadcast a 1-row state frame and
+    // localCheckpoint'd it every round: same arithmetic, 2× the jobs
+    // (13 → 8), and the 11.6 s warm bench entry was pure job overhead.
+    // The E-step expression is unchanged, so rn (and the output hash)
+    // is bit-identical; the M-step's decimal `div` rationals are
+    // replayed exactly in BigInt (both truncate toward zero, and every
+    // operand here is non-negative after the sign split).
+    var p1 = 500000L; var mu1 = -1000L; var v1 = 1000000L
+    var mu2 = 1000L; var v2 = 1000000L
+    def scored = zs
+      .withColumn("t1", lit(p1.toDouble / 1e6) *
+        exp(-((col("z") - lit(mu1)) * (col("z") - lit(mu1)))
+          .cast("double") / lit(2.0 * v1)) / lit(math.sqrt(v1.toDouble)))
+      .withColumn("t2", lit((1000000L - p1).toDouble / 1e6) *
+        exp(-((col("z") - lit(mu2)) * (col("z") - lit(mu2)))
+          .cast("double") / lit(2.0 * v2)) / lit(math.sqrt(v2.toDouble)))
+      .withColumn("rn",
+        round(col("t1") / (col("t1") + col("t2")) * 1e9).cast("long"))
     for (_ <- 1 to 6) {
-      val scored = zs.crossJoin(broadcast(st))
-        .withColumn("t1", (col("p1").cast("double") / 1e6) *
-          exp(-((col("z") - col("mu1")) * (col("z") - col("mu1")))
-            .cast("double") / (lit(2.0) * col("v1"))) /
-          sqrt(col("v1").cast("double")))
-        .withColumn("t2", ((lit(1000000L) - col("p1")).cast("double") / 1e6) *
-          exp(-((col("z") - col("mu2")) * (col("z") - col("mu2")))
-            .cast("double") / (lit(2.0) * col("v2"))) /
-          sqrt(col("v2").cast("double")))
-        .withColumn("rn",
-          round(col("t1") / (col("t1") + col("t2")) * 1e9).cast("long"))
-      val agg = scored.groupBy("p1", "mu1", "v1", "mu2", "v2").agg(
+      val r = scored.agg(
         count(lit(1)).as("n"),
         sum("rn").as("s1"),
         sum(expr("cast(rn as decimal(38,0)) * z")).as("z1"),
         sum(expr("cast(rn as decimal(38,0)) * z * z")).as("q1"),
         sum(expr("cast(1000000000 - rn as decimal(38,0)) * z")).as("z2"),
         sum(expr("cast(1000000000 - rn as decimal(38,0)) * z * z")).as("q2"))
-      def mStep(sCol: String, zCol: String, qCol: String, muOld: String,
-          vOld: String): (String, String) = {
-        val mu = s"""case when $sCol = 0 then $muOld else
-          cast(cast(sign($zCol) as long) *
-            ((2 * abs($zCol) + $sCol) div (2 * $sCol)) as long) end"""
-          .replaceAll("\\s+", " ")
-        val v = s"""case when $sCol = 0 then $vOld else
-          greatest(cast((2 * $qCol + $sCol) div (2 * $sCol) as long)
-            - ($mu) * ($mu), 10000) end""".replaceAll("\\s+", " ")
-        (mu, v)
+        .collect()(0)
+      val n = BigInt(r.getLong(0))
+      val s1 = BigInt(r.getLong(1))
+      def big(i: Int) = BigInt(r.getDecimal(i).toBigInteger)
+      val (z1, q1, z2, q2) = (big(2), big(3), big(4), big(5))
+      val s2 = n * 1000000000L - s1
+      def mStep(sc: BigInt, zc: BigInt, qc: BigInt, muOld: Long,
+          vOld: Long): (Long, Long) = {
+        if (sc == 0) (muOld, vOld)
+        else {
+          val mu = (zc.signum * ((2 * zc.abs + sc) / (2 * sc))).toLong
+          val v = math.max(
+            ((2 * qc + sc) / (2 * sc)).toLong - mu * mu, 10000L)
+          (mu, v)
+        }
       }
-      val (mu1e, v1e) = mStep("s1", "z1", "q1", "mu1", "v1")
-      val (mu2e, v2e) =
-        mStep("(cast(n as decimal(38,0)) * 1000000000 - s1)", "z2", "q2",
-          "mu2", "v2")
-      st = agg.select(
-          expr("(2 * s1 + n * 1000) div (2 * n * 1000)").cast("long").as("p1"),
-          expr(mu1e).as("mu1"), expr(v1e).as("v1"),
-          expr(mu2e).as("mu2"), expr(v2e).as("v2"))
-        .localCheckpoint()
+      p1 = ((2 * s1 + n * 1000) / (2 * n * 1000)).toLong
+      val (m1, w1) = mStep(s1, z1, q1, mu1, v1); mu1 = m1; v1 = w1
+      val (m2, w2) = mStep(s2, z2, q2, mu2, v2); mu2 = m2; v2 = w2
     }
-    val fin = zs.crossJoin(broadcast(st))
-      .withColumn("t1", (col("p1").cast("double") / 1e6) *
-        exp(-((col("z") - col("mu1")) * (col("z") - col("mu1")))
-          .cast("double") / (lit(2.0) * col("v1"))) /
-        sqrt(col("v1").cast("double")))
-      .withColumn("t2", ((lit(1000000L) - col("p1")).cast("double") / 1e6) *
-        exp(-((col("z") - col("mu2")) * (col("z") - col("mu2")))
-          .cast("double") / (lit(2.0) * col("v2"))) /
-        sqrt(col("v2").cast("double")))
-      .withColumn("rn",
-        round(col("t1") / (col("t1") + col("t2")) * 1e9).cast("long"))
-    fin.groupBy("p1", "mu1", "v1", "mu2", "v2")
-      .agg(count(lit(1)).as("n"), sum("rn").as("soft1"))
+    scored.agg(count(lit(1)).as("n"), sum("rn").as("soft1"))
       .select(col("n"),
-        (col("p1").cast("double") / 1e6).as("pi1"),
-        (col("mu1").cast("double") / 1000).as("mu1_sigma"),
-        round(sqrt(col("v1").cast("double")) / 1000, 6).as("sd1_sigma"),
-        (col("mu2").cast("double") / 1000).as("mu2_sigma"),
-        round(sqrt(col("v2").cast("double")) / 1000, 6).as("sd2_sigma"),
+        (lit(p1).cast("double") / 1e6).as("pi1"),
+        (lit(mu1).cast("double") / 1000).as("mu1_sigma"),
+        round(sqrt(lit(v1).cast("double")) / 1000, 6).as("sd1_sigma"),
+        (lit(mu2).cast("double") / 1000).as("mu2_sigma"),
+        round(sqrt(lit(v2).cast("double")) / 1000, 6).as("sd2_sigma"),
         round(col("soft1").cast("double") / 1e9, 3).as("soft_count1"))
   }
 

@@ -37,14 +37,9 @@ object Wave86 {
   private val duckQ =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
 
-  /** Exact integer dot of the bound array column against a literal. */
+  /** Exact integer dot of array column `v` against a literal. */
   private def dotLit(v: Column, c: Array[Long]): Column =
     aggregate(zip_with(v, typedLit(c.toSeq), (x, y) => x * y),
-      lit(0L), (a, x) => a + x)
-
-  /** Exact integer squared-L2 of the bound array column vs a literal. */
-  private def l2Lit(v: Column, c: Array[Long]): Column =
-    aggregate(zip_with(v, typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
       lit(0L), (a, x) => a + x)
 
   /** md5-ordered seed rows: the k vectors with lexicographically
@@ -70,12 +65,19 @@ object Wave86 {
   private val simIvfMd5: Q = (s, dir) => {
     val e = qemb(s, dir)
     val cents = md5Seeds(e, "#ivf", 16)
-    val dots = cents.map(c => dotLit(col("q"), c))
-    val mx = greatest(dots: _*)
-    val cell = dots.zipWithIndex.tail
-      .foldLeft(when(dots.head === mx, 0)) { case (acc, (d, i)) =>
-        acc.when(d === mx, i) }
-    val assigned = e.withColumn("cell", cell.cast("int"))
+    // all 16 centroid dots in ONE bound array column (each dot
+    // evaluates exactly once per row — a flat 16×64-term expression
+    // tree or a when-chain over unbound dots both blow codegen past
+    // the JIT limit and run slower interpreted); argmax via
+    // array_position(first max) keeps the ties-to-lowest-cell rule
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val assigned = e
+      .withColumn("ds", transform(centsLit,
+        c => aggregate(zip_with(col("q"), c, (x, y) => x * y),
+          lit(0L), (a, x) => a + x)))
+      .withColumn("cell",
+        (array_position(col("ds"), array_max(col("ds"))) - 1).cast("int"))
+      .select("vec_id", "q", "cell")
     val qv = e.filter(col("vec_id") === 0).select("q").collect()(0)
       .getSeq[Long](0).toArray
     // probe set: exact driver-side integer argmax over k model rows
@@ -143,22 +145,28 @@ object Wave86 {
       cw(sub).map(c => qs.zip(c).map { case (a, b) =>
         (a - b) * (a - b) }.sum)
     }
-    // bind each subvector once, then 16 codeword L2s + argmin per sub
-    val withSubs = (0 until 8).foldLeft(e) { (df, sub) =>
-      df.withColumn(s"s$sub", slice(col("q"), 8 * sub + 1, 8))
+    // Per subspace, all 16 codeword L2²s live in ONE bound array
+    // column, so each evaluates exactly once per row (the naive form —
+    // 16 unbound L2 expressions re-read by least() and every when()
+    // branch — re-evaluated each ~40× per row, shipped 76 MiB task
+    // binaries, and ran 77 s at sf0.1; this form runs ~2 s). The
+    // stored code is argmin = array_position(first min), ties to the
+    // lowest code; the ADC contribution is one element_at into the
+    // 16-entry literal distance table.
+    val bound = (0 until 8).foldLeft(e) { (df, sub) =>
+      val cwLit = typedLit(cw(sub).map(_.toSeq).toSeq)
+      df.withColumn(s"l2_$sub", transform(cwLit,
+        c => aggregate(
+          zip_with(slice(col("q"), 8 * sub + 1, 8), c,
+            (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, x) => a + x)))
     }
     val adist = (0 until 8).map { sub =>
-      val l2s = cw(sub).map(c => l2Lit(col(s"s$sub"), c))
-      val mn = least(l2s: _*)
-      val code = l2s.zipWithIndex.tail
-        .foldLeft(when(l2s.head === mn, 0)) { case (acc, (d, j)) =>
-          acc.when(d === mn, j) }
-      val lut = qdt(sub).zipWithIndex.tail
-        .foldLeft(when(code === 0, qdt(sub)(0))) { case (acc, (d, j)) =>
-          acc.when(code === j, d) }
-      lut
+      element_at(typedLit(qdt(sub).toSeq),
+        array_position(col(s"l2_$sub"), array_min(col(s"l2_$sub")))
+          .cast("int"))
     }.reduce(_ + _)
-    withSubs.filter(col("vec_id") =!= 0)
+    bound.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), adist.as("adist"))
       .orderBy(asc("adist"), asc("vec_id"))
       .limit(10)
