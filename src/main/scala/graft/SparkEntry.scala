@@ -117,7 +117,9 @@ object SparkEntry {
     ops.Wave83.queries ++
     ops.Wave84.queries ++
     ops.Wave85.queries ++
-    ops.Wave86.queries
+    ops.Wave86.queries ++
+    ops.Wave87.queries ++
+    ops.Wave88.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -222,5 +224,7 @@ object SparkEntry {
     ops.Wave83.oracles ++
     ops.Wave84.oracles ++
     ops.Wave85.oracles ++
-    ops.Wave86.oracles
+    ops.Wave86.oracles ++
+    ops.Wave87.oracles ++
+    ops.Wave88.oracles
 }

@@ -216,18 +216,40 @@ object LlmPipeline {
       val sizes = d.select(col("doc_id"), size(col("toks")).as("sz"))
       val tok = d.select(col("doc_id"), col("lang"), col("source"),
         size(col("toks")).as("sz"), explode(col("toks")).as("w"))
-      // Size-ratio pruning (exact, result-preserving): J(A,B) >= 0.8
-      // implies |A∩B| >= 4(|A|+|B|)/9 and |A∩B| <= min, hence
-      // 5*min(|A|,|B|) >= 4*max(|A|,|B|). Enforcing that ratio IN the
-      // token join discards hopeless pairs before the intersection
-      // count — the length-blocking that keeps the candidate join
-      // linear-ish at corpus scale. The oracle does NOT prune, so the
-      // gate proves zero result change.
-      val inter = tok.as("a").join(tok.as("b"),
+        .localCheckpoint()
+      // Two exact, result-preserving prunes (the oracle does NOT prune,
+      // so the gate proves zero result change):
+      // 1. Size-ratio: J(A,B) >= 0.8 implies 5·min(|A|,|B|) >=
+      //    4·max(|A|,|B|).
+      // 2. PPJoin prefix filter (the Wave54 kernel at tau = 0.8):
+      //    J >= tau implies |A∩B| >= tau·|x| for EACH side, so each
+      //    side's first n − ⌈0.8n⌉ + 1 tokens in ascending global
+      //    (df, w) order must contain a shared token — candidates come
+      //    from prefix ⋈ prefix, never the full token self-join. This
+      //    replaces the last known scale limit here: candidate fan-out
+      //    per token is the df of PREFIX tokens (rare by construction),
+      //    so one common token inside a (lang, source) block no longer
+      //    goes quadratic. The confirm stage recounts the intersection
+      //    over candidate pairs only.
+      val dfRank = tok.groupBy("w").agg(count(lit(1)).as("df"))
+      val prefix = tok.join(dfRank, "w")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy(col("df"), col("w"))))
+        .filter(col("rn") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("sz"), col("w"))
+      val cand = prefix.as("a").join(prefix.as("b"),
           col("a.w") === col("b.w") && col("a.lang") === col("b.lang") &&
-            col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id") &&
-            least(col("a.sz"), col("b.sz")) * 5 >= greatest(col("a.sz"), col("b.sz")) * 4)
-        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+            col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            least(col("a.sz"), col("b.sz")) * 5 >=
+              greatest(col("a.sz"), col("b.sz")) * 4)
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .distinct()
+      val inter = cand
+        .join(tok.select(col("doc_id").as("i"), col("w")), "i")
+        .join(tok.select(col("doc_id").as("j"), col("w")), Seq("j", "w"))
+        .groupBy("i", "j")
         .agg(count(lit(1)).as("inter"))
       inter
         .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("sz", "szi"), "i")

@@ -175,8 +175,13 @@ object Wave56 {
     }
     // join the one unbounded-domain rank map (extendedprice: near-unique
     // per row) first as the shuffle join, then BROADCAST the two
-    // bounded-domain maps (quantity: ~50 distinct cent values, discount:
-    // ~11) — the frame reshuffles once instead of three times
+    // bounded-domain maps — quantity is ~50 distinct cent values and
+    // discount ~11 AT ANY SCALE (TPC-H domains are fixed), so their
+    // rank maps stay broadcast-sized even at 100 TB; extendedprice's
+    // does not. The frame reshuffles once instead of three times. The
+    // hardcoded order is tied to cols0, so pin it:
+    assert(cols0 == Seq("q", "e", "d"),
+      "profile_spearman join order is derived from cols0 = (q, e, d)")
     val wr = li.join(ranks("e"), "e")
       .join(broadcast(ranks("q")), "q")
       .join(broadcast(ranks("d")), "d")

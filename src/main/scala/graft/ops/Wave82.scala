@@ -38,17 +38,29 @@ object Wave82 {
     }
     var prev = edges.count()
     var converged = false
+    // carry each round's support table out of the loop: on the
+    // converged round the filter kept EVERY edge, so that round's
+    // support was computed on exactly the surviving edge set and IS
+    // the final report — no extra triangle-enumeration pass (the r06
+    // form re-ran trianglesOf on the converged set it had just
+    // measured). Only a cap-exit without convergence still recomputes.
+    var lastSupported: DataFrame = null
     for (_ <- 1 to 8 if !converged) {
-      edges = edges.join(support(edges), Seq("u", "v"), "left")
-        .filter(coalesce(col("supp"), lit(0L)) >= 2)
-        .select("u", "v")
+      lastSupported = edges.join(support(edges), Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          coalesce(col("supp"), lit(0L)).as("supp"))
         .localCheckpoint()
+      edges = lastSupported.filter(col("supp") >= 2).select("u", "v")
       val n = edges.count()
       converged = n == prev
       prev = n
     }
-    edges.join(support(edges), Seq("u", "v"), "left")
-      .select(col("u"), col("v"), coalesce(col("supp"), lit(0L)).as("support"))
+    val fin =
+      if (converged && lastSupported != null) lastSupported
+      else edges.join(support(edges), Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          coalesce(col("supp"), lit(0L)).as("supp"))
+    fin.select(col("u"), col("v"), col("supp").as("support"))
       .orderBy("u", "v")
   }
 
