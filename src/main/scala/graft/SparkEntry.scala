@@ -119,7 +119,8 @@ object SparkEntry {
     ops.Wave85.queries ++
     ops.Wave86.queries ++
     ops.Wave87.queries ++
-    ops.Wave88.queries
+    ops.Wave88.queries ++
+    ops.Wave89.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -226,5 +227,6 @@ object SparkEntry {
     ops.Wave85.oracles ++
     ops.Wave86.oracles ++
     ops.Wave87.oracles ++
-    ops.Wave88.oracles
+    ops.Wave88.oracles ++
+    ops.Wave89.oracles
 }
