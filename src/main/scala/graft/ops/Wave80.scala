@@ -121,44 +121,55 @@ object Wave80 {
     val ranked = Ranks.perGroupRank(zs.select("ck", "z1", "z2"), Seq.empty,
       Seq(col("z2").asc, col("ck").asc), rankCol = "rk", nCol = "nn",
       partitions = parts)
-    var cents = ranked
+    // The centroid set is 4×2 longs — MODEL-sized driver state (the
+    // Ivf.train / r07 ml_em_gmm contract): each Lloyd step is ONE
+    // narrow argmin-assignment + 4-group aggregate-collect job. The
+    // r06 form broadcast a centroid frame and picked the assignment
+    // with a per-customer row_number WINDOW — a customer-keyed shuffle
+    // of zs×4 rows EVERY iteration, plus a checkpoint job; identical
+    // integer arithmetic, 6 shuffles fewer. Ties still break (d2, cl)
+    // via lexicographic struct min.
+    var centArr: Array[(Long, Long, Long)] = ranked
       .filter(col("rk") === expr("nn div 8 + 1") ||
         col("rk") === expr("3 * nn div 8 + 1") ||
         col("rk") === expr("5 * nn div 8 + 1") ||
         col("rk") === expr("7 * nn div 8 + 1"))
       .withColumn("cl", expr("8 * (rk - 1) div nn div 2"))
       .select(col("cl"), col("z1").as("c1"), col("z2").as("c2"))
-      .localCheckpoint()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    def bestStruct = array_min(array(centArr.map { case (cl, c1, c2) =>
+      struct(((col("z1") - lit(c1)) * (col("z1") - lit(c1)) +
+        (col("z2") - lit(c2)) * (col("z2") - lit(c2))).as("d2"),
+        lit(cl).as("cl"))
+    }: _*))
     for (_ <- 1 to 5) {
-      val assigned = zs.crossJoin(broadcast(cents))
-        .withColumn("d2", expr(
-          "(z1 - c1) * (z1 - c1) + (z2 - c2) * (z2 - c2)"))
-        .withColumn("best", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("ck")
-            .orderBy("d2", "cl")))
-        .filter(col("best") === 1)
-      cents = assigned.groupBy("cl")
+      val r = zs.withColumn("cl", bestStruct.getField("cl"))
+        .groupBy("cl")
         .agg(sum("z1").as("s1"), sum("z2").as("s2"), count(lit(1)).as("nc"))
-        .select(col("cl"),
-          expr("cast(sign(s1) as long) * ((2 * abs(s1) + nc) div (2 * nc))").as("c1"),
-          expr("cast(sign(s2) as long) * ((2 * abs(s2) + nc) div (2 * nc))").as("c2"))
-        .localCheckpoint()
+        .collect()
+      centArr = r.map { row =>
+        val cl = row.getLong(0)
+        val s1 = BigInt(row.getLong(1)); val s2 = BigInt(row.getLong(2))
+        val nc = BigInt(row.getLong(3))
+        def m(sv: BigInt) = (sv.signum * ((2 * sv.abs + nc) / (2 * nc))).toLong
+        (cl, m(s1), m(s2))
+      }.sortBy(_._1)
     }
-    val fin = zs.crossJoin(broadcast(cents))
-      .withColumn("d2", expr(
-        "(z1 - c1) * (z1 - c1) + (z2 - c2) * (z2 - c2)"))
-      .withColumn("best", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("ck")
-          .orderBy("d2", "cl")))
-      .filter(col("best") === 1)
-    fin.groupBy("cl")
+    def lut(f: ((Long, Long)) => Long) = centArr.tail
+      .foldLeft(when(col("cl") === centArr.head._1,
+        f((centArr.head._2, centArr.head._3)))) { case (acc, (cl, c1, c2)) =>
+        acc.when(col("cl") === cl, f((c1, c2))) }
+    zs.withColumn("b", bestStruct)
+      .select(col("b.cl").as("cl"), col("b.d2").as("d2"),
+        col("f"), col("m"))
+      .groupBy("cl")
       .agg(count(lit(1)).as("n_customers"),
-        first("c1").as("c1"), first("c2").as("c2"),
         sum("f").as("sf"), sum("m").as("sm"),
         sum(expr("cast(d2 as decimal(38,0))")).as("inertia"))
       .select(col("cl").as("cluster"), col("n_customers"),
-        (col("c1").cast("double") / 1000).as("centroid_z_freq"),
-        (col("c2").cast("double") / 1000).as("centroid_z_spend"),
+        (lut(_._1).cast("double") / 1000).as("centroid_z_freq"),
+        (lut(_._2).cast("double") / 1000).as("centroid_z_spend"),
         expr("cast((2 * sf * 1000000 + n_customers) div (2 * n_customers) as double)")
           .divide(lit(1e6)).as("avg_orders"),
         expr("cast((2 * sm * 1000000 + n_customers) div (2 * n_customers) as double)")

@@ -114,10 +114,15 @@ object Wave89 {
 
   // ---- events_abtest: deterministic two-proportion z-test -----------------
 
-  /** A/B revenue read with a deterministic md5 arm assignment (user_id
-    * salted — the reproducible-bucketing contract of every experiment
-    * system): the per-user metric is total purchase value in exact
-    * cents, and the test is Welch's t on the two arms. Every sum (n,
+  /** A/B revenue read at the UNIT-OF-RANDOMIZATION granularity: arms
+    * assign by user (salted md5 — the reproducible-bucketing contract
+    * of every experiment system), the metric is each USER's total
+    * purchase value in exact cents, and the test is Welch's t on the
+    * two user-level samples. This is the clustered-correct variant of
+    * events_ttest_welch (Wave35), which compares per-EVENT values and
+    * therefore understates variance when one user fires many events —
+    * the classic randomization-unit mistake this query exists to
+    * avoid. Every sum (n,
     * Σcents, Σcents²) is an exact integer; means and variances are
     * rationals of those sums evaluated as ONE double expression in
     * identical order in both engines, so the t and the |t| ≥ 1.96 flag
