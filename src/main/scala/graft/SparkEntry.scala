@@ -120,7 +120,8 @@ object SparkEntry {
     ops.Wave86.queries ++
     ops.Wave87.queries ++
     ops.Wave88.queries ++
-    ops.Wave89.queries
+    ops.Wave89.queries ++
+    ops.Wave90.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -228,5 +229,6 @@ object SparkEntry {
     ops.Wave86.oracles ++
     ops.Wave87.oracles ++
     ops.Wave88.oracles ++
-    ops.Wave89.oracles
+    ops.Wave89.oracles ++
+    ops.Wave90.oracles
 }
