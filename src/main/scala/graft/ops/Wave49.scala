@@ -143,23 +143,29 @@ object Wave49 {
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
-    val rowTot = trans.groupBy("src").agg(sum("c").as("r"))
-    val pm = trans.join(rowTot, "src").localCheckpoint()
-    var pi = rowTot.select(col("src").as("state"))
-      .withColumn("p", lit(1000000L))
+    // The transition matrix is event-type × event-type — MODEL-sized —
+    // so the 12 power-iteration supersteps run on the DRIVER in exact
+    // integers (the r07 model-state pattern): identical per-edge
+    // (p·c div r) shares, identical praw·1e6 div tot renormalization.
+    // Data-sized work is the one lead()-window transition aggregate;
+    // the r06 loop paid a broadcast + checkpoint job per superstep.
+    import s.implicits._
+    val pmRows = trans.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rowTot: Map[String, Long] =
+      pmRows.groupBy(_._1).map { case (src, xs) => src -> xs.map(_._3).sum }
+    var pi: Map[String, Long] = rowTot.keys.map(_ -> 1000000L).toMap
     for (_ <- 1 to ChainIters) {
-      val stepped = pm.join(broadcast(pi), pm("src") === pi("state"))
-        .groupBy(col("dst").as("state2"))
-        .agg(sum(expr("p * c div r")).as("praw"))
-      val tot = stepped.agg(sum("praw").as("tot"))
-      pi = stepped.crossJoin(broadcast(tot))
-        .select(col("state2").as("state"),
-          expr("praw * 1000000 div tot").cast("long").as("p"))
-        .localCheckpoint()
+      val stepped = pmRows
+        .filter { case (src, _, _) => pi.contains(src) }
+        .map { case (src, dst, c) => dst -> (pi(src) * c / rowTot(src)) }
+        .groupBy(_._1).map { case (dst, xs) => dst -> xs.map(_._2).sum }
+      val tot = stepped.values.sum
+      pi = stepped.map { case (st, praw) => st -> praw * 1000000L / tot }
     }
-    pi.select(col("state").as("event_type"),
-        (col("p").cast("double") / 1e6).as("steady_prob"))
+    pi.toSeq.sortBy(_._1)
+      .map { case (st, p) => (st, p.toDouble / 1e6) }
+      .toDF("event_type", "steady_prob")
       .orderBy("event_type")
   }
 

@@ -66,46 +66,49 @@ object Wave55 {
       .select(lit("start").as("src"), col("state").as("dst"))
     val trans = e1.union(e0).groupBy("src", "dst").agg(count(lit(1)).as("c"))
     val rt = trans.groupBy("src").agg(sum("c").as("r"))
+    // The tagged chain is (channels+1) × states × states — MODEL-sized
+    // at any corpus scale — so the 14 absorption supersteps run on the
+    // DRIVER in exact integers (the r07 model-state pattern; the r06
+    // loop paid a broadcast + checkpoint job per superstep). Edge
+    // probabilities still quantize to micro BEFORE iterating, so the
+    // orbit is the identical integer walk; data-sized work is exactly
+    // the one transition aggregate above.
+    import s.implicits._
     val pm = trans.join(rt, "src")
       .withColumn("ep", expr("c * 1000000 div r"))
-      .localCheckpoint()
-    val tags = pm.select(col("src").as("tag")).distinct()
-      .filter(col("tag") =!= "start")
-      .union(s.range(1).select(lit("none").as("tag")))
-    val te = tags.crossJoin(pm)
-      .filter(col("src") =!= col("tag") && col("dst") =!= col("tag"))
-      .select("tag", "src", "dst", "ep")
-      .localCheckpoint()
-    var v = te.select(col("tag"), col("src").as("state")).distinct()
-      .withColumn("p", lit(0L)).localCheckpoint()
-    for (_ <- 1 to AbsorbIters) {
-      val vv = v.select(col("tag").as("vtag"), col("state").as("vstate"),
-        col("p").as("vp"))
-      v = te.join(broadcast(vv),
-          col("tag") === col("vtag") && col("dst") === col("vstate"), "left")
-        .withColumn("vl",
-          when(col("dst") === "conv", lit(1000000L))
-            .otherwise(coalesce(col("vp"), lit(0L))))
-        .groupBy(col("tag"), col("src").as("state"))
-        .agg(expr("sum(ep * vl) div 1000000").as("p"))
-        .localCheckpoint()
+      .select("src", "dst", "ep").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val tags = pm.map(_._1).distinct.filter(_ != "start").toSeq :+ "none"
+    // a tag whose removal strands `start` (no surviving out-edge) drops
+    // from the report, exactly as the r06 frame form did
+    val fin: Map[String, Long] = tags.flatMap { tag =>
+      val te = pm.filter { case (src, dst, _) => src != tag && dst != tag }
+      val states = te.map(_._1).distinct
+      var v: Map[String, Long] = states.map(_ -> 0L).toMap
+      for (_ <- 1 to AbsorbIters) {
+        v = states.map { src =>
+          val num = te.filter(_._1 == src).map { case (_, dst, ep) =>
+            val vl = if (dst == "conv") 1000000L else v.getOrElse(dst, 0L)
+            ep * vl
+          }.sum
+          src -> num / 1000000L
+        }.toMap
+      }
+      v.get("start").map(tag -> _)
+    }.toMap
+    val pb = fin("none")
+    val re = tags.filter(t => t != "none" && fin.contains(t)).map { ch =>
+      val pr = fin(ch)
+      (ch, pr, (2 * (pb - pr) * 1000000L + pb) / (2 * pb))
     }
-    val fin = v.filter(col("state") === "start")
-    val base = fin.filter(col("tag") === "none").select(col("p").as("pb"))
-    val re = fin.filter(col("tag") =!= "none")
-      .select(col("tag").as("channel"), col("p").as("pr"))
-      .crossJoin(broadcast(base))
-      .withColumn("re_micro",
-        expr("(2 * (pb - pr) * 1000000 + pb) div (2 * pb)"))
-    val tot = re.agg(sum("re_micro").as("tt"))
-    re.crossJoin(broadcast(tot))
-      .select(col("channel"),
-        (col("pb").cast("double") / 1e6).as("p_conv_base"),
-        (col("pr").cast("double") / 1e6).as("p_conv_removed"),
-        (col("re_micro").cast("double") / 1e6).as("removal_effect"),
-        (when(col("tt") === 0, lit(0L))
-          .otherwise(expr("(2 * re_micro * 1000000 + tt) div (2 * tt)"))
-          .cast("double") / 1e6).as("attribution_share"))
+    val tt = re.map(_._3).sum
+    re.map { case (ch, pr, reMicro) =>
+      val share = if (tt == 0) 0L else (2 * reMicro * 1000000L + tt) / (2 * tt)
+      (ch, pb.toDouble / 1e6, pr.toDouble / 1e6,
+        reMicro.toDouble / 1e6, share.toDouble / 1e6)
+    }.sortBy(_._1)
+      .toDF("channel", "p_conv_base", "p_conv_removed", "removal_effect",
+        "attribution_share")
       .orderBy("channel")
   }
 

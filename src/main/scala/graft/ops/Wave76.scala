@@ -163,36 +163,39 @@ object Wave76 {
     * leaks sub-nano mass per step by design — conservation is asserted
     * in the spec up to that documented slack. */
   private val graphPpr: Q = (s, dir) => {
-    val edges = BrandGraph.edges(s, dir)
-    val both = edges.select(col("u").as("src"), col("v").as("dst"))
-      .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
-    val deg = BrandGraph.degrees(s, dir)
-    val seed = deg.orderBy(desc("d"), asc("x")).limit(1)
-      .select(col("x").as("seed"))
-    val nodes = deg.crossJoin(broadcast(seed))
-      .select(col("x"), col("d"), (col("x") === col("seed")).as("is_seed"))
-      .localCheckpoint()
-    var r = nodes.select(col("x"),
-      when(col("is_seed"), lit(1000000000L)).otherwise(lit(0L)).as("r"))
+    // The brand graph is CATALOG-sized (p_brand is a fixed TPC-H
+    // domain — ~25 nodes at any corpus scale), so the 8 supersteps run
+    // on the DRIVER in exact integer arithmetic (the r07 model-state
+    // pattern; contrast graph_hits, whose customer×supplier vectors
+    // grow with the data and keep the distributed loop). Data-sized
+    // work stays in the shared materialized BrandGraph edge pass; the
+    // r06 distributed form paid a checkpoint + 2-join job per
+    // superstep on ≤25-row frames.
+    import s.implicits._
+    val e = BrandGraph.edges(s, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val both = e ++ e.map { case (u, v) => (v, u) }
+    val deg: Map[String, Long] =
+      both.groupBy(_._1).map { case (x, xs) => x -> xs.length.toLong }
+    val seed = deg.toSeq.minBy { case (x, d) => (-d, x) }._1
+    val nodes = deg.keys.toSeq.sorted
+    var r: Map[String, Long] =
+      nodes.map(x => x -> (if (x == seed) 1000000000L else 0L)).toMap
     for (_ <- 1 to 8) {
-      val contrib = both
-        .join(r.withColumnRenamed("x", "src"), "src")
-        .join(nodes.select(col("x").as("src"), col("d")), "src")
-        .select(col("dst").as("x"),
-          expr("(2 * r + d) div (2 * d)").as("c"))
-        .groupBy("x").agg(sum("c").as("inflow"))
-      r = nodes.select("x", "is_seed")
-        .join(contrib, Seq("x"), "left")
-        .withColumn("inflow", coalesce(col("inflow"), lit(0L)))
-        .select(col("x"),
-          (expr("(2 * 17 * inflow + 20) div (2 * 20)") +
-            when(col("is_seed"), lit(150000000L)).otherwise(lit(0L))).as("r"))
-        .localCheckpoint()
+      val inflow = both
+        .map { case (src, dst) =>
+          dst -> ((2 * r(src) + deg(src)) / (2 * deg(src))) }
+        .groupBy(_._1).map { case (x, cs) => x -> cs.map(_._2).sum }
+      r = nodes.map { x =>
+        val in = inflow.getOrElse(x, 0L)
+        x -> ((2 * 17 * in + 20) / (2 * 20) +
+          (if (x == seed) 150000000L else 0L))
+      }.toMap
     }
-    r.join(nodes.select("x", "d", "is_seed"), "x")
-      .select(col("x").as("brand"), col("d").as("degree"), col("is_seed"),
-        (col("r").cast("double") / 1e9).as("ppr"))
-      .orderBy(desc("r"), asc("brand"))
+    nodes.map(x => (x, deg(x), x == seed, r(x).toDouble / 1e9, r(x)))
+      .toDF("brand", "degree", "is_seed", "ppr", "rq")
+      .orderBy(desc("rq"), asc("brand"))
+      .select("brand", "degree", "is_seed", "ppr")
   }
 
   private val graphPprOracle: String = {

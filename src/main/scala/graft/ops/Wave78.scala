@@ -41,40 +41,40 @@ object Wave78 {
       .withColumn("idx", row_number().over(
         Window.partitionBy("event_type").orderBy("day")))
       .withColumn("y", col("yc") * 1000)
-      .localCheckpoint()
-    val tMax = daily.agg(max("idx")).head.getInt(0)
+    // The smoothing state is (types × 4 longs) and the series is
+    // calendar-sized — MODEL-sized at any corpus scale — so the
+    // sequential Holt recursion runs on the DRIVER in exact integers
+    // (the r07 model-state pattern). The r06 form localCheckpoint'd a
+    // state frame per DAY — up to 366 scheduler jobs for arithmetic on
+    // a handful of longs. Data-sized work is the one (type, day)
+    // aggregate; same half-up smoothing rationals, same output.
+    import s.implicits._
+    val series: Map[String, Seq[Long]] = daily
+      .select("event_type", "idx", "y").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (tpe, rs) =>
+        tpe -> rs.sortBy(_._2).map(_._3).toSeq }
+    val tMax = series.values.map(_.size).max
     require(tMax <= 366, s"timeseries_holt: $tMax daily steps - cap the window")
-    def smHalf(c: String): String =
-      s"cast(sign($c) as long) * ((2 * abs($c) + 2) div 4)"
-    var st = daily.filter(col("idx") === 1)
-      .select(col("event_type"), col("y").as("l"))
-      .join(daily.filter(col("idx") === 2)
-        .select(col("event_type"), col("y").as("y2")), Seq("event_type"), "left")
-      .select(col("event_type"), col("l"),
-        coalesce(col("y2") - col("l"), lit(0L)).as("tr"),
-        lit(0L).as("errsum"), lit(0L).as("nerr"))
-      .localCheckpoint()
-    for (tt <- 2 to tMax) {
-      st = st
-        .join(daily.filter(col("idx") === tt).select(col("event_type"), col("y")),
-          Seq("event_type"), "left")
-        .withColumn("e", when(col("y").isNull, lit(null))
-          .otherwise(abs(col("y") - (col("l") + col("tr")))))
-        .withColumn("lnew", when(col("y").isNull, col("l"))
-          .otherwise(expr(smHalf("(y + l + tr)"))))
-        .withColumn("trnew", when(col("y").isNull, col("tr"))
-          .otherwise(expr(smHalf("(tr + (lnew - l))"))))
-        .select(col("event_type"), col("lnew").as("l"), col("trnew").as("tr"),
-          (col("errsum") + coalesce(col("e"), lit(0L))).as("errsum"),
-          (col("nerr") + when(col("e").isNull, 0L).otherwise(1L)).as("nerr"))
-        .localCheckpoint()
-    }
-    st.select(col("event_type"), col("nerr").as("n_steps"),
-        (col("l").cast("double") / 1000).as("level_c"),
-        (col("tr").cast("double") / 1000).as("trend_c"),
-        ((col("l") + col("tr") * 7).cast("double") / 1000).as("forecast7_c"),
-        expr("cast((2 * errsum * 1000 + nerr) div (2 * nerr) as double)")
-          .divide(lit(1e6)).as("mae_c"))
+    def smHalf(c: Long): Long = c.sign * ((2 * c.abs + 2) / 4)
+    val rows = series.toSeq.map { case (tpe, ys) =>
+      var l = ys.head
+      var tr = if (ys.size >= 2) ys(1) - l else 0L
+      var errsum = 0L; var nerr = 0L
+      for (tt <- 2 to ys.size) {
+        val y = ys(tt - 1)
+        val e = math.abs(y - (l + tr))
+        val lnew = smHalf(y + l + tr)
+        val trnew = smHalf(tr + (lnew - l))
+        l = lnew; tr = trnew; errsum += e; nerr += 1
+      }
+      val mae = ((2 * BigInt(errsum) * 1000 + nerr) / (2 * BigInt(nerr)))
+        .toDouble / 1e6
+      (tpe, nerr, l.toDouble / 1000, tr.toDouble / 1000,
+        (l + tr * 7).toDouble / 1000, mae)
+    }.sortBy(_._1)
+    rows.toDF("event_type", "n_steps", "level_c", "trend_c",
+        "forecast7_c", "mae_c")
       .orderBy("event_type")
   }
 
@@ -134,53 +134,50 @@ object Wave78 {
     * guard enforces it), and each community reports its exact
     * modularity contribution (the Wave60 micro rationals). */
   private val graphCommunityMove: Q = (s, dir) => {
-    val edges = BrandGraph.edges(s, dir).localCheckpoint()
-    val bidir = edges.select(col("u").as("i"), col("v").as("j"))
-      .unionByName(edges.select(col("v").as("i"), col("u").as("j")))
-    val deg = BrandGraph.degrees(s, dir)
-    val m = edges.count()
-    val nNodes = deg.count()
-    require(nNodes <= 64,
-      s"graph_community_move: $nNodes nodes - the label loop bound assumes a catalog-sized graph")
-    val dj = deg.select(col("x").as("j"), col("d").as("dj"))
-    val di = deg.select(col("x").as("i"), col("d").as("di"))
-    val choice = bidir.join(broadcast(dj), "j").join(broadcast(di), "i")
-      .filter(lit(2L * m) > col("di") * col("dj"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("i").orderBy(asc("dj"), asc("j"))))
-      .filter(col("rk") === 1)
-      .select("i", "j")
-    val chosen = choice.unionByName(choice.select(col("j").as("i"), col("i").as("j")))
-      .distinct().localCheckpoint()
-    // min-label propagation: 12 x 2 hops covers any diameter <= 24,
-    // and the require above bounds the graph at 64 nodes
-    var lbl = deg.select(col("x").as("v")).withColumn("lbl", col("v"))
-      .localCheckpoint()
-    def hop(l: DataFrame): DataFrame =
-      l.unionByName(
-          chosen.join(l.withColumnRenamed("v", "i"), "i")
-            .select(col("j").as("v"), col("lbl")))
-        .groupBy("v").agg(min("lbl").as("lbl"))
-    for (_ <- 1 to 12) lbl = hop(hop(lbl)).localCheckpoint()
-    // per-community modularity contribution: e_c/m - (sum d_c / 2m)^2,
-    // micro-quantized as ONE integer rational (4m^2 common denominator)
-    val withC = lbl.select(col("v"), col("lbl").as("community"))
-    val degC = deg.join(withC, deg("x") === withC("v"))
-      .groupBy("community")
-      .agg(count(lit(1)).as("n_nodes"), sum("d").as("d_sum"))
-    val eC = edges
-      .join(withC.select(col("v").as("u"), col("community").as("cu")), "u")
-      .join(withC.select(col("v"), col("community").as("cv")), "v")
-      .filter(col("cu") === col("cv"))
-      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("e_in"))
-    degC.join(eC, Seq("community"), "left")
-      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
-      .crossJoin(broadcast(edges.agg(count(lit(1)).as("m"))))
-      .withColumn("qnum", expr("4 * e_in * m - d_sum * d_sum"))
-      .withColumn("qmag", expr("(2 * abs(qnum) * 1000000 + 4 * m * m) div (2 * 4 * m * m)"))
-      .select(col("community"), col("n_nodes"), col("e_in"), col("d_sum"),
-        (when(col("qnum") < 0, -col("qmag")).otherwise(col("qmag"))
-          .cast("double") / 1e6).as("q_contrib"))
+    // Catalog-sized graph (≤64 brands enforced below) → the sweep,
+    // the 12×2-hop min-label propagation and the modularity report all
+    // run on the DRIVER in exact integers (the r07 model-state
+    // pattern): the r06 distributed form paid 13 localCheckpoint jobs
+    // on ≤64-row frames. Data-sized work stays in the shared
+    // materialized BrandGraph pass. Semantics bit-identical: same ΔQ
+    // sign test, same (d_j, j) argmax, 24 hops ≥ any diameter the
+    // require admits, same micro rationals.
+    import s.implicits._
+    val e = BrandGraph.edges(s, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val m = e.length.toLong
+    val bidir = e ++ e.map { case (u, v) => (v, u) }
+    val deg: Map[String, Long] =
+      bidir.groupBy(_._1).map { case (x, xs) => x -> xs.length.toLong }
+    val nodes = deg.keys.toSeq.sorted
+    require(nodes.size <= 64,
+      s"graph_community_move: ${nodes.size} nodes - the label loop bound assumes a catalog-sized graph")
+    val choice = bidir
+      .filter { case (i, j) => 2L * m > deg(i) * deg(j) }
+      .groupBy(_._1)
+      .map { case (i, js) =>
+        (i, js.map(_._2).minBy(j => (deg(j), j))) }
+      .toSeq
+    val chosen: Set[(String, String)] =
+      (choice ++ choice.map { case (i, j) => (j, i) }).toSet
+    var lbl: Map[String, String] = nodes.map(x => x -> x).toMap
+    def hop(l: Map[String, String]): Map[String, String] =
+      nodes.map { v =>
+        val inbound = chosen.collect { case (i, j) if j == v => l(i) }
+        v -> (inbound + l(v)).min
+      }.toMap
+    for (_ <- 1 to 12) lbl = hop(hop(lbl))
+    val comms = nodes.groupBy(lbl)
+    val rows = comms.toSeq.map { case (c, vs) =>
+      val vset = vs.toSet
+      val eIn = e.count { case (u, v) => vset(u) && vset(v) }.toLong
+      val dSum = vs.map(deg).sum
+      val qnum = BigInt(4) * eIn * m - BigInt(dSum) * dSum
+      val qmag = (2 * qnum.abs * 1000000 + 4 * m * m) / (2 * 4 * m * m)
+      val q = (if (qnum < 0) -qmag else qmag).toDouble / 1e6
+      (c, vs.size.toLong, eIn, dSum, q)
+    }.sortBy(_._1)
+    rows.toDF("community", "n_nodes", "e_in", "d_sum", "q_contrib")
       .orderBy("community")
   }
 
