@@ -20,6 +20,7 @@ PLAN_SUITES=(
   graft.BandedJoinRuleSpec   # banded-join rewrite fires + plan shape
   graft.ScaleSpec            # pushdown / broadcast / no-collect asserts
   graft.BehaviorSpec         # event-pipeline single-exchange shapes
+  graft.Wave87PlanSpec     # r7: batched top-k / dq plan contracts
   graft.Wave10Spec           # KS kernel plan + CMS error contract
   graft.Wave11Spec           # AQE skew-split contract + ANN metric sanity
   graft.Wave14Spec           # FD verdicts + packing mass conservation
