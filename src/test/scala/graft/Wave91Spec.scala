@@ -20,7 +20,8 @@ class Wave91Spec extends SparkSuite {
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_quantity", "l_discount").collect()
     val routed = rows.map { r =>
-      val key = s"${r.getLong(0)}#${r.getLong(1)}#${r.getLong(2)}#${r.getLong(3)}"
+      def k(i: Int): Long = r.getAs[Number](i).longValue
+      val key = s"${k(0)}#${k(1)}#${k(2)}#${k(3)}"
       val qty = if (md5Mod(key + "#q", 20) == 0) -1.0 else r.getDouble(4)
       val disc = if (md5Mod(key + "#d", 25) == 0) 0.5 else r.getDouble(5)
       val route =
