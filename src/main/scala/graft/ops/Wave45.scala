@@ -38,24 +38,54 @@ object Wave45 {
     * eigenvalue, both from exact rational rounding. */
   private val embedPcaPower: Q = (s, dir) => {
     def d38(c: Column) = c.cast(DecimalType(38, 0))
-    // Gram cells from a NARROW per-row outer product: quantize the
-    // vector once, flatten the 64×64 in-row product table, and feed it
-    // straight into a partially-aggregating groupBy — no join, no
-    // rows×dim shuffle (the r06 plan self-joined the exploded table on
-    // vec_id: two rows×64 shuffles before the dims² aggregate). The
-    // shuffle now carries at most 4096 cells per map partition.
-    // Products stay inside long (xi,xj ≤ ~5e8·1e9-scale ⇒ |xi·xj| ≤
-    // ~2.5e17); the cross-row sum widens to DECIMAL(38,0) as before.
-    val q = t(s, dir, "embeddings")
-      .select(transform(col("embedding"),
-        x => floor(x.cast("double") * 1e9 + 0.5).cast("long")).as("xq"))
-    val cells = q
-      .select(posexplode(flatten(transform(col("xq"),
-        xi => transform(col("xq"), xj => xi * xj)))).as(Seq("k", "p")))
-      .select(expr("cast(k div 64 as int)").as("i"),
-        expr("cast(k % 64 as int)").as("j"), col("p"))
+    // Gram cells from a per-partition ACCUMULATOR (the mapPartitions
+    // kernel the r06 Scaladoc promised for web scale): each task folds
+    // its rows into a fixed 64×64 hi/lo long pair (products ≤ ~2.5e17
+    // fit long; the split keeps cross-row sums exact out to ~1e15 rows
+    // per task), emits exactly 4096 cells, and one dims²-sized decimal
+    // aggregate recombines tasks. No join, no explode — the r06 plan
+    // self-joined the exploded table (two rows×64 shuffles); the first
+    // r07 form exploded rows×4096 products through the hash aggregate.
+    // Quantization floor(x·1e9 + 0.5) is the same IEEE expression,
+    // evaluated in Scala.
+    import s.implicits._
+    val cellsRaw = t(s, dir, "embeddings")
+      .select(col("embedding")).as[Seq[Float]]
+      .mapPartitions { it =>
+        val hi = new Array[Long](64 * 64)
+        val lo = new Array[Long](64 * 64)
+        var any = false
+        it.foreach { emb =>
+          val xq = new Array[Long](64)
+          var d = 0
+          while (d < 64) {
+            xq(d) = math.floor(emb(d).toDouble * 1e9 + 0.5).toLong; d += 1
+          }
+          any = true
+          var i = 0
+          while (i < 64) {
+            val xi = xq(i); var j = 0
+            while (j < 64) {
+              val p = xi * xq(j); val k = i * 64 + j
+              hi(k) += p / 1000000000L; lo(k) += p % 1000000000L
+              j += 1
+            }
+            i += 1
+          }
+        }
+        if (!any) Iterator.empty
+        else (0 until 64).iterator.flatMap { i =>
+          (0 until 64).iterator.map { j =>
+            val k = i * 64 + j
+            val v = BigInt(hi(k)) * 1000000000L + lo(k)
+            (i, j, v.toString)
+          }
+        }
+      }
+      .toDF("i", "j", "praw")
+    val cells = cellsRaw
       .groupBy("i", "j")
-      .agg(sum(d38(col("p"))).as("m_raw"))
+      .agg(sum(d38(col("praw"))).as("m_raw"))
       .withColumn("m", signum(col("m_raw")).cast(DecimalType(38, 0)) *
         expr("abs(m_raw) div 1000000000"))
       .select("i", "j", "m")
