@@ -123,7 +123,8 @@ object SparkEntry {
     ops.Wave89.queries ++
     ops.Wave90.queries ++
     ops.Wave91.queries ++
-    ops.Wave92.queries
+    ops.Wave92.queries ++
+    ops.Wave93.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -234,5 +235,6 @@ object SparkEntry {
     ops.Wave89.oracles ++
     ops.Wave90.oracles ++
     ops.Wave91.oracles ++
-    ops.Wave92.oracles
+    ops.Wave92.oracles ++
+    ops.Wave93.oracles
 }
