@@ -49,9 +49,10 @@ object Wave91 {
           .when(col("disc") < 0 || col("disc") > 0.1,
             "quarantine:disc_range")
           .otherwise("published"))
-    store.write(batch.filter(col("route") === "published").drop("route"),
-      "lineitem_clean")
-    store.write(batch.filter(col("route") =!= "published"), "quarantine")
+    store.write(batch.filter(col("route") === "published").drop("route")
+      .repartition(4), "lineitem_clean")
+    store.write(batch.filter(col("route") =!= "published")
+      .repartition(2), "quarantine")
     val clean = store.read(s, "lineitem_clean")
       .agg(count(lit(1)).as("n"),
         sum(expr("cast(round(qty * 100) as long)")).as("qty_cents"))
