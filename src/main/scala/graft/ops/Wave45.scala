@@ -40,9 +40,11 @@ object Wave45 {
     def d38(c: Column) = c.cast(DecimalType(38, 0))
     // Gram cells from a per-partition ACCUMULATOR (the mapPartitions
     // kernel the r06 Scaladoc promised for web scale): each task folds
-    // its rows into a fixed 64×64 hi/lo long pair (products ≤ ~2.5e17
-    // fit long; the split keeps cross-row sums exact out to ~1e15 rows
-    // per task), emits exactly 4096 cells, and one dims²-sized decimal
+    // its rows into a fixed 64×64 hi/lo long pair (quantized magnitudes
+    // are asserted < 2^31 so each product stays < 4.6e18 — inside Long;
+    // hi/lo increments are then ≤ ~4.6e9 per row, so cross-row sums stay
+    // exact out to ~1e9 rows per task before a Long could saturate),
+    // emits exactly 4096 cells, and one dims²-sized decimal
     // aggregate recombines tasks. No join, no explode — the r06 plan
     // self-joined the exploded table (two rows×64 shuffles); the first
     // r07 form exploded rows×4096 products through the hash aggregate.
@@ -59,7 +61,14 @@ object Wave45 {
           val xq = new Array[Long](64)
           var d = 0
           while (d < 64) {
-            xq(d) = math.floor(emb(d).toDouble * 1e9 + 0.5).toLong; d += 1
+            xq(d) = math.floor(emb(d).toDouble * 1e9 + 0.5).toLong
+            // overflow guard: the Long-product kernel is only exact while
+            // |xq| < 2^31 (|x| ≲ 2.1); the old DECIMAL(38,0) Gram join was
+            // overflow-proof, so fail loudly rather than wrap silently
+            require(math.abs(xq(d)) < 2147483648L,
+              s"embed_pca_power: |embedding| ${emb(d)} exceeds the exact " +
+                "Long-product bound (|x| < ~2.1); widen to BigInt cells")
+            d += 1
           }
           any = true
           var i = 0

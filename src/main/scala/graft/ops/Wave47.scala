@@ -27,20 +27,33 @@ object Wave47 {
   // ---- graph_hits: hubs & authorities ------------------------------
 
   /** HITS over the bipartite customer→supplier edge list (orders ⋈
-    * lineitem, aggregated once to distinct weighted edges and
-    * checkpointed — the only data-sized work). 8 supersteps of
-    * authority = Σ w·hub, hub = Σ w·authority, each half-step
-    * truncated, norm-quantized to nano-unit longs with identical IEEE
-    * ops on both engines. The vector tables are entity-sized and
-    * broadcast into each superstep; only the edge aggregate shuffles.
+    * lineitem, aggregated once to distinct weighted edges — the only
+    * data-sized work). 8 supersteps of authority = Σ w·hub,
+    * hub = Σ w·authority, each half-step truncated, norm-quantized to
+    * nano-unit longs with identical IEEE ops on both engines.
+    *
+    * Scale shape: hub/authority vectors are ENTITY-sized (one row per
+    * customer/supplier — billions at 100 TB), so they are NEVER
+    * broadcast. Instead the edge aggregate is CACHED TWICE, hash-
+    * partitioned by each join side (`InMemoryTableScan` reports the
+    * cached exchange's partitioning), and every half-step is a
+    * co-partitioned `SHUFFLE_HASH` join that builds on the VECTOR
+    * side: the edge layout is read in place with no exchange and no
+    * sort across all 16 half-steps; only the narrow vector shuffles.
+    * (Hint, not `broadcast()`: a shuffled hash build holds 1/numPartitions
+    * of the vector per task — scale-free — where a broadcast holds ALL
+    * of it on every executor and the driver.)
     * Output: every customer hub score and supplier authority score. */
   private val graphHits: Q = (s, dir) => {
-    val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val edges0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("p"))
       .agg(count(lit(1)).as("w"))
       .localCheckpoint()
+    val edgesByC = edges0.repartition(col("c")).persist()
+    val edgesByP = edges0.repartition(col("p")).persist()
+    edgesByC.count(); edgesByP.count()
     def normQ(df: DataFrame, key: String, raw: String): DataFrame = {
       // pin the RAW scores (the data-sized edge join runs once); the
       // norm aggregate and the quantized division then derive narrowly
@@ -49,23 +62,27 @@ object Wave47 {
       val pinned = df.localCheckpoint()
       val q = pinned.withColumn("q", signum(col(raw)).cast(DecimalType(38, 0)) *
         expr(s"abs($raw) div 1000"))
+      // n2 is ONE row (the squared norm) — the only justified broadcast
       val n2 = q.agg(sum(col("q") * col("q")).as("n2"))
       q.crossJoin(broadcast(n2))
         .select(col(key),
           floor(col("q").cast("double") * 1e9 /
             sqrt(col("n2").cast("double")) + 0.5).cast("long").as("v"))
     }
-    var h = edges.select(col("c")).distinct()
+    var h = edgesByC.select(col("c")).distinct()
       .withColumn("v", lit(1000000000L)).localCheckpoint()
     var a: DataFrame = null
     for (_ <- 1 to HitsIters) {
-      val araw = edges.join(broadcast(h.withColumnRenamed("v", "hv")), Seq("c"))
+      val araw = edgesByC
+        .join(h.withColumnRenamed("v", "hv").hint("shuffle_hash"), Seq("c"))
         .groupBy("p").agg(sum(d38(col("w")) * col("hv")).as("raw"))
       a = normQ(araw, "p", "raw")
-      val hraw = edges.join(broadcast(a.withColumnRenamed("v", "av")), Seq("p"))
+      val hraw = edgesByP
+        .join(a.withColumnRenamed("v", "av").hint("shuffle_hash"), Seq("p"))
         .groupBy("c").agg(sum(d38(col("w")) * col("av")).as("raw"))
       h = normQ(hraw, "c", "raw")
     }
+    edgesByC.unpersist(false); edgesByP.unpersist(false)
     h.select(lit("hub").as("side"), col("c").as("id"),
         (col("v").cast("double") / 1e9).as("score"))
       .unionByName(a.select(lit("authority").as("side"), col("p").as("id"),

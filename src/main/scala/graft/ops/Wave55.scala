@@ -96,20 +96,30 @@ object Wave55 {
       }
       v.get("start").map(tag -> _)
     }.toMap
-    val pb = fin("none")
-    val re = tags.filter(t => t != "none" && fin.contains(t)).map { ch =>
-      val pr = fin(ch)
-      (ch, pr, (2 * (pb - pr) * 1000000L + pb) / (2 * pb))
+    // an events table with no sessions never yields a 'start' row, so
+    // fin has no "none" entry — return the empty frame the pre-r07 form
+    // produced instead of throwing NoSuchElementException
+    fin.get("none") match {
+      case None =>
+        Seq.empty[(String, Double, Double, Double, Double)]
+          .toDF("channel", "p_conv_base", "p_conv_removed",
+            "removal_effect", "attribution_share")
+      case Some(pb) =>
+        val re = tags.filter(t => t != "none" && fin.contains(t)).map { ch =>
+          val pr = fin(ch)
+          (ch, pr, (2 * (pb - pr) * 1000000L + pb) / (2 * pb))
+        }
+        val tt = re.map(_._3).sum
+        re.map { case (ch, pr, reMicro) =>
+          val share =
+            if (tt == 0) 0L else (2 * reMicro * 1000000L + tt) / (2 * tt)
+          (ch, pb.toDouble / 1e6, pr.toDouble / 1e6,
+            reMicro.toDouble / 1e6, share.toDouble / 1e6)
+        }.sortBy(_._1)
+          .toDF("channel", "p_conv_base", "p_conv_removed", "removal_effect",
+            "attribution_share")
+          .orderBy("channel")
     }
-    val tt = re.map(_._3).sum
-    re.map { case (ch, pr, reMicro) =>
-      val share = if (tt == 0) 0L else (2 * reMicro * 1000000L + tt) / (2 * tt)
-      (ch, pb.toDouble / 1e6, pr.toDouble / 1e6,
-        reMicro.toDouble / 1e6, share.toDouble / 1e6)
-    }.sortBy(_._1)
-      .toDF("channel", "p_conv_base", "p_conv_removed", "removal_effect",
-        "attribution_share")
-      .orderBy("channel")
   }
 
   private val eventsAttributionMarkovOracle: String = {

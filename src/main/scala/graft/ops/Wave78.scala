@@ -68,8 +68,13 @@ object Wave78 {
         val trnew = smHalf(tr + (lnew - l))
         l = lnew; tr = trnew; errsum += e; nerr += 1
       }
-      val mae = ((2 * BigInt(errsum) * 1000 + nerr) / (2 * BigInt(nerr)))
-        .toDouble / 1e6
+      // a one-day series never enters the error loop (nerr == 0); the
+      // pre-r07 Spark `div` emitted a NULL mae there, so mirror that
+      // instead of letting BigInt division throw ArithmeticException
+      val mae: Option[Double] =
+        if (nerr == 0) None
+        else Some(((2 * BigInt(errsum) * 1000 + nerr) / (2 * BigInt(nerr)))
+          .toDouble / 1e6)
       (tpe, nerr, l.toDouble / 1000, tr.toDouble / 1000,
         (l + tr * 7).toDouble / 1000, mae)
     }.sortBy(_._1)

@@ -27,9 +27,11 @@ object Wave91 {
     * order: quantity range, then discount range) into a quarantine
     * table; clean rows publish to the main table. Both writes are real
     * VersionedStore commits; the report reads BACK from the store —
-    * counts per route prove what landed where. One narrow tagging pass
-    * + two writes; at 100 TB the split is a single scan with two
-    * file sinks, never two scans. */
+    * counts per route prove what landed where. The tagged batch is
+    * pinned ONCE (`localCheckpoint`), so both route writes read the
+    * pinned partitions — one scan of lineitem total, never two — and
+    * file sizing is a narrow write-side `coalesce`, not a full-batch
+    * round-robin exchange. */
   private val sinkQuarantine: Q = (s, dir) => {
     val root = graft.engine.Fs.freshScratch(s, "quarantine")
     val store = new graft.engine.VersionedStore(root)
@@ -49,14 +51,19 @@ object Wave91 {
           .when(col("disc") < 0 || col("disc") > 0.1,
             "quarantine:disc_range")
           .otherwise("published"))
-    store.write(batch.filter(col("route") === "published").drop("route")
-      .repartition(4), "lineitem_clean")
-    store.write(batch.filter(col("route") =!= "published")
-      .repartition(2), "quarantine")
+    val tagged = batch.localCheckpoint()
+    store.write(tagged.filter(col("route") === "published").drop("route")
+      .coalesce(4), "lineitem_clean")
+    store.write(tagged.filter(col("route") =!= "published")
+      .coalesce(2), "quarantine")
+    // published counts come from a groupBy on a literal route tag (not a
+    // global aggregate) so an all-quarantined batch emits NO published
+    // row — exactly what the oracle's GROUP BY route produces
     val clean = store.read(s, "lineitem_clean")
+      .withColumn("route", lit("published"))
+      .groupBy("route")
       .agg(count(lit(1)).as("n"),
         sum(expr("cast(round(qty * 100) as long)")).as("qty_cents"))
-      .select(lit("published").as("route"), col("n"), col("qty_cents"))
     val quar = store.read(s, "quarantine")
       .groupBy("route")
       .agg(count(lit(1)).as("n"),

@@ -41,8 +41,13 @@ object Wave93 {
       val d0 = byDay.keys.min; val d1 = byDay.keys.max
       val xs = (d0 to d1).map(d => byDay.getOrElse(d, 0L)).toArray
       val n = xs.length
-      require(n >= 14,
-        s"timeseries_holt_winters: $tpe has $n days; needs two weeks")
+      // the oracle unrolls EXACTLY steps 7..29 (the fixture's 30-day
+      // calendar), so a series of any other span would silently diverge
+      // from it — pin the length here (Wave78's pattern) so a fixture
+      // change fails loudly instead
+      require(n == 30,
+        s"timeseries_holt_winters: $tpe spans $n days; the unrolled " +
+          "oracle is pinned to the 30-day fixture calendar")
       val s1 = xs.take(7).sum; val s2 = xs.slice(7, 14).sum
       var l = hdiv(s1, 7)
       var tr = hdiv(s2 - s1, 49)

@@ -106,4 +106,52 @@ class ScaleSpec extends SparkSuite {
       plan.split("HashAggregate").length > 2,
       s"expected a partial aggregation phase in:\n${plan.take(1500)}")
   }
+
+  test("graph_hits half-step: cached edge layout joins in place, vector never broadcast") {
+    // the HITS superstep contract (Wave47): the edge aggregate is cached
+    // hash-partitioned by the join key, the entity-sized score vector is
+    // SHUFFLE_HASH-joined into that layout - so the edge side reads from
+    // cache with NO exchange and NOTHING data-sized is ever broadcast,
+    // which is the plan that survives 100 TB (a broadcast vector is an
+    // executor+driver OOM at one row per customer)
+    val edges = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
+      .groupBy("c").agg(count(lit(1)).as("w"))
+      .repartition(col("c")).persist()
+    try {
+      edges.count()
+      val vec = edges.select(col("c")).withColumn("v", lit(1000000000L))
+      val half = edges.join(vec.withColumnRenamed("v", "hv").hint("shuffle_hash"), Seq("c"))
+        .groupBy("c").agg(sum(col("w") * col("hv")).as("raw"))
+      half.count()
+      val plan = half.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"),
+        s"half-step must be a shuffled hash join:\n${plan.take(2000)}")
+      assert(!plan.contains("BroadcastExchange") && !plan.contains("BroadcastHashJoin"),
+        s"half-step must not broadcast either side:\n${plan.take(2000)}")
+      // the cached edge side must be consumed in place: no exchange may sit
+      // between the join and the InMemoryTableScan
+      val joinIdx = plan.indexOf("ShuffledHashJoin")
+      val scanIdx = plan.indexOf("InMemoryTableScan", joinIdx)
+      val between = plan.substring(joinIdx, math.max(scanIdx, joinIdx))
+      assert(scanIdx > joinIdx && !between.contains("Exchange"),
+        s"cached edge layout re-shuffled:\n${plan.take(2000)}")
+    } finally { edges.unpersist(true); () }
+  }
+
+  test("graph_hits is broadcast-free under autoBroadcastJoinThreshold=-1, bit-identical") {
+    // the 100 TB shape: with size-based broadcasts impossible, the query
+    // must still execute (no hint forces a broadcast of anything
+    // data-sized; the one broadcast() hint left in Wave47 carries a 1-row
+    // norm aggregate) and walk the identical integer orbit
+    val base = SparkEntry.queries("graph_hits")(spark, sf)
+      .collect().map(_.toString).sorted
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val noB = SparkEntry.queries("graph_hits")(spark, sf)
+        .collect().map(_.toString).sorted
+      assert(noB === base)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
