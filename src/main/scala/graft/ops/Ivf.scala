@@ -117,7 +117,7 @@ object Ivf {
   private[graft] val centroidCache =
     new graft.engine.SessionCache[Array[(Int, Array[Float])]]()
 
-  private val simIvf: Q = (s, dir) => {
+  private[graft] val simIvf: Q = (s, dir) => {
     import s.implicits._
     val e = LlmPipeline.emb(s, dir).select(col("vec_id"), col("embedding"))
     val centroids = centroidCache.getOrBuild(s, dir)(train(e, k = 16, iters = 2))()
@@ -175,6 +175,14 @@ object Ivf {
       .limit(k)
   }
 
-  val queries: Map[String, Q] = Map("sim_ivf" -> simIvf)
-  val oracles: Map[String, String] = Map.empty
+  /** Recall-gated (r08): rows are the exact brute-force top-10
+    * (oracle-hashed); `recall_ok` gates the IVF probe result in-plan —
+    * the measured floor is 9/10 across sf0.001–0.1, gate at 8
+    * (LlmPipeline.recallGate). */
+  private val simIvfGated: Q = (s, dir) =>
+    LlmPipeline.recallGate(s, dir, simIvf(s, dir), minHits = 8)
+
+  val queries: Map[String, Q] = Map("sim_ivf" -> simIvfGated)
+  val oracles: Map[String, String] =
+    Map("sim_ivf" -> LlmPipeline.annRecallOracle)
 }

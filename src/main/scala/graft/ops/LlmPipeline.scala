@@ -87,7 +87,73 @@ object LlmPipeline {
       .select(col("doc_id"), array((0 until k).map(p => col(s"m$p")): _*).as("sig"))
   }
 
-  private val dedupMinhash: Q = (s, dir) => {
+  /** Exact 3-shingle Jaccard ≥ 0.8 pairs — the ground truth the sketch
+    * dedups are gated against (r08). PPJoin prefix filter on SHINGLES
+    * (TAU = 0.8 ⇒ each side's ⌊0.2n⌋+1 rarest shingles must collide),
+    * which is even more selective than the word-token variant: shingle
+    * document frequency is ~1 outside true near-dups, so candidates ≈
+    * the truth set itself. Threshold applied in exact integer arithmetic
+    * (inter·5 ≥ 4·union); materialized once per (session, dir) and
+    * shared by the minhash and simhash gates. Never all-pairs — the
+    * same 100 TB shape as dedup_ngram_jaccard. */
+  private[ops] def shingleTruthPairs(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Materialize(s, s"shingle-truth:$dir") {
+      val tk = col("__tk")
+      val shingles = array_distinct(transform(
+        sequence(lit(0), greatest(size(tk) - 3, lit(0))),
+        i => concat_ws(" ", slice(tk, i + 1, lit(3)))))
+      val sd = docs(s, dir).withColumn("__tk", tokens(col("text")))
+        .select(col("doc_id"), shingles.as("sh"))
+      val sizes = sd.select(col("doc_id"), size(col("sh")).cast("bigint").as("sz"))
+      val tok = sd.select(col("doc_id"), size(col("sh")).cast("bigint").as("sz"),
+        explode(col("sh")).as("w")).localCheckpoint()
+      val dfRank = tok.groupBy("w").agg(count(lit(1)).as("df"))
+      val prefix = tok.join(dfRank, "w")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("w"))))
+        .filter(col("rn") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
+        .select(col("doc_id"), col("sz"), col("w"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id") &&
+            least(col("a.sz"), col("b.sz")) * 5 >=
+              greatest(col("a.sz"), col("b.sz")) * 4)
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+      cand
+        .join(tok.select(col("doc_id").as("i"), col("w")), "i")
+        .join(tok.select(col("doc_id").as("j"), col("w")), Seq("j", "w"))
+        .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "i")
+          .withColumnRenamed("sz", "szi"), "i")
+        .join(sizes.withColumnRenamed("doc_id", "j")
+          .withColumnRenamed("sz", "szj"), "j")
+        .filter(col("inter") * 5 >= (col("szi") + col("szj") - col("inter")) * 4)
+        .select(col("i"), col("j"),
+          round(col("inter").cast("double") /
+            (col("szi") + col("szj") - col("inter")).cast("double"), 6).as("jacc"))
+    }
+
+  /** The shared DuckDB truth: all-pairs shingle Jaccard ≥ 0.8 (the
+    * oracle side may brute-force; the engine side never does). */
+  private def shingleTruthOracle(boolCol: String): String =
+    s"""WITH d0 AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+       |d AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(toks)-2,1)),
+       |  i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS sh FROM d0),
+       |tok AS (SELECT doc_id, unnest(sh) AS w FROM d),
+       |sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM d),
+       |inter AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i, j,
+       |  round(CAST(inter AS DOUBLE) / (si.sz + sj.sz - inter), 6) AS jacc,
+       |  TRUE AS $boolCol
+       |FROM inter JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
+       |WHERE inter * 5 >= (si.sz + sj.sz - inter) * 4
+       |ORDER BY i, j""".stripMargin
+
+  /** The raw xxhash64 LSH candidate pipeline (production-speed form;
+    * specs and the gated query both consume it). */
+  private[graft] val dedupMinhashRaw: Q = (s, dir) => {
     val k = 32; val bands = 8; val rows = k / bands
     val sigs = minhashSignatures(docs(s, dir), k)
     val banded = sigs.select(col("doc_id"), col("sig"),
@@ -107,6 +173,21 @@ object LlmPipeline {
       .select("i", "j", "est_sim")
       .orderBy("i", "j")
   }
+
+  /** Recall-gated (r08): rows are the EXACT shingle-Jaccard ≥ 0.8 truth
+    * pairs (oracle-hashed), `found_by_lsh` marks each as recovered by
+    * the xxhash64 banded LSH — measured 100% at sf0.001–0.1 (8 bands of
+    * 4 give P(miss) ≤ 1.5% at J = 0.8, ~1e-4 at the fixture's J ≥ 0.89),
+    * so the oracle pins TRUE per pair: a missed true near-dup fails the
+    * differential gate. The full sketch pipeline additionally hash-greens
+    * via the portable twin dedup_minhash_md5. */
+  private val dedupMinhash: Q = (s, dir) =>
+    shingleTruthPairs(s, dir)
+      .join(dedupMinhashRaw(s, dir).select(col("i"), col("j"))
+        .withColumn("__f", lit(true)), Seq("i", "j"), "left")
+      .select(col("i"), col("j"), col("jacc"),
+        coalesce(col("__f"), lit(false)).as("found_by_lsh"))
+      .orderBy("i", "j")
 
   /** Cross-engine 60-bit hash: top 15 hex digits of md5, as a bigint —
     * computable identically in DuckDB, unlike xxhash64. */
@@ -183,7 +264,7 @@ object LlmPipeline {
       .groupBy("doc_id")
       .agg(graft.functions.Native.simhashAgg(col("h")).as("simhash"))
 
-  private val dedupSimhash: Q = (s, dir) => {
+  private[graft] val dedupSimhashRaw: Q = (s, dir) => {
     val sh = simhash(docs(s, dir))
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
@@ -196,6 +277,27 @@ object LlmPipeline {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("bigint").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 12)
+      .orderBy("i", "j")
+  }
+
+  /** Recall-gated (r08): rows are the exact shingle-truth pairs
+    * (oracle-hashed); `recall_ge_80pct` is an aggregate bound, not a
+    * per-pair one — simhash is a COSINE-family sketch, so individual
+    * high-Jaccard pairs can legitimately land outside hamming ≤ 12
+    * (measured recall 0.89–0.96 across sf0.001–0.1; gate at 80% in
+    * exact integer arithmetic). The recall row is 1-row (broadcast
+    * justified); the pair table is pinned so the simhash pipeline runs
+    * once, not once per consumer. */
+  private val dedupSimhash: Q = (s, dir) => {
+    val joined = shingleTruthPairs(s, dir)
+      .join(dedupSimhashRaw(s, dir).select(col("i"), col("j"))
+        .withColumn("__f", lit(1L)), Seq("i", "j"), "left")
+      .localCheckpoint()
+    val rec = joined.agg(
+      (sum(coalesce(col("__f"), lit(0L))) * 5 >= count(lit(1)) * 4)
+        .as("recall_ge_80pct"))
+    joined.crossJoin(broadcast(rec))
+      .select(col("i"), col("j"), col("jacc"), col("recall_ge_80pct"))
       .orderBy("i", "j")
   }
 
@@ -304,6 +406,51 @@ object LlmPipeline {
   private def cosineCol(a: Column, b: Column): Column =
     graft.functions.Native.cosineSim(a, b)
 
+  /** Exact brute-force cosine top-10 (vec_id, cos) — the baseline the
+    * ANN recall gates compare against. */
+  private[ops] def exactTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(cosineCol(col("v"), col("qv")), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(10)
+  }
+
+  /** Differential recall gate for an ANN top-k (the agg_hll_mergeable
+    * bound-boolean pattern): rows are the EXACT brute-force top-10 —
+    * oracle-computable, so the whole row set hash-compares against
+    * DuckDB — and `recall_ok` is TRUE iff the engine-specific ANN
+    * result found at least `minHits` of them. A recall collapse flips
+    * the boolean and fails the differential gate; the index variants
+    * are thereby fully oracle-gated despite engine-specific hashing.
+    * The unpartitioned window runs over exactly k=10 rows (model-sized
+    * by construction). `minHits` sits below the measured per-SF floor
+    * (lsh 4 / multiprobe 10 / ivf 9 / pq 5 at sf0.001–0.1) so only a
+    * genuine recall regression trips it. */
+  private[ops] def recallGate(s: SparkSession, dir: String,
+      annIds: DataFrame, minHits: Int): DataFrame =
+    exactTopk(s, dir)
+      .join(annIds.select(col("vec_id")).distinct()
+        .withColumn("__hit", lit(1L)), Seq("vec_id"), "left")
+      .withColumn("__rec",
+        sum(coalesce(col("__hit"), lit(0L))).over(Window.partitionBy(lit(0))))
+      .select(col("vec_id"), col("cos"),
+        (col("__rec") >= lit(minHits.toLong)).as("recall_ok"))
+      .orderBy(desc("cos"), asc("vec_id"))
+
+  /** The shared oracle for every recall-gated ANN query: the exact
+    * brute-force top-10 plus TRUE. */
+  private[ops] val annRecallOracle: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      |SELECT vec_id, ROUND(list_aggregate(list_transform(list_zip(v, qv), x -> x[1] * x[2]), 'sum')
+      |  / (SQRT(list_aggregate(list_transform(v, x -> x*x), 'sum')) * SQRT(list_aggregate(list_transform(qv, x -> x*x), 'sum'))), 6) AS cos,
+      |  TRUE AS recall_ok
+      |FROM e CROSS JOIN q WHERE vec_id <> 0
+      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
   /** Brute-force cosine top-k against a query vector (vec_id 0): the
     * correctness baseline. Broadcast of the single query row; the scan
     * side never shuffles; TakeOrderedAndProject for the top-k (SURVEY
@@ -378,7 +525,14 @@ object LlmPipeline {
       .limit(10)
   }
 
-  private val simAnnLsh: Q = (s, dir) => lshAnnTopK(s, dir, 4, 8, Seq(0L))
+  /** The raw ANN top-10 (specs exercise this form directly). */
+  private[graft] val simAnnLshRaw: Q = (s, dir) =>
+    lshAnnTopK(s, dir, 4, 8, Seq(0L))
+
+  /** Recall-gated (r08): rows are the exact top-10 (oracle-hashed);
+    * `recall_ok` gates the LSH result in-plan — see [[recallGate]]. */
+  private val simAnnLsh: Q = (s, dir) =>
+    recallGate(s, dir, simAnnLshRaw(s, dir), minHits = 3)
 
   /** Multi-probe LSH (probe radius 1): beside each table's exact query
     * cell, also probe the `planes` cells one hyperplane-sign flip away —
@@ -389,11 +543,15 @@ object LlmPipeline {
     * the query side expands: the corpus is bucketed exactly once, the
     * candidate join is the same (table, bucket) equi-join, so the 100 TB
     * plan is unchanged — more probe keys on the broadcast side, zero
-    * extra corpus passes. Rows-only (xxhash planes are engine-specific);
-    * LlmPipelineSpec pins candidates ⊇ single-probe and recall ≥. */
-  private val simAnnLshMultiprobe: Q = (s, dir) =>
+    * extra corpus passes. Oracle-gated via [[recallGate]] (the xxhash
+    * planes stay engine-specific; the exact rows + recall boolean are
+    * not); LlmPipelineSpec pins candidates ⊇ single-probe and recall ≥. */
+  private[graft] val simAnnLshMultiprobeRaw: Q = (s, dir) =>
     lshAnnTopK(s, dir, planes = 4, tables = 8,
       masks = 0L +: (0 until 4).map(1L << _))
+
+  private val simAnnLshMultiprobe: Q = (s, dir) =>
+    recallGate(s, dir, simAnnLshMultiprobeRaw(s, dir), minHits = 7)
 
   // ---- text analysis ---------------------------------------------------
 
@@ -514,7 +672,54 @@ object LlmPipeline {
       concat_ws(",", col("frames")).as("frames"))
     .orderBy("doc_id")
 
+  /** REAL-codec image decode (r08): deterministic 16×16 PNGs are
+    * synthesized per doc (pixels from the portable md5 formula), decoded
+    * back to pixels with javax.imageio (an actual PNG codec — no stub),
+    * and reduced to exact-integer features (channel sums, luminance
+    * histogram, 2×2-downsampled aHash). PNG is lossless, so the DuckDB
+    * oracle replays the features straight from the pixel formula — any
+    * decode corruption diverges the hash. See [[Multimodal.decodeImage]]. */
+  private val multimodalDecodeImage: Q = (s, dir) =>
+    Multimodal.extractImageFeatures(s, dir).orderBy("doc_id")
+
+  private val multimodalDecodeImageOracle: String =
+    """WITH px AS MATERIALIZED (
+      |  SELECT d.doc_id, xs.x, ys.y,
+      |    CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR), '#',
+      |      CAST(xs.x AS VARCHAR), '#', CAST(ys.y AS VARCHAR))), 1, 15)) AS BIGINT) AS v
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS x) xs
+      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS y) ys),
+      |ch AS MATERIALIZED (
+      |  SELECT doc_id, x, y, v & 255 AS r, (v >> 8) & 255 AS g, (v >> 16) & 255 AS b,
+      |    (299 * (v & 255) + 587 * ((v >> 8) & 255) + 114 * ((v >> 16) & 255)) // 1000 AS lum
+      |  FROM px),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+      |    CAST(SUM(b) AS BIGINT) AS sum_b, CAST(SUM(lum) AS BIGINT) AS tot
+      |  FROM ch GROUP BY 1),
+      |lums AS (SELECT doc_id, list(lum) AS ls FROM ch GROUP BY 1),
+      |hist AS (
+      |  SELECT doc_id, array_to_string(list_transform(range(0, 8), k ->
+      |    CAST(len(list_filter(ls, l -> l // 32 = k)) AS BIGINT)), ',') AS lum_hist
+      |  FROM lums),
+      |blk AS (
+      |  SELECT doc_id, (y // 2) * 8 + (x // 2) AS bi, CAST(SUM(lum) AS BIGINT) AS bl
+      |  FROM ch GROUP BY 1, 2),
+      |ah AS (
+      |  SELECT b.doc_id,
+      |    SUM(CASE WHEN b.bl * 64 > a.tot THEN CAST(1 AS HUGEINT) << b.bi
+      |      ELSE CAST(0 AS HUGEINT) END) AS ahu
+      |  FROM blk b JOIN agg a USING (doc_id) GROUP BY 1)
+      |SELECT a.doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+      |  a.sum_r, a.sum_g, a.sum_b, h.lum_hist,
+      |  CAST(CASE WHEN ah.ahu >= 9223372036854775808 THEN ah.ahu - 18446744073709551616
+      |    ELSE ah.ahu END AS BIGINT) AS ahash
+      |FROM agg a JOIN hist h ON h.doc_id = a.doc_id JOIN ah ON ah.doc_id = a.doc_id
+      |ORDER BY a.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "multimodal_decode_image" -> multimodalDecodeImage,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_md5" -> dedupMinhashMd5,
@@ -535,6 +740,11 @@ object LlmPipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "multimodal_decode_image" -> multimodalDecodeImageOracle,
+    "sim_ann_lsh" -> annRecallOracle,
+    "sim_ann_lsh_multiprobe" -> annRecallOracle,
+    "dedup_minhash" -> shingleTruthOracle("found_by_lsh"),
+    "dedup_simhash" -> shingleTruthOracle("recall_ge_80pct"),
     "dedup_exact" ->
       """SELECT doc_id, h FROM (
         |SELECT doc_id, sha256(lower(trim(text))) AS h,

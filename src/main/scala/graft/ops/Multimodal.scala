@@ -7,14 +7,23 @@ import org.apache.spark.sql.functions._
   * opaque binary payloads + typed metadata, with decode / feature-extract /
   * frame-sample as typed `mapPartitions` stages.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked DETERMINISTIC FAKE of the decode step — it stands in for
-  * e.g. a JPEG decode + resize. Everything around it is real Spark
-  * plumbing: schema, encoders, per-partition batching, partition-count
-  * control — swap `decodeStub` for a codec call and the pipeline is
-  * production-shaped. The batch unit is one partition (mirrors
-  * `mapInPandas` batch semantics); executors never hold more than one
-  * partition's payloads.
+  * Two decode paths:
+  *  - `decodeStub` — a clearly-marked DETERMINISTIC FAKE standing in for
+  *    codecs the container does not ship (JPEG/audio PCM/video frames);
+  *    the schema, batching, and partition control around it are real.
+  *  - `decodeImage` (r08) — a REAL codec path: `javax.imageio.ImageIO`
+  *    ships in the JDK, so the image table synthesizes deterministic
+  *    16×16 PNGs (pixel channels from a portable md5 formula), the
+  *    decode stage runs an actual PNG decode to pixels, and the feature
+  *    stage computes integer channel sums, a luminance histogram, and
+  *    an 8×8 average-hash from 2×2 block downsampling — all in exact
+  *    integer arithmetic, so the DuckDB oracle replays the features
+  *    from the generative pixel formula (PNG is lossless: decoded
+  *    pixels ≡ formula pixels — that identity is itself the codec
+  *    correctness check).
+  *
+  * The batch unit is one partition (mirrors `mapInPandas` batch
+  * semantics); executors never hold more than one partition's payloads.
   */
 object Multimodal {
 
@@ -65,6 +74,103 @@ object Multimodal {
     mediaTable(spark, dir)
       .repartition(parallelism, col("doc_id"))
       .mapPartitions(decodeStub)
+      .toDF()
+  }
+
+  // ---- real-codec image path (r08) --------------------------------------
+
+  val ImgW = 16
+  val ImgH = 16
+
+  /** Deterministic pixel formula, portable to DuckDB: channel values are
+    * bytes of the 60-bit md5 prefix of "docId#x#y" (the engine-wide
+    * Hashing.md5Long convention). */
+  private[graft] def pixelValue(md: java.security.MessageDigest,
+      docId: Long, x: Int, y: Int): (Int, Int, Int) = {
+    md.reset()
+    val hex = md.digest(s"$docId#$x#$y".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    val v = java.lang.Long.parseLong(hex, 16)
+    ((v & 255L).toInt, ((v >> 8) & 255L).toInt, ((v >> 16) & 255L).toInt)
+  }
+
+  /** Synthesize the doc's 16×16 RGB PNG — REAL ImageIO encode. The PNG
+    * byte stream is encoder-dependent (never hashed); the pixels are
+    * the deterministic contract. */
+  private[graft] def syntheticPng(docId: Long): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val img = new java.awt.image.BufferedImage(
+      ImgW, ImgH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < ImgH) {
+      var x = 0
+      while (x < ImgW) {
+        val (r, g, b) = pixelValue(md, docId, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decoded-image features, all exact integers:
+    *  - channel sums over the 256 pixels;
+    *  - 8-bucket luminance histogram (lum = (299r+587g+114b)/1000
+    *    integer division, bucket = lum/32);
+    *  - 8×8 average-hash from 2×2 block DOWNSAMPLING (the real resize
+    *    step): bit (by*8+bx) set iff blockLumSum·64 > totalLumSum. */
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, lum_hist: String, ahash: Long)
+
+  /** REAL decode: ImageIO.read on the PNG payload, then pixel math. */
+  def decodeImage(rows: Iterator[MediaRow]): Iterator[ImageFeatures] =
+    rows.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+      val w = img.getWidth; val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L; var totLum = 0L
+      val hist = new Array[Long](8)
+      val blockLum = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val pr = (rgb >> 16) & 255; val pg = (rgb >> 8) & 255; val pb = rgb & 255
+          sr += pr; sg += pg; sb += pb
+          val lum = (299 * pr + 587 * pg + 114 * pb) / 1000
+          totLum += lum
+          hist(lum / 32) += 1
+          blockLum((y / 2) * 8 + x / 2) += lum
+          x += 1
+        }
+        y += 1
+      }
+      var ahash = 0L
+      var i = 0
+      while (i < 64) {
+        if (blockLum(i) * 64 > totLum) ahash |= (1L << i)
+        i += 1
+      }
+      ImageFeatures(r.doc_id, w, h, sr, sg, sb, hist.mkString(","), ahash)
+    }
+
+  /** The real-codec pipeline: synthesize PNGs (encode), decode them with
+    * ImageIO, extract integer features. Encode+decode run fused in one
+    * narrow mapPartitions pass — no payload ever shuffles. */
+  def extractImageFeatures(spark: SparkSession, dir: String,
+      parallelism: Int = 32): DataFrame = {
+    import spark.implicits._
+    graft.engine.Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .repartition(parallelism)
+      .mapPartitions(_.map(id =>
+        MediaRow(id, syntheticPng(id), "image/png", "", "")))
+      .mapPartitions(decodeImage)
       .toDF()
   }
 }

@@ -121,7 +121,7 @@ object Pq {
     * codes (narrow map, m lookups/row), top-64 candidates, exact-cosine
     * rerank of the candidates only. Rows-only (float k-means is
     * engine-specific); recall vs brute force pinned in PqSpec. */
-  private val simPq: Q = (s, dir) => {
+  private[graft] val simPq: Q = (s, dir) => {
     val e = unit(LlmPipeline.emb(s, dir).select(col("vec_id"), col("embedding")))
     val books = bookCache.getOrBuild(s, dir)(train(e, m = 4, k = 16, iters = 2))()
     val codes = graft.engine.Materialize(s, s"pq-codes:$dir") { encode(e, books) }
@@ -149,6 +149,14 @@ object Pq {
       .limit(10)
   }
 
-  val queries: Map[String, Q] = Map("sim_pq" -> simPq)
-  val oracles: Map[String, String] = Map.empty
+  /** Recall-gated (r08): rows are the exact brute-force top-10
+    * (oracle-hashed); `recall_ok` gates the ADC+rerank result in-plan —
+    * measured floor 5/10 across sf0.001–0.1 (m=4, k=16 codebooks are
+    * deliberately tiny), gate at 4 (LlmPipeline.recallGate). */
+  private val simPqGated: Q = (s, dir) =>
+    LlmPipeline.recallGate(s, dir, simPq(s, dir), minHits = 4)
+
+  val queries: Map[String, Q] = Map("sim_pq" -> simPqGated)
+  val oracles: Map[String, String] =
+    Map("sim_pq" -> LlmPipeline.annRecallOracle)
 }

@@ -129,13 +129,24 @@ object Relational {
       .orderBy("o_orderstatus", "o_orderpriority")
 
   /** NDV at scale: HLL++ sketch — the 100 TB path where exact distinct is
-    * infeasible (SURVEY §2.4 agg_approx_distinct). Rows-only check: sketch
-    * estimates are engine-specific. */
+    * infeasible (SURVEY §2.4 agg_approx_distinct). Differentially gated
+    * (r08, the agg_hll_mergeable bound-boolean pattern): the row carries
+    * the EXACT counts (oracle-hashed) plus booleans pinning the sketch
+    * within ±5% of them (rsd = 0.02, so the bound is 2.5σ) — a drifting
+    * estimate flips a boolean and fails the hash; the sketch itself stays
+    * engine-specific and out of the hash. */
   private val aggApproxDistinct: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .select(col("n_parts"), col("n_orders"),
+        (abs(col("ap") - col("n_parts")).cast("double") <=
+          col("n_parts").cast("double") * 0.05).as("parts_within_5pct"),
+        (abs(col("ao") - col("n_orders")).cast("double") <=
+          col("n_orders").cast("double") * 0.05).as("orders_within_5pct"))
 
   /** Exact-distinct twin of the sketch, oracle-checked at test scale. */
   private val aggDistinctCount: Q = (s, dir) =>
@@ -334,16 +345,30 @@ object Relational {
   /** Quantiles at scale: the approx_percentile sketch (GK/KLL-style) —
     * the 100 TB path where exact percentile's full sort-per-group is
     * infeasible; sketch buffers merge map-side like any partial
-    * aggregate. Rows-only check (sketch results depend on merge order);
-    * RelationalSpec pins the rank-error bound against the exact twin
-    * agg_percentiles. */
+    * aggregate. Differentially gated (r08): the row carries the exact
+    * interpolated percentiles (oracle-hashed) plus booleans pinning each
+    * sketch value inside the exact ±5-percentile RANK band (accuracy
+    * 1000 ⇒ rank error ≤ 0.1%, so the 5% band has 50× headroom) — a
+    * merge-order-dependent sketch value stays out of the hash, but a
+    * rank-error regression flips a boolean. */
   private val aggApproxPercentile: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        expr("approx_percentile(l_quantity, 0.5, 1000)").as("median_qty"),
-        expr("approx_percentile(l_quantity, 0.9, 1000)").as("p90_qty"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("am"),
+        expr("approx_percentile(l_quantity, 0.9, 1000)").as("a90"),
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_quantity, 0.45)").as("lo50"),
+        expr("percentile(l_quantity, 0.55)").as("hi50"),
+        expr("percentile(l_quantity, 0.88)").as("lo90"),
+        expr("percentile(l_quantity, 0.92)").as("hi90"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("median_qty"), col("p90_qty"), col("n"),
+        (col("am") >= col("lo50") && col("am") <= col("hi50"))
+          .as("median_in_band"),
+        (col("a90") >= col("lo90") && col("a90") <= col("hi90"))
+          .as("p90_in_band"))
       .orderBy("l_returnflag")
 
   /** Padding/slicing string family (SURVEY §2.8 extension). */
@@ -554,6 +579,15 @@ object Relational {
     "fn_bitwise" ->
       "SELECT p_partkey, p_partkey & 255 AS andv, p_partkey | 4096 AS orv, xor(p_partkey, CAST(p_size AS BIGINT)) AS xorv, CAST(p_size << 3 AS BIGINT) AS shl, p_partkey >> 2 AS shr FROM part ORDER BY p_partkey",
     "agg_percentiles" ->
-      "SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, quantile_cont(l_quantity, 0.9) AS p90_qty, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+      "SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, quantile_cont(l_quantity, 0.9) AS p90_qty, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "agg_approx_distinct" ->
+      ("SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts, " +
+        "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders, " +
+        "TRUE AS parts_within_5pct, TRUE AS orders_within_5pct FROM lineitem"),
+    "agg_approx_percentile" ->
+      ("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, " +
+        "quantile_cont(l_quantity, 0.9) AS p90_qty, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "TRUE AS median_in_band, TRUE AS p90_in_band " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
   )
 }

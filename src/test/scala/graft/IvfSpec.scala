@@ -25,7 +25,7 @@ class IvfSpec extends SparkSuite {
   }
 
   test("sim_ivf returns candidates from probed cells, ranked by cosine") {
-    val got = Ivf.queries("sim_ivf")(spark, sf).collect()
+    val got = Ivf.simIvf(spark, sf).collect()
     assert(got.length === 10)
     assert(!got.map(_.getLong(0)).contains(0L), "query vector excluded")
     val sims = got.map(_.getDouble(1))
@@ -81,7 +81,7 @@ class IvfSpec extends SparkSuite {
     val e01 = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     assert(Ivf.trainSample(e01, 1024).count() < e01.count(), "sampling engaged")
-    val got = Ivf.queries("sim_ivf")(spark, dir).collect().map(_.getLong(0))
+    val got = Ivf.simIvf(spark, dir).collect().map(_.getLong(0))
     val brute = LlmPipeline.queries("sim_topk")(spark, dir)
       .collect().map(_.getLong(0)).toSet
     val recall = got.count(brute.contains) / 10.0
@@ -103,7 +103,7 @@ class IvfSpec extends SparkSuite {
       .filter(col("vec_id") =!= 0)
       .limit(10)
       .collect().map(_.getLong(0)).toSeq
-    val direct = graft.SparkEntry.queries("sim_ivf")(spark, sf)
+    val direct = Ivf.simIvf(spark, sf)
       .collect().map(_.getLong(0)).toSeq
     assert(fromIndex === direct)
     graft.engine.Fs.deleteRec(indexDir.toFile)

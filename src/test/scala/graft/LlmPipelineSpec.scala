@@ -80,7 +80,7 @@ class LlmPipelineSpec extends SparkSuite {
   }
 
   test("sim_ann_lsh returns a subset of brute-force candidates ranked by cosine") {
-    val annRows = LlmPipeline.queries("sim_ann_lsh")(spark, sf).collect()
+    val annRows = LlmPipeline.simAnnLshRaw(spark, sf).collect()
     val ann = annRows.map(_.getLong(0)).toSet
     assert(ann.nonEmpty)
     assert(!ann.contains(0L))
@@ -101,9 +101,9 @@ class LlmPipelineSpec extends SparkSuite {
   test("multi-probe LSH recall is at least single-probe recall") {
     val brute = LlmPipeline.queries("sim_topk")(spark, sf)
       .collect().map(_.getLong(0)).toSet
-    val single = LlmPipeline.queries("sim_ann_lsh")(spark, sf)
+    val single = LlmPipeline.simAnnLshRaw(spark, sf)
       .collect().map(_.getLong(0))
-    val multi = LlmPipeline.queries("sim_ann_lsh_multiprobe")(spark, sf)
+    val multi = LlmPipeline.simAnnLshMultiprobeRaw(spark, sf)
       .collect().map(_.getLong(0))
     assert(multi.nonEmpty && !multi.contains(0L))
     val rSingle = single.count(brute.contains)
@@ -128,7 +128,7 @@ class LlmPipelineSpec extends SparkSuite {
       .filter(col("vec_id") =!= 0)
       .limit(10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val direct = LlmPipeline.queries("sim_ann_lsh")(spark, sf)
+    val direct = LlmPipeline.simAnnLshRaw(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(fromIndex === direct,
       "index probe and in-session pipeline must agree bucket-for-bucket")
@@ -143,6 +143,38 @@ class LlmPipelineSpec extends SparkSuite {
     val r = f1.head
     assert(r.getLong(1) > 0, "n_bytes")
     assert(r.getSeq[Float](3).length === 8, "feature vector width")
+  }
+
+  test("synthetic PNG roundtrips through a real ImageIO decode, pixel-exact") {
+    // the lossless-codec identity the multimodal_decode_image oracle
+    // leans on: encode(formula pixels) -> PNG -> ImageIO.read gives back
+    // exactly the formula pixels
+    val docId = 42L
+    val png = Multimodal.syntheticPng(docId)
+    // PNG magic bytes prove a real encoder ran, not a stub
+    assert((png(0) & 0xFF) === 0x89 && png(1) === 'P'.toByte &&
+      png(2) === 'N'.toByte && png(3) === 'G'.toByte)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth === Multimodal.ImgW && img.getHeight === Multimodal.ImgH)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (y <- 0 until Multimodal.ImgH; x <- 0 until Multimodal.ImgW) {
+      val (r, g, b) = Multimodal.pixelValue(md, docId, x, y)
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 255, (rgb >> 8) & 255, rgb & 255) === ((r, g, b)),
+        s"pixel ($x,$y) corrupted by the codec roundtrip")
+    }
+  }
+
+  test("multimodal_decode_image features are deterministic and image-shaped") {
+    val f1 = LlmPipeline.queries("multimodal_decode_image")(spark, sf).collect()
+    val f2 = LlmPipeline.queries("multimodal_decode_image")(spark, sf).collect()
+    assert(f1.length === 500)
+    assert(f1.map(_.getLong(7)) === f2.map(_.getLong(7)), "ahash deterministic")
+    val r = f1.head
+    assert(r.getInt(1) === 16 && r.getInt(2) === 16)
+    assert(r.getString(6).split(",").length === 8, "8 luminance buckets")
+    assert(r.getString(6).split(",").map(_.toLong).sum === 256L,
+      "histogram covers all 256 pixels")
   }
 
   test("langid marks stopword-free docs und or a declared language") {

@@ -78,7 +78,7 @@ class PqSpec extends SparkSuite {
       .select(col("vec_id"), col("embedding")))
     assert(graft.ops.Ivf.trainSample(e01, 1024).count() < e01.count(),
       "sampling engaged")
-    val got = Pq.queries("sim_pq")(spark, dir).collect().map(_.getLong(0))
+    val got = Pq.simPq(spark, dir).collect().map(_.getLong(0))
     val brute = LlmPipeline.queries("sim_topk")(spark, dir)
       .collect().map(_.getLong(0)).toSet
     val recall = got.count(brute.contains) / 10.0
@@ -90,7 +90,7 @@ class PqSpec extends SparkSuite {
   }
 
   test("sim_pq ranks by exact cosine after ADC candidate generation") {
-    val got = Pq.queries("sim_pq")(spark, sf).collect()
+    val got = Pq.simPq(spark, sf).collect()
     assert(got.length === 10)
     assert(!got.map(_.getLong(0)).contains(0L), "query vector excluded")
     val sims = got.map(_.getDouble(1))
