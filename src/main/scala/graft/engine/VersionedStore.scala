@@ -601,9 +601,12 @@ class VersionedStore(root: String) {
           case _ =>
         }
         // the source feeds THREE jobs (range agg, hit semi-join, merge
-        // write): persist once so an expensive source lineage is not
-        // recomputed per job
-        val source = rawSource.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // write): pin it ONCE. localCheckpoint, not persist — the pinned
+        // RDD makes every downstream plan a trivial scan (r08: persist
+        // kept the full source lineage in each of the three plans, and
+        // the CacheManager walked every subsequent plan per analysis —
+        // measured ~0.3 s/upsert of driver time at sf0.1, pure overhead)
+        val source = rawSource.localCheckpoint()
         try {
           val (tSchema, entries) = manifestWithStats(name, cur)
           // SCHEMA ENFORCEMENT (Delta semantics): without evolveSchema a
@@ -647,7 +650,10 @@ class VersionedStore(root: String) {
             if (candidates.isEmpty) Set.empty
             else readEntries(spark, name, tSchema, candidates, withMeta = true)
               .select(keys.map(col) :+ col("__file"): _*)
-              .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+              // no distinct() on the probe side: left_semi dedups by
+              // construction, and the extra exchange + AQE stage it cost
+              // per upsert bought nothing
+              .join(source.select(keys.map(col): _*), keys, "left_semi")
               .select("__file").distinct()
               .collect().map(_.getString(0)).toSet
           val hit = candidates.filter(e => hitNames.contains(e.file))
@@ -744,7 +750,7 @@ class VersionedStore(root: String) {
             keep = headEntries.filterNot(e => hitSet.contains(e.file))
           }
           sys.error("unreachable")
-        } finally { source.unpersist(); () }
+        } finally { source.unpersist(); () }  // no-op post-r08 (checkpoint, not cache)
     }
 
   /** DELETE WHERE, file-level: only files containing a matching row are

@@ -172,7 +172,15 @@ object Wave9 {
         store.deleteMor(s, "replica", col("c_custkey").isin(delKeys: _*))
     } finally { ch.unpersist(); () }
     val (a, b) = (store.read(s, "replica"), store.read(s, "src"))
-    require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+    // multiset identity in ONE wide pass instead of two: |A| = |B| plus
+    // A∖B = ∅ implies B∖A = ∅ for multisets, and both counts are
+    // metadata-answerable (footer row counts − dv dead rows) where
+    // exceptAll is a full shuffle over both tables
+    val nEq = (store.countMeta(s, "replica"), store.countMeta(s, "src")) match {
+      case (Some(x), Some(y)) => x == y
+      case _ => a.count() == b.count()
+    }
+    require(nEq && a.exceptAll(b).isEmpty,
       "sink_replicate: replica diverged from source after CDC sync")
     a.agg(count(lit(1)).as("n"), sum("c_custkey").as("key_sum"),
       countDistinct("c_nationkey").as("n_nations"))
