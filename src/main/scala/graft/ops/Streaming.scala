@@ -136,7 +136,11 @@ object Streaming {
     * table" shape. Aggregation after enrichment keys state by the
     * (segment, type) pair — bounded cardinality. */
   def staticEnrich(events: DataFrame, customers: DataFrame): DataFrame =
-    events.join(broadcast(customers),
+    // no broadcast hint: the dim is ENTITY-sized (one row per customer),
+    // so the hint is the graph_hits bug class at 100 TB; the planner's
+    // size-based selection broadcasts it while it fits and degrades to a
+    // shuffle join when it no longer does
+    events.join(customers,
         events("user_id") === customers("c_custkey"))
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"),

@@ -159,11 +159,13 @@ object Wave26 {
     * (extendedprice x (1 - discount), both cast before multiplying);
     * the two parent totals are model-sized broadcasts; shares are
     * single rounded divisions of exact decimals. The join path is the
-    * snowflake chain with every dimension broadcast. */
+    * snowflake chain — fixed catalog dims (nation/region) broadcast,
+    * the entity-scaled customer dim joins size-chosen. */
   private val aggShareOfParent: Q = (s, dir) => {
     val rev = t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      // customer is entity-scaled: size-chosen join, no forced broadcast
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .select(col("r_name"), col("n_name"),

@@ -717,8 +717,8 @@ object Wave3 {
 
   // ---- flagship_star_join: the 3-table analytics shape -----------------
 
-  /** TPC-H Q3-shaped star join: segment-filtered customers (broadcast —
-    * dims are model-sized next to the fact), date-filtered orders joined
+  /** TPC-H Q3-shaped star join: segment-filtered customers (size-chosen
+    * join — the dim is entity-scaled), date-filtered orders joined
     * to lineitem on the shuffle key, one partial-aggregated groupBy, and
     * TakeOrderedAndProject for the top 10 — the canonical "100 TB fact,
     * small dims" plan. Revenue is decimal×decimal so the sum is exact on
@@ -736,7 +736,10 @@ object Wave3 {
         (col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
           .as("rev"))
-    ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+    // the segment-filtered customer list is still entity-scaled - let
+    // size-based selection pick broadcast while it fits (it does at any
+    // bench SF) and degrade to shuffle at 100 TB instead of OOMing
+    ord.join(cust, ord("o_custkey") === cust("c_custkey"))
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("odate"),
         col("o_orderpriority"))

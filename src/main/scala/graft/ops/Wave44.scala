@@ -30,11 +30,12 @@ object Wave44 {
     * rational arithmetic ((2·|num|·10⁶ + den) div (2·den)) — no
     * decimal→double cast ever exceeds 2⁵³, so boundary values cannot
     * flip between engines. One shuffle (the brand aggregate); the
-    * join broadcasts. */
+    * part join is size-chosen. */
   private val priceElasticity: Q = (s, dir) => {
     def lnq(c: Column) = floor(log(c) * 1e9 + 0.5).cast("long")
     val joined = t(s, dir, "lineitem")
-      .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+      // part is entity-scaled: size-chosen join, no forced broadcast
+      .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .select(col("p_brand"),
         lnq(col("l_extendedprice").cast("double") / col("l_quantity").cast("double"))

@@ -29,8 +29,10 @@ object Wave53 {
     val inter = SupplierGraph.pairWeights(s, dir)
       .select(col("p1"), col("p2"), col("w").as("i"))
     inter
-      .join(broadcast(deg.select(col("p").as("p1"), col("d").as("d1"))), "p1")
-      .join(broadcast(deg.select(col("p").as("p2"), col("d").as("d2"))), "p2")
+      // degree tables are supplier-sized (entity-scaled): no forced
+      // broadcast - the optimizer picks one while they fit
+      .join(deg.select(col("p").as("p1"), col("d").as("d1")), "p1")
+      .join(deg.select(col("p").as("p2"), col("d").as("d2")), "p2")
       .withColumn("u", col("d1") + col("d2") - col("i"))
       .withColumn("jac_micro",
         expr("(2 * i * 1000000 + u) div (2 * u)"))

@@ -100,12 +100,14 @@ object Wave61 {
       .union(pairs.select(col("p2").as("p")))
       .groupBy("p").agg(count(lit(1)).as("d"))
     val contrib = pairs
-      .join(broadcast(deg.select(col("p").as("p1"), col("d").as("d1"))), "p1")
-      .join(broadcast(deg.select(col("p").as("p2"), col("d").as("d2"))), "p2")
+      // degree tables are supplier-sized (entity-scaled): no forced
+      // broadcast - the optimizer picks one while they fit
+      .join(deg.select(col("p").as("p1"), col("d").as("d1")), "p1")
+      .join(deg.select(col("p").as("p2"), col("d").as("d2")), "p2")
       .select(col("d1").as("x"), col("d2").as("y"))
       .union(pairs
-        .join(broadcast(deg.select(col("p").as("p1"), col("d").as("d2"))), "p1")
-        .join(broadcast(deg.select(col("p").as("p2"), col("d").as("d1"))), "p2")
+        .join(deg.select(col("p").as("p1"), col("d").as("d2")), "p1")
+        .join(deg.select(col("p").as("p2"), col("d").as("d1")), "p2")
         .select(col("d1").as("x"), col("d2").as("y")))
     contrib.agg(count(lit(1)).as("mm"),
         sum(expr("cast(x as decimal(38,0))")).as("sx"),

@@ -79,8 +79,10 @@ object Wave62 {
     * a spatial index is worth building. */
   private val joinGridNeighbors: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
-      .join(broadcast(t(s, dir, "part")
-        .filter(col("p_brand") === "Brand#2").select("p_partkey")),
+      // the brand slice of part is ~4% of an entity-scaled table - still
+      // linear in the data; size-chosen join, no forced broadcast
+      .join(t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#2").select("p_partkey"),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
         expr("cast(round(l_extendedprice * 100) as long)").as("pc"),

@@ -112,9 +112,10 @@ object Wave90 {
   // ---- dq_referential: FK orphan audit ------------------------------------
 
   /** Orphan counts over the whole FK graph: for each child→parent edge,
-    * child rows whose key has no parent (LEFT ANTI — the canonical
-    * plan: broadcast for dimension parents, shuffle for the
-    * orders↔lineitem fact edge). One row per edge with exact counts —
+    * child rows whose key has no parent (LEFT ANTI — fixed catalog
+    * dims (nation/region) force-broadcast; entity-scaled parents
+    * (part/supplier/customer) and the orders↔lineitem fact edge are
+    * size-chosen joins). One row per edge with exact counts —
     * the referential gate of a publish job. */
   private val dqReferential: Q = (s, dir) => {
     def edge(fk: String, child: DataFrame, ck: String,
@@ -132,12 +133,14 @@ object Wave90 {
     Seq(
       edge("lineitem.l_orderkey->orders", li, "l_orderkey",
         ord, "o_orderkey", bcast = false),
+      // part/supplier/customer parents are entity-scaled: size-chosen
+      // joins (bcast=false) - only the fixed catalog dims force-broadcast
       edge("lineitem.l_partkey->part", li, "l_partkey",
-        t(s, dir, "part"), "p_partkey", bcast = true),
+        t(s, dir, "part"), "p_partkey", bcast = false),
       edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
-        t(s, dir, "supplier"), "s_suppkey", bcast = true),
+        t(s, dir, "supplier"), "s_suppkey", bcast = false),
       edge("orders.o_custkey->customer", ord, "o_custkey",
-        t(s, dir, "customer"), "c_custkey", bcast = true),
+        t(s, dir, "customer"), "c_custkey", bcast = false),
       edge("customer.c_nationkey->nation", t(s, dir, "customer"),
         "c_nationkey", t(s, dir, "nation"), "n_nationkey", bcast = true),
       edge("nation.n_regionkey->region", t(s, dir, "nation"),
