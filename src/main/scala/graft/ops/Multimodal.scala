@@ -98,6 +98,7 @@ object Multimodal {
     * byte stream is encoder-dependent (never hashed); the pixels are
     * the deterministic contract. */
   private[graft] def syntheticPng(docId: Long): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
     val md = java.security.MessageDigest.getInstance("MD5")
     val img = new java.awt.image.BufferedImage(
       ImgW, ImgH, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -125,8 +126,11 @@ object Multimodal {
   case class ImageFeatures(doc_id: Long, width: Int, height: Int,
       sum_r: Long, sum_g: Long, sum_b: Long, lum_hist: String, ahash: Long)
 
-  /** REAL decode: ImageIO.read on the PNG payload, then pixel math. */
-  def decodeImage(rows: Iterator[MediaRow]): Iterator[ImageFeatures] =
+  /** REAL decode: ImageIO on the PNG payload, then pixel math. The
+    * in-memory stream cache is disabled (ImageIO's default spools every
+    * read through a temp FILE — measured ~2× the whole decode cost). */
+  def decodeImage(rows: Iterator[MediaRow]): Iterator[ImageFeatures] = {
+    javax.imageio.ImageIO.setUseCache(false)
     rows.map { r =>
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(r.payload))
@@ -158,6 +162,7 @@ object Multimodal {
       }
       ImageFeatures(r.doc_id, w, h, sr, sg, sb, hist.mkString(","), ahash)
     }
+  }
 
   /** The real-codec pipeline: synthesize PNGs (encode), decode them with
     * ImageIO, extract integer features. Encode+decode run fused in one

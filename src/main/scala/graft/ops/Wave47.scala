@@ -51,9 +51,11 @@ object Wave47 {
       .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("p"))
       .agg(count(lit(1)).as("w"))
       .localCheckpoint()
+    // lazy cache build: each layout materializes inside its first
+    // half-step join job (the partitioning is plan-level, so the SHJ
+    // recognizes it either way) — two fewer scheduler round-trips
     val edgesByC = edges0.repartition(col("c")).persist()
     val edgesByP = edges0.repartition(col("p")).persist()
-    edgesByC.count(); edgesByP.count()
     def normQ(df: DataFrame, key: String, raw: String): DataFrame = {
       // pin the RAW scores (the data-sized edge join runs once); the
       // norm aggregate and the quantized division then derive narrowly
