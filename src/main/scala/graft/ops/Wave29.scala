@@ -46,13 +46,19 @@ object Wave29 {
     * so no float enters the decision. Median and MAD are two
     * mass-crossing kernel passes; everything is micro-unit longs. */
   private val eventsAnomalyMad: Q = (s, dir) => {
+    // ev feeds the median kernel AND the deviation join; dev feeds the
+    // MAD kernel AND the final aggregate — pin each once (narrow
+    // projections, linear) so the events scan + join run once, not ~5×
+    // through the two mass-crossing passes
     val ev = t(s, dir, "events").select(
       col("event_type"), col("event_id"),
       (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("v"))
+      .localCheckpoint()
     val med = medianOf(ev, "event_type", "v", Seq(col("event_id").asc),
       "med", parts(s))
     val dev = ev.join(broadcast(med), "event_type")
       .withColumn("adev", abs(col("v") - col("med")))
+      .localCheckpoint()
     val mad = medianOf(dev, "event_type", "adev", Seq(col("event_id").asc),
       "mad", parts(s))
     dev.join(broadcast(mad), "event_type")
