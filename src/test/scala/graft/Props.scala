@@ -215,3 +215,28 @@ object KsPackProps extends Properties("kspack") {
       Math.floorDiv(s, B) == xs.map(_._1).sum && Math.floorMod(s, B) == xs.map(_._2).sum
     }
 }
+
+/** The lossless-codec identity the multimodal_decode_image oracle rests
+  * on: for ANY doc id, encoding the md5-formula pixels to PNG and
+  * decoding with the real ImageIO codec returns exactly the formula
+  * pixels — so the DuckDB oracle may replay features from the formula
+  * while the engine actually decodes. */
+object PngRoundtripProps extends Properties("png-roundtrip") {
+  import org.scalacheck.Prop
+
+  property("ImageIO PNG roundtrip is pixel-exact for any doc id") =
+    forAll(Gen.chooseNum(0L, Long.MaxValue - 1)) { docId =>
+      val png = graft.ops.Multimodal.syntheticPng(docId)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Prop.all(
+        (0 until graft.ops.Multimodal.ImgH).flatMap { y =>
+          (0 until graft.ops.Multimodal.ImgW).map { x =>
+            val (r, g, b) = graft.ops.Multimodal.pixelValue(md, docId, x, y)
+            val rgb = img.getRGB(x, y)
+            Prop(((rgb >> 16) & 255) == r && ((rgb >> 8) & 255) == g &&
+              (rgb & 255) == b) :| s"pixel ($x,$y)"
+          }
+        }: _*)
+    }
+}
