@@ -125,7 +125,8 @@ object SparkEntry {
     ops.Wave91.queries ++
     ops.Wave92.queries ++
     ops.Wave93.queries ++
-    ops.Wave94.queries
+    ops.Wave94.queries ++
+    ops.Wave95.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -238,5 +239,6 @@ object SparkEntry {
     ops.Wave91.oracles ++
     ops.Wave92.oracles ++
     ops.Wave93.oracles ++
-    ops.Wave94.oracles
+    ops.Wave94.oracles ++
+    ops.Wave95.oracles
 }
