@@ -45,31 +45,90 @@ object Wave47 {
     * of it on every executor and the driver.)
     * Output: every customer hub score and supplier authority score. */
   private val graphHits: Q = (s, dir) => {
+    // AQE off for the SUPERSTEP BUILD only (restored before returning;
+    // the caller's action runs under its own conf): each of the 16
+    // half-step pins is a tiny fixed-shape job, and AQE turns every one
+    // into 2-3 stage-jobs plus a re-planning round-trip — measured
+    // ~0.15 s/half-step of pure driver overhead at sf0.1. Nothing here
+    // needs runtime re-planning: joins are hint-pinned SHUFFLE_HASH,
+    // partitioning is explicit, and the skew-prone edge aggregate runs
+    // ONCE under whatever conf the session had.
+    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try graphHitsBody(s, dir)
+    finally {
+      s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      s.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    }
+  }
+
+  private def graphHitsBody(s: SparkSession, dir: String): DataFrame = {
+    // the distinct-edge aggregate runs under the session conf (it is the
+    // one data-sized pass); its observed row count then SIZES the
+    // superstep partitioning below
+    val obsE = org.apache.spark.sql.Observation()
     val edges0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("p"))
       .agg(count(lit(1)).as("w"))
+      .observe(obsE, count(lit(1)).as("ne"))
       .localCheckpoint()
+    // superstep width ∝ edge count (~64k edges/task), never above the
+    // session's shuffle.partitions: the 16 half-step jobs each shuffle a
+    // NODE-sized vector, and running 32 half-empty tasks per stage at
+    // test scale is pure launch overhead, while at 100 TB the clamp
+    // keeps full cluster width. AQE's coalescing would do this too but
+    // pays 2-3 stage-jobs + a replanning round-trip per half-step (the
+    // reason AQE is off for the build, above).
+    val ne = obsE.get("ne").asInstanceOf[Long]
+    val sessParts = s.conf.get("spark.sql.shuffle.partitions").toLong
+    val superParts = math.max(1L,
+      math.min(sessParts, ne / 65536L + 1L)).toInt
+    s.conf.set("spark.sql.shuffle.partitions", superParts.toString)
     // lazy cache build: each layout materializes inside its first
     // half-step join job (the partitioning is plan-level, so the SHJ
     // recognizes it either way) — two fewer scheduler round-trips
-    val edgesByC = edges0.repartition(col("c")).persist()
-    val edgesByP = edges0.repartition(col("p")).persist()
+    val edgesByC = edges0.repartition(superParts, col("c")).persist()
+    val edgesByP = edges0.repartition(superParts, col("p")).persist()
+    // Long fast path for the 16 half-step aggregates, DATA-DERIVED:
+    // |Σ w·v| per node ≤ strengthMax · 1e9 (scores are nano-unit, so
+    // |v| ≤ 1e9 by normalization), so when the max node strength keeps
+    // that bound under 2^62 the decimal(38) accumulators — whose only
+    // job is overflow headroom — are provably unnecessary and the sums
+    // run on codegen'd longs (~2× per half-step locally). A pathological
+    // fixture falls back to the decimal path, and ANSI mode (session
+    // default) would throw loudly rather than wrap even if this bound
+    // were ever wrong. Values are bit-identical on both paths.
+    val strengthMax = edges0.groupBy("p").agg(sum("w").as("sw")).select("sw")
+      .unionByName(edges0.groupBy("c").agg(sum("w").as("sw")).select("sw"))
+      .agg(max("sw")).head.getLong(0)
+    val longSafe = strengthMax <= (Long.MaxValue >> 1) / 1000000000L
+    def wTimes(v: Column): Column =
+      if (longSafe) sum(col("w") * v) else sum(d38(col("w")) * v)
     def normQ(df: DataFrame, key: String, raw: String): DataFrame = {
-      // pin the RAW scores (the data-sized edge join runs once); the
-      // norm aggregate and the quantized division then derive narrowly
-      // from the model-sized pinned table — previously the agg and the
-      // checkpoint each re-ran the edge join (2 data passes/half-step)
-      val pinned = df.localCheckpoint()
-      val q = pinned.withColumn("q", signum(col(raw)).cast(DecimalType(38, 0)) *
-        expr(s"abs($raw) div 1000"))
-      // n2 is ONE row (the squared norm) — the only justified broadcast
-      val n2 = q.agg(sum(col("q") * col("q")).as("n2"))
-      q.crossJoin(broadcast(n2))
-        .select(col(key),
-          floor(col("q").cast("double") * 1e9 /
-            sqrt(col("n2").cast("double")) + 0.5).cast("long").as("v"))
+      // pin the RAW scores (the data-sized edge join runs once) with the
+      // squared norm riding the SAME job as an observed metric
+      // (CollectMetrics): r8 ran a separate n2 aggregation job + a 1-row
+      // broadcast per half-step — 16 extra scheduler round-trips across
+      // the run; the observation is ONE scalar (scale-free) and the
+      // quantized division derives narrowly from the pinned table.
+      // q ≤ strengthMax·1e6 on the long path (raw div 1000), under 2^53
+      // by the longSafe bound, so the double cast below is exact either
+      // way; q² always accumulates in decimal (it exceeds long range)
+      val q = df.withColumn("q",
+        if (longSafe) signum(col(raw)).cast("long") * expr(s"abs($raw) div 1000")
+        else signum(col(raw)).cast(DecimalType(38, 0)) * expr(s"abs($raw) div 1000"))
+      val obs = org.apache.spark.sql.Observation()
+      val pinned = q.observe(obs, sum(d38(col("q")) * d38(col("q"))).as("n2"))
+        .localCheckpoint()
+      // same arithmetic as the former n2-column path: decimal -> double
+      // cast, then identical IEEE sqrt/divide/floor
+      val n2 = lit(obs.get("n2")).cast("double")
+      pinned.select(col(key),
+        floor(col("q").cast("double") * 1e9 / sqrt(n2) + 0.5)
+          .cast("long").as("v"))
     }
     var h = edgesByC.select(col("c")).distinct()
       .withColumn("v", lit(1000000000L)).localCheckpoint()
@@ -77,11 +136,11 @@ object Wave47 {
     for (_ <- 1 to HitsIters) {
       val araw = edgesByC
         .join(h.withColumnRenamed("v", "hv").hint("shuffle_hash"), Seq("c"))
-        .groupBy("p").agg(sum(d38(col("w")) * col("hv")).as("raw"))
+        .groupBy("p").agg(wTimes(col("hv")).as("raw"))
       a = normQ(araw, "p", "raw")
       val hraw = edgesByP
         .join(a.withColumnRenamed("v", "av").hint("shuffle_hash"), Seq("p"))
-        .groupBy("c").agg(sum(d38(col("w")) * col("av")).as("raw"))
+        .groupBy("c").agg(wTimes(col("av")).as("raw"))
       h = normQ(hraw, "c", "raw")
     }
     edgesByC.unpersist(false); edgesByP.unpersist(false)

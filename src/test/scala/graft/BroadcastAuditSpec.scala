@@ -262,8 +262,6 @@ class BroadcastAuditSpec extends AnyFunSuite {
       "one-row scalar aggregate",
     ("ops/Wave46.scala", "tot") ->
       "one-row scalar aggregate",
-    ("ops/Wave47.scala", "n2") ->
-      "one-row scalar aggregate (HITS norm; the vectors themselves are shuffle-joined, never broadcast)",
     ("ops/Wave5.scala", "tot") ->
       "one-row scalar aggregate",
     ("ops/Wave50.scala", "tot") ->
@@ -282,6 +280,10 @@ class BroadcastAuditSpec extends AnyFunSuite {
       "bounded-domain rank map (profile_spearman design: unbounded side is shuffle-joined)",
     ("ops/Wave56.scala", "us") ->
       "one-row scalar aggregate (corruption survival scalars)",
+    ("ops/Wave56.scala", "saltDf") ->
+      "per-block salt counts: <= 25-nation blocking domain (adaptive skew salting)",
+    ("ops/Wave56.scala", "saltDf.toDF(\"dnat\", \"dns\")") ->
+      "per-block salt counts: <= 25-nation blocking domain (adaptive skew salting)",
     ("ops/Wave57.scala", "bounds") ->
       "one-row scalar aggregate",
     ("ops/Wave58.scala", "bounds") ->

@@ -55,6 +55,44 @@ class Wave56Spec extends SparkSuite {
     assert(rows.tail.forall(_.getDouble(precIdx) <= top.getDouble(precIdx) + 1e-12))
   }
 
+  test("link_fellegi_sunter adaptive salting caps per-(block, salt) occupancy") {
+    // the r9 skew escape hatch: blocking key `nat` has ~25 values, so
+    // the unsalted join's parallelism ceiling IS #blocks. saltsOf must
+    // (a) stay 1 for conforming blocks (zero replication at test
+    // scale), (b) split an oversized block to <= cap occupancy, and
+    // (c) the clean-side salt = k mod ns must split near-uniformly.
+    import graft.ops.Wave56.{saltsOf, LinkBlockCap, LinkMaxSalts}
+    assert(saltsOf(1L) === 1 && saltsOf(LinkBlockCap) === 1)
+    assert(saltsOf(LinkBlockCap + 1) === 2)
+    assert(saltsOf(10L * LinkBlockCap) === 10)
+    assert(saltsOf(Long.MaxValue) === LinkMaxSalts,
+      "fan-out must clamp - unbounded replication is its own cliff")
+    // occupancy on a synthesized skewed frame (one hot block holding
+    // 90% of 10k rows — the shape the hatch exists for; the sf0.001
+    // fixture's ~7-row blocks are too lumpy for a residue-split bound):
+    // every (block, salt) cell stays within 2x the even share.
+    val cap = 100L
+    val skewed = spark.range(10000).select(col("id").as("k"),
+      when(col("id") >= 1000, lit(77L)).otherwise(col("id") % 10).as("nat"))
+    val ns = skewed.groupBy("nat").count().collect()
+      .map(r => r.getLong(0) -> saltsOf(r.getLong(1), cap)).toMap
+    assert(ns(77L) > 1 && ns(0L) === 1,
+      s"hot block must split, cold block must not: $ns")
+    val occ = skewed.select(col("nat"),
+        pmod(col("k"), element_at(typedLit(ns), col("nat")).cast("long"))
+          .as("salt"))
+      .groupBy("nat", "salt").count().collect()
+    val blockN = skewed.groupBy("nat").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    occ.foreach { r =>
+      val nat = r.getLong(0)
+      val even = 1L.max(blockN(nat) / ns(nat)) // ideal per-cell occupancy
+      assert(r.getLong(2) <= 2 * even,
+        s"block $nat salt ${r.get(1)} holds ${r.getLong(2)} rows vs even " +
+          s"share $even - k mod ns is not splitting the block")
+    }
+  }
+
   test("profile_spearman: local average-rank Pearson replay") {
     val rows = SparkEntry.queries("profile_spearman")(spark, sf).collect()
     assert(rows.length === 3)

@@ -29,6 +29,7 @@ PLAN_SUITES=(
   graft.Wave24Spec           # gini rank-kernel plan contract
   graft.Wave26Spec           # sweep kernel + single-partition-exchange budget
   graft.Wave28Spec           # rfm triple-kernel plan contract
+  graft.WindowAuditSpec      # r9: global-window registry (plan sweep + source lint)
 )
 
 if [[ "${1:-}" == "--full" ]]; then
