@@ -606,6 +606,15 @@ class VersionedStore(root: String) {
         // kept the full source lineage in each of the three plans, and
         // the CacheManager walked every subsequent plan per analysis —
         // measured ~0.3 s/upsert of driver time at sf0.1, pure overhead)
+        // AND source-scan determinism (a non-deterministic source read
+        // twice is the anomaly Delta materializes merge sources against).
+        // TRADE: localCheckpoint is NOT fault-tolerant — losing an
+        // executor/block mid-upsert FAILS the upsert (caller retries the
+        // idempotent txn) instead of silently recomputing a possibly
+        // different source; blocks are freed deterministically in the
+        // finally below. Recompute-on-loss would need reliable
+        // checkpointing to shared storage — the wrong default for a
+        // sub-second commit path.
         val source = rawSource.localCheckpoint()
         try {
           val (tSchema, entries) = manifestWithStats(name, cur)
@@ -750,7 +759,12 @@ class VersionedStore(root: String) {
             keep = headEntries.filterNot(e => hitSet.contains(e.file))
           }
           sys.error("unreachable")
-        } finally { source.unpersist(); () }  // no-op post-r08 (checkpoint, not cache)
+        } finally {
+          // release the checkpoint's block-store partitions NOW (r9):
+          // Dataset.unpersist is a no-op on a checkpoint and GC-driven
+          // cleanup is unbounded across a long session of many upserts
+          org.apache.spark.sql.graftx.Internals.freeLocalCheckpoint(source)
+        }
     }
 
   /** DELETE WHERE, file-level: only files containing a matching row are

@@ -178,9 +178,16 @@ object LlmPipeline {
     * pairs (oracle-hashed), `found_by_lsh` marks each as recovered by
     * the xxhash64 banded LSH — measured 100% at sf0.001–0.1 (8 bands of
     * 4 give P(miss) ≤ 1.5% at J = 0.8, ~1e-4 at the fixture's J ≥ 0.89),
-    * so the oracle pins TRUE per pair: a missed true near-dup fails the
-    * differential gate. The full sketch pipeline additionally hash-greens
-    * via the portable twin dedup_minhash_md5. */
+    * so the oracle pins TRUE per pair. The per-pair pin is an
+    * INTENTIONAL TRIPWIRE, not a distribution-free guarantee: it holds
+    * because the generated fixture's true pairs sit at J ≥ 0.89 (the
+    * 1.3%-per-pair miss mass at the J = 0.8 boundary has no fixture
+    * pairs under it). A new fixture, SF, or tokenizer that introduces
+    * boundary pairs is SUPPOSED to trip this gate — the right response
+    * is re-measuring recall and re-deriving the floor, not loosening
+    * the gate to an aggregate bound (dedup_simhash carries the
+    * aggregate-bound variant of this family). The full sketch pipeline
+    * additionally hash-greens via the portable twin dedup_minhash_md5. */
   private val dedupMinhash: Q = (s, dir) =>
     shingleTruthPairs(s, dir)
       .join(dedupMinhashRaw(s, dir).select(col("i"), col("j"))

@@ -128,13 +128,18 @@ object Relational {
       .distinct()
       .orderBy("o_orderstatus", "o_orderpriority")
 
-  /** NDV at scale: HLL++ sketch — the 100 TB path where exact distinct is
-    * infeasible (SURVEY §2.4 agg_approx_distinct). Differentially gated
-    * (r08, the agg_hll_mergeable bound-boolean pattern): the row carries
-    * the EXACT counts (oracle-hashed) plus booleans pinning the sketch
-    * within ±5% of them (rsd = 0.02, so the bound is 2.5σ) — a drifting
-    * estimate flips a boolean and fails the hash; the sketch itself stays
-    * engine-specific and out of the hash. */
+  /** NDV via HLL++ sketch (SURVEY §2.4 agg_approx_distinct).
+    * THIS REGISTERED FORM IS THE TEST-SCALE SHAPE: it computes the exact
+    * counts alongside the sketch so the differential gate can hash-pin
+    * the estimate within ±5% (rsd = 0.02, so the bound is 2.5σ) — a
+    * drifting estimate flips a boolean and fails CORRECTNESS, and the
+    * bench accordingly times sketch + exact together. The PRODUCTION
+    * shape at 100 TB is the sketch ALONE (drop the two countDistinct
+    * columns — exact NDV is the thing being avoided); the sketch stays
+    * engine-specific and out of the oracle hash either way. Same
+    * test-vs-production framing applies to agg_approx_percentile and
+    * the ANN recall gates (their raw production forms are registered as
+    * the `*_raw`/index variants and exercised in specs). */
   private val aggApproxDistinct: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .agg(

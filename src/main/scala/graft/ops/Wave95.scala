@@ -88,9 +88,17 @@ object Wave95 {
 
   // ---- privacy_dp_geometric: ε-DP release, threshold-table sampler ----
 
-  /** ε-differentially-private group counts (Ghosh–Roughgarden–
-    * Sundararajan's geometric mechanism — the discrete Laplace, the
-    * universally-optimal count mechanism). Sibling of Wave81's
+  /** DP-SHAPED DETERMINISTIC-REPLAY release (Wave81's framing): the
+    * geometric mechanism of Ghosh–Roughgarden–Sundararajan (discrete
+    * Laplace, the universally-optimal count mechanism), with the noise
+    * draw SEED-FIXED to md5(group key) so both engines replay the same
+    * release bit-identically. The ε guarantee therefore holds for the
+    * threshold table's DISTRIBUTION, not this deployed query: adjacent
+    * datasets shift the released count by exactly the true-count delta
+    * (the "noise" is a function of the key, not fresh randomness), so
+    * this is the testable SHAPE of a DP release — a production caller
+    * must swap the md5 residue for a fresh secret uniform draw per
+    * release to obtain actual ε-DP. Sibling of Wave81's
     * privacy_dp_counts, which draws two-sided-geometric noise through
     * a continuous −ln(u) transform: THIS form is transcendental-free —
     * the entire sampler is an inlined integer threshold table, so no

@@ -968,4 +968,18 @@ class VersionedStoreSpec extends SparkSuite {
     assert(rows.map(_.getLong(0)).toSet === Set(11L),
       "index-served lookup returned a dv-dead row")
   }
+
+  test("freeLocalCheckpoint releases the upsert source's block-store entries") {
+    // r9: checkpoint blocks used to linger until GC - across a long
+    // session of many upserts that is unbounded block-store residue
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = spark.range(1000).toDF("x").localCheckpoint()
+    assert(df.count() === 1000)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "localCheckpoint must register a persisted RDD")
+    org.apache.spark.sql.graftx.Internals.freeLocalCheckpoint(df)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(added.forall(id => !after.contains(id)),
+      s"checkpoint RDDs $added still registered after free")
+  }
 }
