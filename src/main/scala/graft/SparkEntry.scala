@@ -127,7 +127,8 @@ object SparkEntry {
     ops.Wave93.queries ++
     ops.Wave94.queries ++
     ops.Wave95.queries ++
-    ops.Wave96.queries
+    ops.Wave96.queries ++
+    ops.Wave97.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -242,5 +243,6 @@ object SparkEntry {
     ops.Wave93.oracles ++
     ops.Wave94.oracles ++
     ops.Wave95.oracles ++
-    ops.Wave96.oracles
+    ops.Wave96.oracles ++
+    ops.Wave97.oracles
 }
