@@ -261,6 +261,31 @@ class VersionedStore(root: String) {
 
   private val MaxCommitRetries = 50
 
+  /** Source feeds at or below this observed row count broadcast their
+    * keys into the hit-detection semi-join (≤ ~8 MB of key data at
+    * typical key widths — inside executor broadcast budgets). Larger
+    * feeds fall back to the shuffle semi-join: a backfill-sized source
+    * must never be collected driver-side. */
+  private val BroadcastKeyRows = 262144L
+
+  /** A merge whose measured total input rows (observed source count +
+    * manifest __rows of the hit files) stay under this bound runs its
+    * staging write AQE-free on ~2M-rows/task reducers — a fixed tiny
+    * shape where adaptive replanning is pure scheduler overhead. */
+  private val TinyMergeRows = 8000000L
+
+  /** Dev-only phase timer (`GRAFT_STORE_PROBE=1`): prints commit-path
+    * phase wall times. Zero-cost when off. */
+  private val probeEnabled = sys.env.contains("GRAFT_STORE_PROBE")
+  private def phase[A](label: String)(f: => A): A =
+    if (!probeEnabled) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[store] $label%-24s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+
   /** Write `df`'s rows as new immutable data files (names unique per
     * writer token — version-independent, so a rebased commit reuses them
     * unchanged); returns the new file names. The parquet job writes into
@@ -342,9 +367,9 @@ class VersionedStore(root: String) {
 
   /** Stage `df`'s rows and compute their per-file stats entries. */
   private def stageWithStats(df: DataFrame, name: String): Seq[FileEntry] = {
-    val staged = stage(df, name)
+    val staged = phase("  stage write")(stage(df, name))
     val schema = nullable(df.schema)
-    val stats = collectStats(df.sparkSession, name, schema, staged)
+    val stats = phase("  footer stats")(collectStats(df.sparkSession, name, schema, staged))
     staged.map(f => FileEntry(f, stats.getOrElse(f, Map.empty)))
   }
 
@@ -600,14 +625,15 @@ class VersionedStore(root: String) {
           case Some((w, b)) if txns(name, cur).getOrElse(w, -1L) >= b => return cur
           case _ =>
         }
-        // the source feeds THREE jobs (range agg, hit semi-join, merge
-        // write): pin it ONCE. localCheckpoint, not persist — the pinned
-        // RDD makes every downstream plan a trivial scan (r08: persist
-        // kept the full source lineage in each of the three plans, and
-        // the CacheManager walked every subsequent plan per analysis —
-        // measured ~0.3 s/upsert of driver time at sf0.1, pure overhead)
-        // AND source-scan determinism (a non-deterministic source read
-        // twice is the anomaly Delta materializes merge sources against).
+        val (tSchema, entries) = phase("manifest read")(manifestWithStats(name, cur))
+        // the source feeds TWO jobs (hit semi-join, merge write): pin it
+        // ONCE. localCheckpoint, not persist — the pinned RDD makes every
+        // downstream plan a trivial scan (r08: persist kept the full
+        // source lineage in each of the three plans, and the CacheManager
+        // walked every subsequent plan per analysis — measured
+        // ~0.3 s/upsert of driver time at sf0.1, pure overhead) AND
+        // source-scan determinism (a non-deterministic source read twice
+        // is the anomaly Delta materializes merge sources against).
         // TRADE: localCheckpoint is NOT fault-tolerant — losing an
         // executor/block mid-upsert FAILS the upsert (caller retries the
         // idempotent txn) instead of silently recomputing a possibly
@@ -615,9 +641,35 @@ class VersionedStore(root: String) {
         // finally below. Recompute-on-loss would need reliable
         // checkpointing to shared storage — the wrong default for a
         // sub-second commit path.
-        val source = rawSource.localCheckpoint()
+        //
+        // The first key's [min, max] (stats pruning + rebase conflict
+        // range) and the source row count (broadcast decision below) RIDE
+        // the checkpoint job as observed metrics — r9 ran a separate
+        // range-aggregate job per upsert (~0.1 s of pure scheduler
+        // round-trip at sf0.1; at cluster scale one fewer full source
+        // pass). The string rendering stays Spark's own cast, exactly as
+        // sourceKeyRange produced.
+        val keyField = tSchema.fields.find(_.name == keys.head).filter(statable)
+          .filter(f => rawSource.columns.contains(f.name))
+        val obs = org.apache.spark.sql.Observation()
+        val observed = keyField match {
+          case Some(f) => rawSource.observe(obs,
+            org.apache.spark.sql.functions.min(col(f.name)).cast("string").as("__kmin"),
+            org.apache.spark.sql.functions.max(col(f.name)).cast("string").as("__kmax"),
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("__nrows"))
+          case None => rawSource.observe(obs,
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("__nrows"))
+        }
+        val source = phase("src checkpoint")(observed.localCheckpoint())
+        val metrics = obs.get
+        val srcRows = metrics("__nrows").asInstanceOf[Long]
+        val srcRange: Option[(String, String)] = keyField.flatMap { _ =>
+          Option(metrics("__kmin").asInstanceOf[String])
+            .map(mn => (mn, metrics("__kmax").asInstanceOf[String]))
+        }
         try {
-          val (tSchema, entries) = manifestWithStats(name, cur)
           // SCHEMA ENFORCEMENT (Delta semantics): without evolveSchema a
           // drifted source is REJECTED loudly, not silently truncated —
           // extra columns and diverged types both refuse before any file
@@ -642,7 +694,6 @@ class VersionedStore(root: String) {
               s"upsert('$name'): source column types diverge from the " +
                 s"table schema: ${diverged.mkString("; ")}")
           }
-          val (keyField, srcRange) = sourceKeyRange(tSchema, source, keys.head)
           val candidates = (keyField, srcRange) match {
             case (Some(kf), Some(src)) =>
               entries.filter(e => rangesOverlap(kf.dataType, e.stats.get(kf.name), src))
@@ -655,16 +706,32 @@ class VersionedStore(root: String) {
           // only occurrence is a deletion-vector-dead row must NOT count
           // as a hit — the merge would pointlessly rewrite the file (and
           // the rewrite below must not resurrect dead rows)
-          val hitNames: Set[String] =
+          // small churn feeds (the steady-state case) broadcast their
+          // keys: the semi-join then probes each candidate split IN
+          // PLACE — no exchange on the table side, no AQE replan stage.
+          // Past the row bound the shuffle semi-join returns (a 100 TB
+          // backfill feed must not be collected to the driver).
+          val srcKeys = source.select(keys.map(col): _*)
+          val probeKeys =
+            if (srcRows <= BroadcastKeyRows)
+              org.apache.spark.sql.functions.broadcast(srcKeys)
+            else srcKeys
+          import spark.implicits._
+          val hitNames: Set[String] = phase("hit detect")(
             if (candidates.isEmpty) Set.empty
             else readEntries(spark, name, tSchema, candidates, withMeta = true)
               .select(keys.map(col) :+ col("__file"): _*)
               // no distinct() on the probe side: left_semi dedups by
-              // construction, and the extra exchange + AQE stage it cost
-              // per upsert bought nothing
-              .join(source.select(keys.map(col): _*), keys, "left_semi")
-              .select("__file").distinct()
-              .collect().map(_.getString(0)).toSet
+              // construction
+              .join(probeKeys, keys, "left_semi")
+              .select(col("__file")).as[String]
+              // partition-LOCAL dedup instead of a distinct() exchange:
+              // each task emits at most the file names its splits touch,
+              // so the collect is Σ file-splits-sized (manifest-scale,
+              // the same driver footprint as a Delta log replay), and the
+              // job has no shuffle stage at all on the broadcast path
+              .mapPartitions(it => it.toSet.iterator)
+              .collect().toSet)
           val hit = candidates.filter(e => hitNames.contains(e.file))
           val hitSet = hit.map(_.file).toSet
           val rewriteTarget =
@@ -681,12 +748,44 @@ class VersionedStore(root: String) {
             case Some(dw) => Merge.conditional(mTarget, mSource, keys, dw, updateWhen)
             case None => Merge.upsert(mTarget, mSource, keys)
           }
-          val staged = stageWithStats(merged, name)
+          // SIZE-GATED fast path for the merge write: both input sizes
+          // are measured — the source count from the checkpoint's
+          // observation, the hit side from the manifest's exact __rows
+          // stats (absent stats → unknown → no fast path). When the
+          // whole merge provably fits a handful of tasks, AQE is pure
+          // overhead here (each exchange becomes its own stage-job plus
+          // a replanning round-trip — the graph-superstep measurement),
+          // so it's disabled for THIS action and the reducer count is
+          // sized at ~2M rows/task, which also keeps the staged file
+          // count (and so manifest size and footer reads) at the few
+          // files the data warrants instead of shuffle.partitions many.
+          // A merge beyond the gate keeps AQE — skew-split and runtime
+          // coalescing matter exactly there, and the gate uses measured
+          // sizes, never guesses.
+          val hitRowsOpt = hit.foldLeft(Option(0L)) { (acc, e) =>
+            for (a <- acc; r <- e.stats.get("__rows")) yield a + r._1.toLong }
+          val tinyMergeParts = hitRowsOpt
+            .filter(_ => srcRows <= BroadcastKeyRows)
+            .map(_ + srcRows).filter(_ <= TinyMergeRows)
+            .map(n => math.max(1L, n / 2000000L + 1L).toInt)
+          val staged = tinyMergeParts match {
+            case None => phase("merge stage")(stageWithStats(merged, name))
+            case Some(parts) =>
+              val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+              val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+              spark.conf.set("spark.sql.adaptive.enabled", "false")
+              spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+              try phase("merge stage")(stageWithStats(merged, name))
+              finally {
+                spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+                spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
+              }
+          }
           // CHECK constraints vet the staged merge output (carried rows
           // were vetted when they entered or by addCheck's declaration
           // scan, so only churn-sized files pay the pass); a violation
           // deletes the staged files and refuses — table untouched.
-          validateStaged(spark, name, outSchema, staged.map(_.file))
+          phase("validate")(validateStaged(spark, name, outSchema, staged.map(_.file)))
           beforeCommitHook()
           // optimistic commit loop: each rebase re-targets the SAME staged
           // files onto the new head — zero recompute — after proving the
@@ -779,12 +878,16 @@ class VersionedStore(root: String) {
     // hit detection and the survivor rewrite both read the LIVE view:
     // rows already dead under a deletion vector neither trigger a
     // rewrite nor reappear in the rewritten file
+    import spark.implicits._
     val hitNames: Set[String] =
       if (entries.isEmpty) Set.empty
       else readEntries(spark, name, tSchema, entries, withMeta = true)
         .filter(condition)
-        .select(col("__file")).distinct()
-        .collect().map(_.getString(0)).toSet
+        // partition-local dedup (as in upsert's hit detect): one scan
+        // job with no exchange; the collect is Σ file-splits-sized
+        .select(col("__file")).as[String]
+        .mapPartitions(it => it.toSet.iterator)
+        .collect().toSet
     val hit = entries.filter(e => hitNames.contains(e.file))
     val hitSet = hit.map(_.file).toSet
     val survivors =

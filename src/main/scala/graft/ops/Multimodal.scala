@@ -143,13 +143,21 @@ object Multimodal {
     javax.imageio.ImageIO.setUseCache(false)
     val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
     var buf: Array[Int] = null
-    rows.map { r =>
-      reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(r.payload)), true, true)
-      val img = try reader.read(0) catch {
-        case _: java.io.IOException | _: IllegalArgumentException => null
-      }
-      require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+    val mapped = rows.map { r =>
+      // per-row input stream is closed after the read; the shared reader
+      // is disposed when the partition iterator is exhausted (below)
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val img = try {
+        reader.setInput(iis, true, true)
+        try reader.read(0) catch {
+          case e @ (_: java.io.IOException | _: IllegalArgumentException) =>
+            // keep the codec's root cause on the failure instead of a
+            // generic message
+            throw new IllegalArgumentException(
+              s"doc ${r.doc_id}: payload is not a decodable image", e)
+        }
+      } finally iis.close()
       val w = img.getWidth; val h = img.getHeight
       if (buf == null || buf.length < w * h) buf = new Array[Int](w * h)
       img.getRGB(0, 0, w, h, buf, 0, w)
@@ -178,6 +186,14 @@ object Multimodal {
         i += 1
       }
       ImageFeatures(r.doc_id, w, h, sr, sg, sb, hist.mkString(","), ahash)
+    }
+    new Iterator[ImageFeatures] {
+      def hasNext: Boolean = {
+        val more = mapped.hasNext
+        if (!more) reader.dispose()
+        more
+      }
+      def next(): ImageFeatures = mapped.next()
     }
   }
 

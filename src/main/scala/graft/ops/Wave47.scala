@@ -45,28 +45,11 @@ object Wave47 {
     * of it on every executor and the driver.)
     * Output: every customer hub score and supplier authority score. */
   private val graphHits: Q = (s, dir) => {
-    // AQE off for the SUPERSTEP BUILD only (restored before returning;
-    // the caller's action runs under its own conf): each of the 16
-    // half-step pins is a tiny fixed-shape job, and AQE turns every one
-    // into 2-3 stage-jobs plus a re-planning round-trip — measured
-    // ~0.15 s/half-step of pure driver overhead at sf0.1. Nothing here
-    // needs runtime re-planning: joins are hint-pinned SHUFFLE_HASH,
-    // partitioning is explicit, and the skew-prone edge aggregate runs
-    // ONCE under whatever conf the session had.
-    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try graphHitsBody(s, dir)
-    finally {
-      s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      s.conf.set("spark.sql.shuffle.partitions", partsBefore)
-    }
-  }
-
-  private def graphHitsBody(s: SparkSession, dir: String): DataFrame = {
-    // the distinct-edge aggregate runs under the session conf (it is the
-    // one data-sized pass); its observed row count then SIZES the
-    // superstep partitioning below
+    // The one data-sized, skew-prone pass — the orders ⋈ lineitem
+    // distinct-edge aggregate — materializes HERE, under the session
+    // conf, so AQE's skew-join mitigation stays available to it
+    // (localCheckpoint is eager). Its observed row count then sizes the
+    // superstep partitioning inside the body.
     val obsE = org.apache.spark.sql.Observation()
     val edges0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
@@ -75,6 +58,27 @@ object Wave47 {
       .agg(count(lit(1)).as("w"))
       .observe(obsE, count(lit(1)).as("ne"))
       .localCheckpoint()
+    val ne = obsE.get("ne").asInstanceOf[Long]
+    // AQE off for the SUPERSTEP BUILD only (restored before returning;
+    // the caller's action runs under its own conf): each of the 16
+    // half-step pins is a tiny fixed-shape job, and AQE turns every one
+    // into 2-3 stage-jobs plus a re-planning round-trip — measured
+    // ~0.15 s/half-step of pure driver overhead at sf0.1. Nothing past
+    // this point needs runtime re-planning: joins are hint-pinned
+    // SHUFFLE_HASH, partitioning is explicit, and the edge aggregate is
+    // already pinned above.
+    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try graphHitsBody(s, edges0, ne, partsBefore.toLong)
+    finally {
+      s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      s.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    }
+  }
+
+  private def graphHitsBody(s: SparkSession, edges0: DataFrame, ne: Long,
+      sessParts: Long): DataFrame = {
     // superstep width ∝ edge count (~64k edges/task), never above the
     // session's shuffle.partitions: the 16 half-step jobs each shuffle a
     // NODE-sized vector, and running 32 half-empty tasks per stage at
@@ -82,8 +86,6 @@ object Wave47 {
     // keeps full cluster width. AQE's coalescing would do this too but
     // pays 2-3 stage-jobs + a replanning round-trip per half-step (the
     // reason AQE is off for the build, above).
-    val ne = obsE.get("ne").asInstanceOf[Long]
-    val sessParts = s.conf.get("spark.sql.shuffle.partitions").toLong
     val superParts = math.max(1L,
       math.min(sessParts, ne / 65536L + 1L)).toInt
     s.conf.set("spark.sql.shuffle.partitions", superParts.toString)

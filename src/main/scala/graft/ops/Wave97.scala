@@ -246,12 +246,18 @@ object Wave97 {
         .map { case (k, ms) => k -> ms.map(_._3).sum }
     def nOf(a: String, b: String): Long =
       games.getOrElse(if (a < b) (a, b) else (b, a), 0L)
-    var r: Map[String, Long] = srcs.map(_ -> 1000000L).toMap
+    // BigInt MM update (the r7 model-state convention): n_ij and wins
+    // scale with document count, so n_ij·1e12 wraps a plain Long past
+    // ~9.2e6 matches per pair — silently, since this is driver-side
+    // arithmetic with no ANSI guard. BigInt division truncates toward
+    // zero exactly like Long `/` and DuckDB HUGEINT `//` on these
+    // non-negative operands, so the fixed-point replay is unchanged.
+    var r: Map[String, BigInt] = srcs.map(_ -> BigInt(1000000L)).toMap
     for (_ <- 1 to BtIters) {
       r = srcs.map { i =>
         val d = srcs.filter(j => j != i && nOf(i, j) > 0)
-          .map(j => nOf(i, j) * BtScale / (r(i) + r(j))).sum
-        i -> (if (d == 0) r(i) else wins(i) * BtScale / d)
+          .map(j => BigInt(nOf(i, j)) * BtScale / (r(i) + r(j))).sum
+        i -> (if (d == 0) r(i) else BigInt(wins(i)) * BtScale / d)
       }.toMap
     }
     srcs.map(s0 => (s0,
@@ -265,9 +271,11 @@ object Wave97 {
     def iter(k: Int): String = {
       val prev = if (k == 1) "r0" else s"r${k - 1}"
       s"""r$k AS MATERIALIZED (
-         |  SELECT w.src, CASE WHEN SUM(g.n * $BtScale // (ri.r + rj.r)) = 0
+         |  SELECT w.src,
+         |    CASE WHEN SUM(CAST(g.n AS HUGEINT) * $BtScale // (ri.r + rj.r)) = 0
          |      THEN MAX(ri.r)
-         |      ELSE MAX(w.wins) * $BtScale // SUM(g.n * $BtScale // (ri.r + rj.r))
+         |      ELSE CAST(MAX(w.wins) AS HUGEINT) * $BtScale
+         |        // SUM(CAST(g.n AS HUGEINT) * $BtScale // (ri.r + rj.r))
          |    END AS r
          |  FROM wtot w
          |  JOIN gpair g ON g.a = w.src
@@ -299,7 +307,7 @@ object Wave97 {
        |    (SELECT DISTINCT a AS src FROM gpair) s LEFT JOIN
        |    (SELECT winner AS src, SUM(n) AS n FROM mw GROUP BY 1) w
        |    USING (src)),
-       |r0 AS MATERIALIZED (SELECT src, CAST(1000000 AS BIGINT) AS r FROM wtot),
+       |r0 AS MATERIALIZED (SELECT src, CAST(1000000 AS HUGEINT) AS r FROM wtot),
        |${(1 to BtIters).map(iter).mkString(",\n")}
        |SELECT w.src AS source,
        |  CAST((SELECT SUM(n) FROM gpair g WHERE g.a = w.src) AS BIGINT)

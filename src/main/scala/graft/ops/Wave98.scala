@@ -38,28 +38,32 @@ object Wave98 {
     * cluster; the superstep pins via localCheckpoint exactly like the
     * wave-3/47 loops. Output: each node's community plus its size. */
   private val graphLabelProp: Q = (s, dir) => {
-    // fixed-shape superstep build: AQE off + edge-count-sized partitions
-    // (the graph_hits r9 recipe — AQE pays 2-3 stage-jobs + a replanning
-    // round-trip per tiny half-step, and 32 half-empty tasks per stage
-    // at test scale is launch overhead; the clamp keeps full cluster
-    // width at 100 TB). Conf restored before returning.
+    // The data-sized pair-weight aggregate ([[SupplierGraph.pairWeights]]
+    // — the one skew-prone shuffle here) materializes FIRST, under the
+    // session conf, so AQE's skew mitigation stays available to it
+    // (localCheckpoint is eager). Only then is AQE turned off for the
+    // fixed-shape superstep build (the graph_hits r9 recipe — AQE pays
+    // 2-3 stage-jobs + a replanning round-trip per tiny half-step, and
+    // 32 half-empty tasks per stage at test scale is launch overhead;
+    // the clamp keeps full cluster width at 100 TB). Conf restored
+    // before returning.
+    val obsE = org.apache.spark.sql.Observation()
+    val e = SupplierGraph.pairWeights(s, dir)
+      .select(col("p1"), col("p2"), col("w"))
+      .observe(obsE, count(lit(1)).as("ne")).localCheckpoint()
+    val ne = obsE.get("ne").asInstanceOf[Long]
     val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
     val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.adaptive.enabled", "false")
-    try graphLabelPropBody(s, dir, partsBefore.toLong)
+    try graphLabelPropBody(s, e, ne, partsBefore.toLong)
     finally {
       s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
       s.conf.set("spark.sql.shuffle.partitions", partsBefore)
     }
   }
 
-  private def graphLabelPropBody(s: SparkSession, dir: String,
+  private def graphLabelPropBody(s: SparkSession, e: DataFrame, ne: Long,
       sessParts: Long): DataFrame = {
-    val obsE = org.apache.spark.sql.Observation()
-    val e = SupplierGraph.pairWeights(s, dir)
-      .select(col("p1"), col("p2"), col("w"))
-      .observe(obsE, count(lit(1)).as("ne")).localCheckpoint()
-    val ne = obsE.get("ne").asInstanceOf[Long]
     val superParts = math.max(1L,
       math.min(sessParts, 2L * ne / 65536L + 1L)).toInt
     s.conf.set("spark.sql.shuffle.partitions", superParts.toString)
