@@ -68,6 +68,10 @@ class BroadcastAuditSpec extends AnyFunSuite {
 
   /** (file, normalized arg) -> why this input cannot be data-scaled. */
   private val registry: Map[(String, String), String] = Map(
+    ("engine/VersionedStore.scala", "srcKeys") ->
+      "upsert hit-probe keys: gated by the measured source row count (srcRows <= BroadcastKeyRows = 262144) — a larger feed takes the shuffle semi-join branch, never this hint",
+    ("StoreProbe.scala", "ckpt") ->
+      "dev-only probe main (not a declared query): 1000-row literal range frame",
     ("ops/Bpe.scala", "encoded") ->
       "distinct-token encodings: vocabulary-sized (tokens/terms)",
     ("ops/BrandGraph.scala", "du") ->
