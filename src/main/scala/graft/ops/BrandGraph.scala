@@ -68,12 +68,17 @@ object BrandGraph {
   /** Triangle enumeration over an arbitrary oriented edge set — the
     * k-truss peel re-runs this on its shrinking edge list. */
   def trianglesOf(o: DataFrame): DataFrame = {
+    // both join inputs are the brand-graph edge list itself —
+    // catalog-sized (≤ brands² ≈ 300 edges at any data scale), so the
+    // wedge and closing joins broadcast: the whole motif enumeration is
+    // one exchange-free codegen span instead of 2 shuffle joins (the
+    // data-sized work, the basket self-join, happened once in [[edges]])
     val wedges = o.as("e1")
-      .join(o.as("e2"),
+      .join(broadcast(o.as("e2")),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
     val closing = o.select(col("src").as("b"), col("dst").as("c"))
       .unionByName(o.select(col("dst").as("b"), col("src").as("c")))
-    wedges.join(closing, Seq("b", "c")).select("a", "b", "c")
+    wedges.join(broadcast(closing), Seq("b", "c")).select("a", "b", "c")
   }
 }

@@ -44,14 +44,16 @@ object Wave20 {
       .select(col("event_type"), col("event_id"),
         (col("value").cast("decimal(18,6)") * lit(1000000))
           .cast("long").as("v_micro"))
-    val cum = Ranks.perGroupPrefixSum(ev, Seq("event_type"),
+    // the fused kernel carries the group count and total mass as free
+    // columns (they live in the offset table anyway) — the r9 form
+    // re-derived both with a separate aggregate + broadcast join
+    val cum = Ranks.perGroupRankAndPrefixSum(ev, Seq("event_type"),
       Seq(col("v_micro").desc, col("event_id").asc), col("v_micro"),
-      "cum_micro", partitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
-    val tot = cum.groupBy("event_type")
-      .agg(max("cum_micro").as("tot_micro"), count(lit(1)).as("n_total"))
+      "__rk", "n_total", "cum_micro", "tot_micro",
+      partitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
     // crossing rule kept in exact integers: keep while the mass BEFORE
     // this row is under P * total  <=>  10*(cum - v) < 9*total
-    cum.join(broadcast(tot), "event_type")
+    cum
       .filter((col("cum_micro") - col("v_micro")) * 10 < col("tot_micro") * 9)
       .groupBy("event_type")
       .agg(max("n_total").as("n_total"), count(lit(1)).as("n_kept"),

@@ -109,11 +109,13 @@ object Wave21 {
       col("event_type"), col("event_id"), col("ts"),
       unix_micros(col("ts")).as("us"),
       (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("v_micro"))
-    val ranked = Ranks.perGroupRank(ev, Seq("event_type"),
-      Seq(col("ts").asc, col("event_id").asc), "r", "n", parts(s))
-    val nxt = ranked.select(col("event_type"), (col("r") - 1).as("r"),
-      col("us").as("next_us"))
-    ranked.join(nxt, Seq("event_type", "r"))
+    // neighbor access via the LEAD kernel: one range shuffle + local
+    // lead with broadcast boundary heads — the r9 form paid a full
+    // rank-kernel pass PLUS a data-sized shuffle self-join on
+    // (event_type, r) for the same pairing (guide §2.4)
+    val led = Ranks.perGroupLead(ev, Seq("event_type"),
+      Seq(col("ts"), col("event_id")), col("us"), "next_us", parts(s))
+    led.filter(col("next_us").isNotNull)
       .withColumn("dur", col("next_us") - col("us"))
       .groupBy("event_type")
       .agg(
@@ -224,10 +226,11 @@ object Wave21 {
     val dev = ev.join(broadcast(mu), "event_type")
       .withColumn("dev", col("v_micro") - col("mu_micro"))
     val ord = Seq(col("ts").asc, col("event_id").asc)
-    val cum = Ranks.perGroupPrefixSum(dev, Seq("event_type"), ord,
-      col("dev"), "cum", parts(s))
-    val pmn = Ranks.perGroupPrefixMin(cum, Seq("event_type"), ord,
-      col("cum"), "pmin", parts(s))
+    // prefix sum and prefix-min-of-that-sum in ONE fused kernel pass
+    // (guide §2.4 — the r9 form paid two full range shuffles +
+    // checkpoints + offset collects for the same pair)
+    val pmn = Ranks.perGroupPrefixSumMin(dev, Seq("event_type"), ord,
+      col("dev"), "cum", "pmin", parts(s))
     val scol = col("cum") - least(col("pmin"), lit(0L))
     pmn.withColumn("s", scol)
       .groupBy("event_type")

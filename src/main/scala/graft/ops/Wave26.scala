@@ -47,6 +47,10 @@ object Wave26 {
       .groupBy("user_id", "session_id")
       .agg(unix_timestamp(min("ts")).as("t_start"),
         unix_timestamp(max("ts")).as("t_end"))
+      // pinned ONCE: the r9 form recomputed the whole sessionize chain
+      // (per-user windows + aggregate) three times — both bound selects
+      // and the n_sessions count each replayed it
+      .localCheckpoint()
     val bounds = sessions
       .select(col("user_id"), col("session_id"), col("t_start").as("t"), lit(1L).as("delta"))
       .unionByName(sessions.select(col("user_id"), col("session_id"),
@@ -54,12 +58,17 @@ object Wave26 {
     val swept = Ranks.perGroupPrefixSum(bounds, Seq.empty,
       Seq(col("t").asc, col("delta").asc, col("user_id").asc, col("session_id").asc),
       col("delta"), "conc", parts(s))
-    val peak = swept.agg(max("conc").as("peak"))
-    swept.crossJoin(broadcast(peak))
-      .filter(col("conc") === col("peak"))
-      .agg(max("peak").as("peak"), min("t").as("first_peak_t"))
-      .crossJoin(broadcast(sessions.agg(count(lit(1)).as("n_sessions"))))
-      .select(col("peak"), col("first_peak_t"), col("n_sessions"))
+    // peak, its first timestamp, and the session count in ONE aggregate
+    // pass: max(struct(conc, -t)) picks the max concurrency then the
+    // smallest t among its rows — exactly the peak + min-t-filter pair
+    // the r9 form computed with a second full pass over the sweep plus
+    // two broadcast crossJoins; n_sessions = half the bound rows (every
+    // session contributes exactly one start and one end).
+    swept.agg(
+        max(struct(col("conc"), (-col("t")).as("negt"))).as("m"),
+        expr("count(1) div 2").as("n_sessions"))
+      .select(col("m.conc").as("peak"), (-col("m.negt")).as("first_peak_t"),
+        col("n_sessions"))
   }
 
   private val eventsConcurrencyOracle =

@@ -171,12 +171,13 @@ object Wave27 {
       .join(w, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderpriority"), col("o_orderkey"),
         col("o_totalprice"), col("wgt"))
-    val cum = Ranks.perGroupPrefixSum(o, Seq("o_orderpriority"),
+    // the fused kernel carries the group row count and total weight as
+    // free columns (they live in the offset table anyway) — the r9 form
+    // re-derived both with a separate aggregate + broadcast join
+    val cum = Ranks.perGroupRankAndPrefixSum(o, Seq("o_orderpriority"),
       Seq(col("o_totalprice").asc, col("o_orderkey").asc),
-      col("wgt"), "cum_w", parts(s))
-    val tot = cum.groupBy("o_orderpriority")
-      .agg(max("cum_w").as("tot_w"), count(lit(1)).as("n_orders"))
-    cum.join(broadcast(tot), "o_orderpriority")
+      col("wgt"), "__rk", "n_orders", "cum_w", "tot_w", parts(s))
+    cum
       .filter(col("cum_w") * 2 >= col("tot_w") &&
         (col("cum_w") - col("wgt")) * 2 < col("tot_w"))
       .groupBy("o_orderpriority")

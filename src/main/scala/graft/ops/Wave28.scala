@@ -112,11 +112,13 @@ object Wave28 {
           .as("latency_s"))
     val first = Ranks.perGroupTopK(pairs, Seq("view_id"),
       Seq(col("latency_s").asc, col("purchase_id").asc), 1)
-      .select(col("view_id"), col("latency_s"), lit(1L).as("w"))
-    val cum = Ranks.perGroupPrefixSum(first, Seq.empty,
-      Seq(col("latency_s").asc, col("view_id").asc), col("w"), "cum", parts(s))
-    val tot = cum.agg(max("cum").as("tot"))
-    cum.crossJoin(broadcast(tot))
+      .select(col("view_id"), col("latency_s"))
+    // unit weights make the prefix sum a RANK, and the rank kernel
+    // carries the total as a free column — the r9 form re-derived it
+    // with a max aggregate + broadcast crossJoin
+    val cum = Ranks.perGroupRank(first, Seq.empty,
+      Seq(col("latency_s").asc, col("view_id").asc), "cum", "tot", parts(s))
+    cum
       .filter(col("cum") * 2 >= col("tot") && (col("cum") - 1) * 2 < col("tot"))
       .agg(min("latency_s").as("median_latency_s"), max("tot").as("n_conversions"))
   }

@@ -28,10 +28,12 @@ object Wave29 {
   private def medianOf(df: DataFrame, group: String, value: String,
       tiebreak: Seq[org.apache.spark.sql.Column], out: String,
       partitions: Int): DataFrame = {
-    val cum = Ranks.perGroupPrefixSum(df, Seq(group),
-      col(value).asc +: tiebreak, lit(1L), "__cum", partitions)
-    val tot = cum.groupBy(group).agg(max("__cum").as("__tot"))
-    cum.join(broadcast(tot), group)
+    // the rank kernel carries the group total as a free column (it is
+    // in the offset table anyway) — the r9 form re-derived it with a
+    // max-of-prefix-sum aggregate plus a broadcast join per median pass
+    val cum = Ranks.perGroupRank(df, Seq(group),
+      col(value).asc +: tiebreak, "__cum", "__tot", partitions)
+    cum
       .filter(col("__cum") * 2 >= col("__tot") &&
         (col("__cum") - 1) * 2 < col("__tot"))
       .groupBy(group).agg(min(value).as(out))
@@ -111,11 +113,13 @@ object Wave29 {
     val ev = t(s, dir, "events").select(
       col("event_type"), col("event_id"), col("ts"),
       unix_micros(col("ts")).as("us"))
-    val ranked = Ranks.perGroupRank(ev, Seq("event_type"),
-      Seq(col("ts").asc, col("event_id").asc), "r", "n", parts(s))
-    val nxt = ranked.select(col("event_type"), (col("r") - 1).as("r"),
-      col("us").as("next_us"))
-    val gaps = ranked.join(nxt, Seq("event_type", "r"))
+    // gaps via the LEAD kernel: ONE range shuffle + a partition-local
+    // lead with the boundary head values broadcast back — the r9 form
+    // paid a full rank-kernel pass PLUS a data-sized shuffle self-join
+    // on (event_type, r) for the same neighbor pairing (guide §2.4)
+    val led = Ranks.perGroupLead(ev, Seq("event_type"),
+      Seq(col("ts"), col("event_id")), col("us"), "next_us", parts(s))
+    val gaps = led.filter(col("next_us").isNotNull)
       .select(col("event_type"), col("event_id"),
         (col("next_us") - col("us")).as("gap_us"))
     val fit = gaps.groupBy("event_type")

@@ -79,11 +79,14 @@ object Wave38 {
       col("event_type"), col("event_id"), col("ts"),
       (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("v"))
     val ord = Seq(col("ts").asc, col("event_id").asc)
-    val ranked = Ranks.perGroupRank(ev, Seq("event_type"), ord, "t", "n", parts(s))
-    val cum = Ranks.perGroupPrefixSum(ranked, Seq("event_type"), ord,
-      col("v"), "cum", parts(s))
-    val tot = cum.groupBy("event_type").agg(sum("v").as("sn"))
-    val stat = cum.join(broadcast(tot), "event_type")
+    // rank, group size, running sum AND group total in ONE fused kernel
+    // pass (guide §2.4): the r9 form paid two full kernel passes (rank,
+    // then prefix sum) plus a separate group-total aggregate and its
+    // broadcast join — all four columns derive from the same
+    // (partition × group) offset table
+    val cum = Ranks.perGroupRankAndPrefixSum(ev, Seq("event_type"), ord,
+      col("v"), "t", "n", "cum", "sn", parts(s))
+    val stat = cum
       .filter(col("t") < col("n"))
       .withColumn("g",
         abs(col("cum").cast(DecimalType(38, 0)) * col("n") -

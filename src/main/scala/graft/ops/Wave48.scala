@@ -32,29 +32,60 @@ object Wave48 {
     * standard Pregel-style cost, no node ever sees more than its
     * neighborhood. Output: surviving nodes with their in-core degree. */
   private val graphKcore: Q = (s, dir) => {
-    var edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    // The data-sized, skew-prone pass — the orders ⋈ lineitem distinct
+    // edge aggregate — materializes HERE, under the session conf, so
+    // AQE's skew mitigation stays available to it (localCheckpoint is
+    // eager); its row count rides the checkpoint job as an observed
+    // metric instead of a separate count() job (the graph_hits r9
+    // recipe). Only then is AQE turned off for the fixed-shape peel
+    // loop, where each tiny round would otherwise pay 2-3 stage-jobs +
+    // a replanning round-trip; partitioning is sized to the observed
+    // edge count (~64k edges/task, clamped to session width so 100 TB
+    // keeps full cluster width). Conf restored before returning.
+    val obs0 = org.apache.spark.sql.Observation()
+    val edges0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
       .distinct()
+      .observe(obs0, count(lit(1)).as("ne"))
       .localCheckpoint()
+    val ne = obs0.get("ne").asInstanceOf[Long]
+    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.max(1L, math.min(partsBefore.toLong, ne / 65536L + 1L)).toString)
+    try graphKcoreBody(s, edges0, ne)
+    finally {
+      s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      s.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    }
+  }
+
+  private def graphKcoreBody(s: SparkSession, edges0: DataFrame,
+      ne: Long): DataFrame = {
+    var edges = edges0
     // peeling is monotone: an unchanged edge count proves the surviving
     // set is unchanged (subset + equal size), i.e. the fixpoint — so the
-    // driver stops early instead of running no-op rounds (the count is a
-    // cheap metadata read off the just-materialized checkpoint). The
-    // 12-round cap stays as the bound the oracle unrolls to.
-    var prevCount = edges.count()
+    // driver stops early instead of running no-op rounds (the count
+    // rides each round's checkpoint job as an observed metric — r9 ran
+    // a separate count() job per round). The 12-round cap stays as the
+    // bound the oracle unrolls to.
+    var prevCount = ne
     var converged = false
     for (_ <- 1 to PeelRounds if !converged) {
       val cDeg = edges.groupBy("c").agg(count(lit(1)).as("dc"))
         .filter(col("dc") >= K)
       val pDeg = edges.groupBy("p").agg(count(lit(1)).as("dp"))
         .filter(col("dp") >= K)
+      val obs = org.apache.spark.sql.Observation()
       edges = edges
         .join(cDeg.select("c"), Seq("c"), "left_semi")
         .join(pDeg.select("p"), Seq("p"), "left_semi")
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint()
-      val n = edges.count()
+      val n = obs.get("n").asInstanceOf[Long]
       converged = n == prevCount
       prevCount = n
     }

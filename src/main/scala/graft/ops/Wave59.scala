@@ -115,11 +115,14 @@ object Wave59 {
       .filter(col("w") > 0)
       .withColumn("dens", expr("(2 * v * 1000000 + w) div (2 * w)"))
       .localCheckpoint()
-    val budget = d.agg(expr("sum(w) div 2").as("b"))
-    val ranked = Ranks.perGroupPrefixSum(d, Seq.empty,
-      Seq(col("dens").desc, col("doc_id")), col("w"), "cumw", parts)
-    ranked.crossJoin(broadcast(budget))
-      .filter(col("cumw") <= col("b"))
+    // the budget (half the total token mass) rides the fused kernel as
+    // its free total column — the r9 form ran a separate aggregate job
+    // over the pinned frame plus a broadcast crossJoin to attach it
+    val ranked = Ranks.perGroupRankAndPrefixSum(d, Seq.empty,
+      Seq(col("dens").desc, col("doc_id")), col("w"),
+      "__rk", "__n", "cumw", "__totw", parts)
+    ranked
+      .filter(col("cumw") <= expr("__totw div 2"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_selected"), sum("w").as("tok_selected"),
         sum("v").as("value_selected"))

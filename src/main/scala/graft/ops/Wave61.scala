@@ -101,14 +101,18 @@ object Wave61 {
       .groupBy("p").agg(count(lit(1)).as("d"))
     val contrib = pairs
       // degree tables are supplier-sized (entity-scaled): no forced
-      // broadcast - the optimizer picks one while they fit
+      // broadcast - the optimizer picks one while they fit.
+      // BOTH orientations of each edge come from ONE pass: the r9 form
+      // unioned two copies of the pairs⋈deg⋈deg join (4 joins, 2 pair
+      // scans); exploding the symmetric (x,y)/(y,x) structs after a
+      // single join emits the identical multiset — the sums below are
+      // exact (decimal/long), so aggregation order cannot matter.
       .join(deg.select(col("p").as("p1"), col("d").as("d1")), "p1")
       .join(deg.select(col("p").as("p2"), col("d").as("d2")), "p2")
-      .select(col("d1").as("x"), col("d2").as("y"))
-      .union(pairs
-        .join(deg.select(col("p").as("p1"), col("d").as("d2")), "p1")
-        .join(deg.select(col("p").as("p2"), col("d").as("d1")), "p2")
-        .select(col("d1").as("x"), col("d2").as("y")))
+      .select(explode(array(
+        struct(col("d1").as("x"), col("d2").as("y")),
+        struct(col("d2").as("x"), col("d1").as("y")))).as("xy"))
+      .select(col("xy.x").as("x"), col("xy.y").as("y"))
     contrib.agg(count(lit(1)).as("mm"),
         sum(expr("cast(x as decimal(38,0))")).as("sx"),
         sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),

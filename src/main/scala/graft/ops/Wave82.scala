@@ -27,7 +27,27 @@ object Wave82 {
     * capped at 8 rounds like the unrolled oracle. Output: surviving
     * edges with their in-truss support. */
   private val graphKtruss: Q = (s, dir) => {
-    var edges = BrandGraph.edges(s, dir).localCheckpoint()
+    // the data-sized pass (the basket self-join inside BrandGraph.edges)
+    // materializes HERE under the session conf; the peel loop below runs
+    // on the pinned catalog-sized edge list (≤ brands² rows at any data
+    // scale), so AQE — 2-3 stage-jobs + a replanning round-trip per tiny
+    // fixed-shape round — is off for the loop, with single-partition
+    // shuffles (the graph_hits superstep recipe). Conf restored before
+    // returning.
+    val edges0 = BrandGraph.edges(s, dir).localCheckpoint()
+    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
+    try graphKtrussBody(s, edges0)
+    finally {
+      s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      s.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    }
+  }
+
+  private def graphKtrussBody(s: SparkSession, edges0: DataFrame): DataFrame = {
+    var edges = edges0
     def support(e: DataFrame): DataFrame = {
       val tri = BrandGraph.trianglesOf(
         e.select(col("u").as("src"), col("v").as("dst")))

@@ -380,14 +380,33 @@ object Wave9 {
     import org.apache.spark.sql.expressions.Window
     val band = least(floor(col("value") / 125.0), lit(3.0)).cast("int")
     val w = Window.partitionBy("user_id").orderBy("event_id")
+    // The data-sized pass (keyed per-user window + distinct) pins HERE,
+    // under the session conf — AQE coalescing/skew handling stays
+    // available to it. The recursion below then runs over the PINNED
+    // model-sized edge table ((type × band)² domain) with AQE off and
+    // band-domain-sized partitioning: Catalyst's UnionLoop replans and
+    // re-plans each iteration under AQE, paying 2-3 stage-jobs per hop
+    // for a graph that is a few hundred rows at any data scale (the
+    // graph_hits superstep recipe). The result is pinned inside the
+    // scope so the recursion genuinely executes under it; conf restored
+    // before returning.
+    val obsE = org.apache.spark.sql.Observation()
     val edges = t(s, dir, "events")
       .select(col("user_id"), col("event_id"),
         concat(col("event_type"), lit("#"), band.cast("string")).as("src"))
       .withColumn("dst", lead("src", 1).over(w))
       .filter(col("dst").isNotNull)
       .select("src", "dst").distinct()
+      .observe(obsE, count(lit(1)).as("ne"))
+      .localCheckpoint()
+    val ne = obsE.get("ne").asInstanceOf[Long]
     edges.createOrReplaceTempView("graft_edges")
-    s.sql(
+    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.max(1L, math.min(partsBefore.toLong, ne / 65536L + 1L)).toString)
+    try s.sql(
       """WITH RECURSIVE reach(node, hops) AS (
         |  SELECT 'click#0', 0
         |  UNION ALL
@@ -397,6 +416,11 @@ object Wave9 {
         |SELECT node, CAST(MIN(hops) AS INT) AS min_hops,
         |  CAST(COUNT(*) AS BIGINT) AS n_walks
         |FROM reach GROUP BY node ORDER BY node""".stripMargin)
+      .localCheckpoint()
+    finally {
+      s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      s.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    }
   }
 
   private val graphReachabilityOracle =

@@ -74,6 +74,10 @@ class BroadcastAuditSpec extends AnyFunSuite {
       "dev-only probe main (not a declared query): 1000-row literal range frame",
     ("ops/Bpe.scala", "encoded") ->
       "distinct-token encodings: vocabulary-sized (tokens/terms)",
+    ("ops/BrandGraph.scala", "o.as(\"e2\")") ->
+      "brand-graph oriented edge list: catalog-sized (<= brands^2 edges, 25-brand domain)",
+    ("ops/BrandGraph.scala", "closing") ->
+      "brand-graph edge list both orientations: catalog-sized (25-brand domain)",
     ("ops/BrandGraph.scala", "du") ->
       "brand-degree table: 25-node catalog domain",
     ("ops/BrandGraph.scala", "dv") ->
@@ -108,6 +112,8 @@ class BroadcastAuditSpec extends AnyFunSuite {
       "catalog metadata (tables x columns)",
     ("ops/Ranks.scala", "offAliased") ->
       "per-(range-partition, group) prefix offsets: partitions x groups, collected by design (SCALING.md ranks note)",
+    ("ops/Ranks.scala", "nextAliased") ->
+      "per-(range-partition, group) next-partition head values: partitions x groups, collected by design (SCALING.md ranks note)",
     ("ops/Wave10.scala", "bounds") ->
       "one-row scalar aggregate",
     ("ops/Wave10.scala", "tot") ->
@@ -136,9 +142,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
       "confusion-matrix row marginals: language domain",
     ("ops/Wave19.scala", "rows") ->
       "per-language row totals: language domain",
-    ("ops/Wave20.scala", "tot") ->
-      "one-row scalar aggregate",
-    ("ops/Wave21.scala", "base") ->
+        ("ops/Wave21.scala", "base") ->
       "per-event-type moments: bounded type domain",
     ("ops/Wave21.scala", "mu") ->
       "one-row scalar aggregate",
@@ -174,11 +178,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
       "query row(s): single probe vector / its bucket cells",
     ("ops/Wave26.scala", "byRegion") ->
       "per-region totals: 5-region catalog domain",
-    ("ops/Wave26.scala", "peak") ->
-      "one-row scalar aggregate",
-    ("ops/Wave26.scala", "sessions.agg(count(lit(1)).as(\"n_sessions\"))") ->
-      "one-row scalar aggregate",
-    ("ops/Wave26.scala", "t(s, dir, \"nation\")") ->
+            ("ops/Wave26.scala", "t(s, dir, \"nation\")") ->
       "fixed catalog dim (nation/region <= 25 rows)",
     ("ops/Wave26.scala", "t(s, dir, \"region\")") ->
       "fixed catalog dim (nation/region <= 25 rows)",
@@ -186,23 +186,17 @@ class BroadcastAuditSpec extends AnyFunSuite {
       "one-row scalar aggregate",
     ("ops/Wave27.scala", "dim.alias(\"d\")") ->
       "segment-size dim: 6-segment domain (incl NULL bucket)",
-    ("ops/Wave27.scala", "tot") ->
-      "one-row scalar aggregate",
-    ("ops/Wave27.scala", "totC") ->
+        ("ops/Wave27.scala", "totC") ->
       "one-row scalar aggregate",
     ("ops/Wave28.scala", "maxDay") ->
       "one-row scalar aggregate",
-    ("ops/Wave28.scala", "tot") ->
-      "one-row scalar aggregate",
-    ("ops/Wave29.scala", "fit") ->
+        ("ops/Wave29.scala", "fit") ->
       "per-event-type fit scalars: bounded type domain",
     ("ops/Wave29.scala", "mad") ->
       "one-row scalar aggregate",
     ("ops/Wave29.scala", "med") ->
       "one-row scalar aggregate",
-    ("ops/Wave29.scala", "tot") ->
-      "one-row scalar aggregate",
-    ("ops/Wave3.scala", "mm") ->
+        ("ops/Wave3.scala", "mm") ->
       "one-row scalar aggregate",
     ("ops/Wave3.scala", "q") ->
       "query row(s): single probe vector / its bucket cells",
@@ -234,9 +228,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
       "contingency row marginals: bounded domain",
     ("ops/Wave36.scala", "tot") ->
       "one-row scalar aggregate",
-    ("ops/Wave38.scala", "tot") ->
-      "one-row scalar aggregate",
-    ("ops/Wave4.scala", "avgdl") ->
+        ("ops/Wave4.scala", "avgdl") ->
       "one-row scalar aggregate",
     ("ops/Wave4.scala", "n") ->
       "one-row scalar aggregate",
@@ -294,9 +286,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
       "one-row scalar aggregate",
     ("ops/Wave58.scala", "last") ->
       "one-row scalar aggregate",
-    ("ops/Wave59.scala", "budget") ->
-      "one-row scalar aggregate",
-    ("ops/Wave6.scala", "bounds") ->
+        ("ops/Wave6.scala", "bounds") ->
       "one-row scalar aggregate",
     ("ops/Wave6.scala", "d1") ->
       "token doc-frequencies: vocabulary-sized (tokens/terms)",

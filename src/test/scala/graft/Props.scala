@@ -51,6 +51,67 @@ object ZValueProps extends Properties("zvalue") {
     }
 }
 
+/** Properties of the r9 adaptive-salting and two-phase-rank kernels at
+  * their boundaries (round-9 verdict item 7): saltsOf at the 64-salt
+  * clamp, salt-join pair-multiset preservation for ANY block size, and
+  * the Ranks offset math under duplicate-order-key runs spanning
+  * partitions — all on pure driver-side models of the distributed
+  * kernels (the Spark-backed equivalence lives in RanksSpec /
+  * Wave56Spec). */
+object SaltAndRankProps extends Properties("salt-rank") {
+
+  import graft.ops.Wave56.{saltsOf, LinkMaxSalts}
+
+  private val anyRows = Gen.chooseNum(0L, Long.MaxValue)
+  private val cap = Gen.chooseNum(1L, 1000000L)
+
+  property("saltsOf stays in [1, LinkMaxSalts] for every (rows, cap)") =
+    forAll(anyRows, cap) { (n, c) =>
+      val ns = saltsOf(n, c)
+      ns >= 1 && ns <= LinkMaxSalts
+    }
+
+  property("saltsOf = ceil(n/cap) below the clamp, exactly LinkMaxSalts past it") =
+    forAll(Gen.chooseNum(0L, 10000L), Gen.chooseNum(1L, 100L)) { (n, c) =>
+      val exact = if (n == 0) 1L else (n + c - 1) / c
+      saltsOf(n, c) == math.min(LinkMaxSalts.toLong, math.max(1L, exact)).toInt
+    }
+
+  property("salted block join meets each (clean, dirty) pair exactly once") =
+    forAll(Gen.chooseNum(1, 300), Gen.chooseNum(1L, 50L)) { (n, c) =>
+      val ns = saltsOf(n.toLong, c)
+      // clean row k carries salt k mod ns; dirty row d is replicated to
+      // every salt 0..ns-1; the join keeps (k, d, salt) with matching
+      // salts — the pair multiset must equal the unsalted block join's
+      val pairs = for {
+        k <- 0 until n; d <- 0 until n
+        salt <- 0 until ns if k % ns == salt
+      } yield (k, d)
+      pairs.size == n * n && pairs.distinct.size == n * n
+    }
+
+  /** Driver-side model of Ranks.twoPhase's offset math: rows land in
+    * range partitions (any contiguous split — duplicate order keys MAY
+    * straddle a boundary), each partition reports its per-group count,
+    * and rank = prefix offset + local row_number. Must equal the global
+    * rank for every split. */
+  property("two-phase rank offsets survive any contiguous split, incl. tie runs") =
+    forAll(Gen.listOf(Gen.chooseNum(0, 5)), Gen.chooseNum(1, 7)) { (keys, parts) =>
+      val rows = keys.zipWithIndex // (orderKey, uniqueTiebreak)
+        .sortBy { case (k, i) => (k, i) }
+      val global = rows.zipWithIndex.map { case (r, i) => r -> (i + 1) }.toMap
+      // contiguous split into `parts` chunks (ties straddle freely)
+      val chunks = if (rows.isEmpty) Seq.empty
+        else rows.grouped(math.max(1, (rows.size + parts - 1) / parts)).toSeq
+      val offsets = chunks.scanLeft(0L)(_ + _.size)
+      chunks.zipWithIndex.forall { case (chunk, pi) =>
+        chunk.zipWithIndex.forall { case (r, li) =>
+          offsets(pi) + li + 1 == global(r)
+        }
+      }
+    }
+}
+
 /** Properties of the native aggregate buffers (SimhashAgg / VecSumAgg):
   * update/merge must form a commutative monoid over any partitioning of
   * the input — the contract partial aggregation (map-side combine)

@@ -96,6 +96,76 @@ class RanksSpec extends SparkSuite {
     assert(e.getMessage.contains("not driver-bounded"))
   }
 
+  test("fused prefix sum+min == the two window forms, negatives and a dominant group") {
+    import spark.implicits._
+    // signed values so the running min genuinely dips below both zero
+    // and earlier partition minima; one group spans most partitions
+    val rows = (1L to 997L).map(i => ("en", i, ((i * 13) % 23) - 11L)) ++
+      (1L to 12L).map(i => ("fr", 10000L + i, i - 6L))
+    val df = rows.toDF("lang", "doc_id", "v")
+    val two = Ranks.perGroupPrefixSumMin(df, Seq("lang"), Seq(col("doc_id")),
+      col("v"), "cum", "pmin", partitions = 7)
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val win = df
+      .withColumn("cum_w", sum("v").over(w))
+      .withColumn("pmin_w", min(col("cum_w")).over(w))
+    val diff = two.join(win, Seq("lang", "doc_id"))
+      .filter(col("cum") =!= col("cum_w") || col("pmin") =!= col("pmin_w"))
+    assert(diff.count() === 0)
+    assert(two.count() === df.count())
+  }
+
+  test("fused rank+prefix-sum == the window forms incl. group totals") {
+    import spark.implicits._
+    val rows = (1L to 997L).map(i => ("en", i, (i % 7) + 1L)) ++
+      (1L to 12L).map(i => ("fr", 10000L + i, i))
+    val df = rows.toDF("lang", "doc_id", "v")
+    val two = Ranks.perGroupRankAndPrefixSum(df, Seq("lang"),
+      Seq(col("doc_id")), col("v"), "rk", "n", "cum", "sn", partitions = 7)
+    val wOrd = Window.partitionBy("lang").orderBy("doc_id")
+    val win = df
+      .withColumn("rk_w", row_number().over(wOrd).cast("bigint"))
+      .withColumn("n_w", count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("cum_w", sum("v").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("sn_w", sum("v").over(Window.partitionBy("lang")))
+    val diff = two.join(win, Seq("lang", "doc_id"))
+      .filter(col("rk") =!= col("rk_w") || col("n") =!= col("n_w") ||
+        col("cum") =!= col("cum_w") || col("sn") =!= col("sn_w"))
+    assert(diff.count() === 0)
+    assert(two.count() === df.count())
+  }
+
+  test("lead kernel == the lead window form, incl. NULL groups and a dominant group") {
+    import spark.implicits._
+    // two-column order with a duplicate-heavy leading key: the kernel's
+    // partition-head pick (min_by over the order struct) must break
+    // ties exactly like the window's lexicographic sort
+    val rows = (1L to 997L).map(i =>
+      (if (i % 5 == 0) null else "en", i % 13, i, i * 3L)) ++
+      (1L to 12L).map(i => ("fr", i % 3, 10000L + i, i * 7L))
+    val df = rows.toDF("lang", "bucket", "doc_id", "v")
+    val two = Ranks.perGroupLead(df, Seq("lang"),
+      Seq(col("bucket"), col("doc_id")), col("v"), "nxt", partitions = 7)
+    val win = df.withColumn("nxt_w", lead(col("v"), 1).over(
+      Window.partitionBy("lang").orderBy("bucket", "doc_id")))
+    val diff = two.join(win, Seq("doc_id"))
+      .filter(!(col("nxt") <=> col("nxt_w")))
+    assert(diff.count() === 0)
+    assert(two.count() === df.count())
+  }
+
+  test("rank with a duplicate-order-key run spanning partition boundaries") {
+    import spark.implicits._
+    // 600 rows share ONE order value (ties broken only by doc_id): the
+    // range partitioner must split the run across partitions and the
+    // offsets must still reconstruct the exact global ranks
+    val rows = (1L to 600L).map(i => ("en", i, 42.0)) ++
+      (601L to 700L).map(i => ("en", i, (i % 9).toDouble))
+    compare(rows.toDF("lang", "doc_id", "mean_lp"))
+  }
+
   test("closed-form ntile matches SQL ntile bucket sizes for n not divisible by k") {
     import spark.implicits._
     val df = (1L to 10L).map(r => (r, 10L)).toDF("rk", "n")

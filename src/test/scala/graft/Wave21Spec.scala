@@ -93,11 +93,15 @@ class Wave21Spec extends SparkSuite {
     }
   }
 
-  test("events_cusum plan: both kernel passes pid-local, no single-partition exchange") {
+  test("events_cusum plan: fused sum+min kernel, no single-partition exchange") {
     val df = SparkEntry.queries("events_cusum")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(plan.contains("windowspecdefinition(__pid"), plan.take(1500))
+    // the fused kernel computes the pid-local running sum AND its
+    // running min inside the checkpoint job; the final plan reads the
+    // pinned frame and attaches BOTH offsets with ONE broadcast join
+    assert(plan.contains("__runmin") && plan.contains("__moff"), plan.take(1500))
+    assert(plan.contains("Scan ExistingRDD"), plan.take(1500))
     assert(!plan.contains("Exchange SinglePartition"), plan.take(1500))
   }
 

@@ -51,7 +51,11 @@ class Wave26Spec extends SparkSuite {
     lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
       case (_, i) =>
         val child = lines.drop(i + 1).find(_.trim.nonEmpty).getOrElse("")
-        assert(child.contains("HashAggregate") && child.contains("partial_"),
+        // the peak picker is max(struct(conc, -t)) — struct max has no
+        // hash-agg buffer, so Catalyst plans a (keyless, sort-free)
+        // SortAggregate; either engine is fine as long as it is partial
+        assert((child.contains("HashAggregate") || child.contains("SortAggregate"))
+            && child.contains("partial_"),
           s"SinglePartition exchange over non-aggregate child: $child")
     }
   }
