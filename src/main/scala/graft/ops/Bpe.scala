@@ -101,18 +101,35 @@ object Bpe {
   /** Run [[Rounds]] merge rounds; returns (round, left, right,
     * weighted pair count) — the learned merge table. */
   private[graft] def learnedMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
+    // the ONE corpus-sized pass (dictionary aggregation + top-K) pins
+    // HERE under the session conf — AQE stays available to it; the 8
+    // learn rounds below (16 jobs: argmax collect + checkpoint each)
+    // touch only the HeadWords-row dictionary, so they run AQE-off on
+    // single-partition shuffles (the graph_hits superstep recipe: a
+    // fixed-shape model-sized loop pays 2-3 stage-jobs + a replanning
+    // round-trip per round under AQE for nothing). Conf restored before
+    // returning.
     var words = dictionary(s, dir).localCheckpoint()
+    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-    for (r <- 1 to Rounds) {
-      val best = pairCounts(words)
-        .orderBy(desc("cnt"), asc("x"), asc("y")).limit(1).collect()
-      if (best.nonEmpty) {
-        val (x, y, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((r, x, y, c))
-        // localCheckpoint truncates the per-round HOF lineage so round
-        // R's plan does not re-derive rounds 1..R-1
-        words = words.withColumn("syms", mergeExpr(x, y)).localCheckpoint()
+    try {
+      for (r <- 1 to Rounds) {
+        val best = pairCounts(words)
+          .orderBy(desc("cnt"), asc("x"), asc("y")).limit(1).collect()
+        if (best.nonEmpty) {
+          val (x, y, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((r, x, y, c))
+          // localCheckpoint truncates the per-round HOF lineage so round
+          // R's plan does not re-derive rounds 1..R-1
+          words = words.withColumn("syms", mergeExpr(x, y)).localCheckpoint()
+        }
       }
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      s.conf.set("spark.sql.shuffle.partitions", partsBefore)
     }
     merges.toSeq
   }

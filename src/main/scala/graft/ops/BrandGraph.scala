@@ -18,12 +18,16 @@ object BrandGraph {
   /** Undirected support-filtered edge list (u < v). */
   def edges(s: SparkSession, dir: String): DataFrame =
     graft.engine.Materialize(s, s"brand-edges:$dir") {
+      // pinned: the data-sized basket build feeds the totals broadcast
+      // AND both self-join sides — without the checkpoint each replays
+      // the lineitem⋈part join on the (cold) first touch (guide §3.3)
       val basket = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey"))
         .join(Tables.load(s, dir, "part")
           .select(col("p_partkey"), col("p_brand").as("brand")),
           col("l_partkey") === col("p_partkey"))
         .select("ok", "brand").distinct()
+        .localCheckpoint()
       val totals = basket.agg(countDistinct("ok").as("n_orders"))
       basket.as("a")
         .join(basket.as("b"),

@@ -31,15 +31,26 @@ object Wave28 {
     * segmentation table. */
   private val eventsRfm: Q = (s, dir) => {
     val ev = t(s, dir, "events")
-    val maxDay = ev.agg(max(floor(unix_timestamp(col("ts")) / 86400).cast("long"))
-      .as("max_day"))
-    val perUser = ev
+    // the global max day = max over users of their last day, so it
+    // rides the per-user aggregate's checkpoint as an observed metric —
+    // the r9 form paid a SECOND full events scan to build a one-row
+    // broadcast of the same value (guide §2.4: don't recompute what a
+    // pass already knows)
+    val obs = org.apache.spark.sql.Observation()
+    val perUser0 = ev
       .groupBy("user_id")
       .agg(max(floor(unix_timestamp(col("ts")) / 86400).cast("long")).as("last_day"),
         count(lit(1)).as("freq"),
         sum((col("value").cast("decimal(18,6)") * 1000000).cast("long")).as("mon"))
-      .crossJoin(broadcast(maxDay))
-      .select(col("user_id"), (col("max_day") - col("last_day")).as("recency"),
+      .observe(obs, max("last_day").as("max_day"))
+      .localCheckpoint()
+    // null only when the frame is empty (no rows downstream anyway)
+    val maxDay = obs.get("max_day") match {
+      case l: java.lang.Long => l.longValue
+      case _ => 0L
+    }
+    val perUser = perUser0
+      .select(col("user_id"), (lit(maxDay) - col("last_day")).as("recency"),
         col("freq"), col("mon"))
     def quintile(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
         out: String): DataFrame = {

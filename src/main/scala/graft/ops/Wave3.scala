@@ -67,16 +67,24 @@ object Wave3 {
       l.union(prop).groupBy("v").agg(min("lbl").as("lbl"))
     }
     // a NULL sum (decimal overflow under non-ANSI eval) must FAIL, not
-    // silently compare equal across rounds and fake convergence
-    def labelSum(l: DataFrame): java.math.BigDecimal = {
-      val s = l.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
-      require(s != null, "connectedComponents: label sum overflowed decimal(38,0)")
-      s
+    // silently compare equal across rounds and fake convergence. Row
+    // count and label sum RIDE the checkpoint job as observed metrics —
+    // a separate aggregate job per superstep (plus the initial isEmpty
+    // probe) was pure per-round fixed cost, the term that dominates on
+    // shallow dup graphs.
+    def ckptWithSum(l: DataFrame): (DataFrame, Long, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = l.observe(obs, count(lit(1)).as("n"),
+        sum(col("lbl").cast("decimal(38,0)")).as("ls")).localCheckpoint()
+      val n = obs.get("n").asInstanceOf[Long]
+      val s = obs.get("ls").asInstanceOf[java.math.BigDecimal]
+      require(n == 0L || s != null,
+        "connectedComponents: label sum overflowed decimal(38,0)")
+      (out, n, s)
     }
-    var lbl = edges.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint()
-    var converged = lbl.isEmpty // no edges -> no nodes: already done
-    var prevSum = if (converged) null else labelSum(lbl)
+    var (lbl, n0, prevSum) = ckptWithSum(
+      edges.select(col("src").as("v")).distinct().withColumn("lbl", col("v")))
+    var converged = n0 == 0L // no edges -> no nodes: already done
     var supersteps = 0
     try {
       // 64 supersteps = 128 hops >= any realistic dup-graph diameter; the
@@ -84,8 +92,7 @@ object Wave3 {
       // returning unconverged labels would leave deep-chain duplicates
       // labeled as their own component (wrongly kept by dedup_keep).
       while (!converged && supersteps < 64) {
-        val next = hop(hop(lbl)).localCheckpoint()
-        val s = labelSum(next)
+        val (next, _, s) = ckptWithSum(hop(hop(lbl)))
         converged = s.compareTo(prevSum) == 0
         prevSum = s
         lbl = next

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.SparkEntry.Q
@@ -44,8 +45,14 @@ object Wave58 {
       .filter(length(col("g")) > 0)
       .distinct()
       .localCheckpoint()
-    val firstSeen = tri.groupBy("g").agg(min("doc_id").as("first_doc"))
-    val flagged = tri.join(firstSeen, "g")
+    // first-seen flag via a g-partitioned window min: ONE exchange on g
+    // instead of the groupBy + data-sized equi-join back (two sorts +
+    // a merge) the r9 form paid for the same per-row comparison
+    // (guide §2.4); min over the unordered partition = the group's
+    // first_doc, so `novel` is bit-identical
+    val flagged = tri
+      .withColumn("first_doc",
+        min("doc_id").over(Window.partitionBy("g")))
       .select(col("doc_id"),
         (col("first_doc") === col("doc_id")).cast("long").as("novel"))
     val bounds = t(s, dir, "documents")
@@ -132,32 +139,55 @@ object Wave58 {
         (col("s0") - col("p0")).as("n"),
         (col("s1") - col("p1")).as("m1"),
         (col("s2") - col("p2")).as("m2"))
+    val obsSeg = org.apache.spark.sql.Observation()
     val seg = segPrefix.union(segPairs)
       .withColumn("sse_q", expr(
         "(2 * (cast(m2 as decimal(38,0)) * n - cast(m1 as decimal(38,0)) * m1) + n) div (2 * n)")
         .cast("long"))
       .select("hiv", "lov", "sse_q")
+      .observe(obsSeg, count(lit(1)).as("ns"))
       .localCheckpoint()
-    // dp_1 = whole prefix as one bucket
-    var dp = seg.filter(col("lov") === Long.MinValue)
-      .select(col("hiv").as("j"), col("sse_q").as("cost"))
-      .localCheckpoint()
-    val last = vc.agg(max("v").as("j"))
-    var out = dp.join(broadcast(last), "j")
-      .select(lit(1).as("k"), col("cost"))
-    for (k <- 2 to VoptMaxK) {
-      val prev = dp.select(col("j").as("i"), col("cost").as("pc"))
-      dp = seg.filter(col("lov") =!= Long.MinValue)
-        .join(prev, col("i") === col("lov"))
-        .groupBy(col("hiv").as("j"))
-        .agg(min(col("pc") + col("sse_q")).as("cost"))
-        .union(dp.select(col("j"), col("cost")))
-        .groupBy("j").agg(min("cost").as("cost"))
-        .localCheckpoint()
-      out = out.union(dp.join(broadcast(last), "j")
-        .select(lit(k).as("k"), col("cost")))
-    }
-    out.select(col("k"), col("cost").cast("double").as("sse"))
+    // Every data-sized (and triangular) pass is pinned above under the
+    // session conf; the Bellman loop below is fixed-shape over the
+    // pinned ≤ nVals²-row seg table, so it runs AQE-off on
+    // seg-count-sized partitions (the graph_hits superstep recipe —
+    // 7 rounds × join + 2 aggregates + checkpoint each otherwise pay
+    // session-width exchanges and AQE replanning for a model-sized
+    // frame). The result unions are pinned INSIDE the scope; conf
+    // restored before returning.
+    val nSeg = obsSeg.get("ns").asInstanceOf[Long]
+    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.max(1L, math.min(partsBefore.toLong, nSeg / 65536L + 1L)).toString)
+    val outPinned =
+      try {
+        // dp_1 = whole prefix as one bucket
+        var dp = seg.filter(col("lov") === Long.MinValue)
+          .select(col("hiv").as("j"), col("sse_q").as("cost"))
+          .localCheckpoint()
+        val last = vc.agg(max("v").as("j"))
+        var out = dp.join(broadcast(last), "j")
+          .select(lit(1).as("k"), col("cost"))
+        for (k <- 2 to VoptMaxK) {
+          val prev = dp.select(col("j").as("i"), col("cost").as("pc"))
+          dp = seg.filter(col("lov") =!= Long.MinValue)
+            .join(prev, col("i") === col("lov"))
+            .groupBy(col("hiv").as("j"))
+            .agg(min(col("pc") + col("sse_q")).as("cost"))
+            .union(dp.select(col("j"), col("cost")))
+            .groupBy("j").agg(min("cost").as("cost"))
+            .localCheckpoint()
+          out = out.union(dp.join(broadcast(last), "j")
+            .select(lit(k).as("k"), col("cost")))
+        }
+        out.localCheckpoint()
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+        s.conf.set("spark.sql.shuffle.partitions", partsBefore)
+      }
+    outPinned.select(col("k"), col("cost").cast("double").as("sse"))
       .orderBy("k")
   }
 

@@ -394,8 +394,13 @@ object Wave6 {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val td = docs
       .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("token"))
+    // pinned: df is vocabulary-sized but its subtree is a full corpus
+    // explode+aggregate pass — text_keyphrases broadcasts df TWICE
+    // (both pair ends), which without the checkpoint replays that
+    // corpus pass per broadcast build (guide §3.3)
     val df = td.groupBy("token").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
+      .localCheckpoint()
     val freq = df.filter(col("df") >= col("n_docs") * 0.05).select("token")
     val ft = td.join(broadcast(freq), Seq("token"))
     val pairs = ft.as("a").join(ft.as("b"),
@@ -538,23 +543,45 @@ object Wave6 {
       val r0 = BigDecimal(1.0 / nNodes)
         .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
       val base = (1.0 - damping) / nNodes
-      var rank = edges.select(col("src").as("token")).distinct()
-        .withColumn("r", lit(r0))
-      for (_ <- 1 to trIters) {
-        val contrib = round(col("r") * col("w") / col("wt"), 9)
-          .cast(DecimalType(20, 9))
-        // no per-superstep checkpoint: the rank frame is VOCABULARY-sized,
-        // and each iteration's broadcast materializes its subtree exactly
-        // once inside the single final job — 8 nested levels of linear
-        // work beats 8 separate checkpoint jobs. (Data-sized iterative
-        // frames — dedup_components — still checkpoint per superstep.)
-        rank = ew.join(broadcast(rank), ew("src") === rank("token"))
-          .groupBy(col("dst"))
-          .agg(sum(contrib).as("m"))
-          .select(col("dst").as("token"),
-            round(lit(base) + lit(damping) * col("m").cast("double"), 9).as("r"))
-      }
-      rank.select(col("token"), col("r").as("rank_score"))
+      // Every data-sized pass (the co-occurrence pair pipeline) is
+      // already pinned above under the session conf (edges/ew
+      // localCheckpoints, nNodes count). The 8 iterations below touch
+      // only the VOCABULARY-sized edge/rank frames, so the fixed-shape
+      // loop runs with AQE off and node-count-sized partitioning — the
+      // deep nested plan otherwise pays 8 levels of AQE replanning and
+      // 8 default-width aggregate exchanges for a few-thousand-row
+      // frame; the final rank is pinned INSIDE the scope so the loop
+      // genuinely executes under it (conf restored before returning —
+      // the graph_hits superstep recipe).
+      val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
+      val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.max(1L, math.min(partsBefore.toLong, nNodes / 65536L + 1L)).toString)
+      val ranked =
+        try {
+          var rank = edges.select(col("src").as("token")).distinct()
+            .withColumn("r", lit(r0))
+          for (_ <- 1 to trIters) {
+            val contrib = round(col("r") * col("w") / col("wt"), 9)
+              .cast(DecimalType(20, 9))
+            // no per-superstep checkpoint: the rank frame is VOCABULARY-sized,
+            // and each iteration's broadcast materializes its subtree exactly
+            // once inside the single final job — 8 nested levels of linear
+            // work beats 8 separate checkpoint jobs. (Data-sized iterative
+            // frames — dedup_components — still checkpoint per superstep.)
+            rank = ew.join(broadcast(rank), ew("src") === rank("token"))
+              .groupBy(col("dst"))
+              .agg(sum(contrib).as("m"))
+              .select(col("dst").as("token"),
+                round(lit(base) + lit(damping) * col("m").cast("double"), 9).as("r"))
+          }
+          rank.localCheckpoint()
+        } finally {
+          s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+          s.conf.set("spark.sql.shuffle.partitions", partsBefore)
+        }
+      ranked.select(col("token"), col("r").as("rank_score"))
         .orderBy(col("rank_score").desc, col("token"))
         .limit(20)
     }

@@ -188,8 +188,6 @@ class BroadcastAuditSpec extends AnyFunSuite {
       "segment-size dim: 6-segment domain (incl NULL bucket)",
         ("ops/Wave27.scala", "totC") ->
       "one-row scalar aggregate",
-    ("ops/Wave28.scala", "maxDay") ->
-      "one-row scalar aggregate",
         ("ops/Wave29.scala", "fit") ->
       "per-event-type fit scalars: bounded type domain",
     ("ops/Wave29.scala", "mad") ->

