@@ -99,8 +99,38 @@ class VersionedStore(root: String) {
       dvs: Seq[String] = Nil)
 
   def manifestWithStats(name: String, v: Long): (StructType, Seq[FileEntry]) = {
+    val (schema, entries, _) = readManifest(name, v)
+    (schema, entries)
+  }
+
+  /** Streaming-transaction watermarks recorded in snapshot `v`'s manifest
+    * (`#txn` header lines): the highest batch id each named writer has
+    * committed — Delta's `txn` action, the exactly-once substrate for
+    * foreachBatch sinks. Carried forward by every commit. */
+  def txns(name: String, v: Long): Map[String, Long] = readManifest(name, v)._3
+
+  /** Parsed-manifest cache. Manifests are IMMUTABLE once committed (the
+    * hard link is the durability point and nothing ever rewrites one), so
+    * a (table, version) entry can never go stale — the only lifecycle
+    * event is deletion by vacuum, which the exists() probe below honors
+    * (a vacuumed version misses the cache and fails the require exactly
+    * like an uncached read). The win is proportional to FILE COUNT: one
+    * manifest parse is entries × stats-regex work, and a commit path
+    * reads the head manifest ~3× (pruning, txn carry-forward, rebase
+    * checks) while changesSince walks 2 per step — at 100 TB with
+    * millions of files this is the difference between one log replay per
+    * snapshot and one per call (Delta caches its reconstructed snapshot
+    * state the same way). */
+  private val mfCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      (StructType, Seq[FileEntry], Map[String, Long])]()
+
+  private def readManifest(name: String, v: Long)
+      : (StructType, Seq[FileEntry], Map[String, Long]) = {
     val mf = manifestFile(name, v)
     require(mf.exists, s"$name has no version $v (history: ${history(name)})")
+    val cached = mfCache.get((name, v))
+    if (cached != null) return cached
     val lines = java.nio.file.Files.readAllLines(mf.toPath).asScala.toSeq
     val entries = lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
       line.split("\t", 3) match {
@@ -110,22 +140,13 @@ class VersionedStore(root: String) {
           FileEntry(f, parseStats(json), dvs.split(",").toSeq.filter(_.nonEmpty))
       }
     }
-    (DataType.fromJson(lines.head).asInstanceOf[StructType], entries)
-  }
-
-  /** Streaming-transaction watermarks recorded in snapshot `v`'s manifest
-    * (`#txn` header lines): the highest batch id each named writer has
-    * committed — Delta's `txn` action, the exactly-once substrate for
-    * foreachBatch sinks. Carried forward by every commit. */
-  def txns(name: String, v: Long): Map[String, Long] = {
-    val mf = manifestFile(name, v)
-    require(mf.exists, s"$name has no version $v (history: ${history(name)})")
-    java.nio.file.Files.readAllLines(mf.toPath).asScala
-      .filter(_.startsWith("#txn\t"))
-      .map { l =>
-        val Array(_, app, id) = l.split("\t", 3)
-        app -> id.toLong
-      }.toMap
+    val txns = lines.filter(_.startsWith("#txn\t")).map { l =>
+      val Array(_, app, id) = l.split("\t", 3)
+      app -> id.toLong
+    }.toMap
+    val parsed = (DataType.fromJson(lines.head).asInstanceOf[StructType], entries, txns)
+    mfCache.put((name, v), parsed)
+    parsed
   }
 
   // ---- per-file stats: render / parse / prune ---------------------------
@@ -338,6 +359,12 @@ class VersionedStore(root: String) {
       (Seq(nullable(schema).json) ++ txnLines ++ lines).mkString("\n").getBytes)
     try {
       java.nio.file.Files.createLink(manifestFile(name, v).toPath, mfTmp.toPath)
+      // the winner knows exactly what it just wrote: seed the parsed-
+      // manifest cache so the commit's own read-back (read()/CDF walks/
+      // the next commit's carry-forward) never re-parses it. Values
+      // mirror a parse of the file byte-for-byte: renderStats/parseStats
+      // round-trip exactly and the schema is stored nullable.
+      mfCache.put((name, v), (nullable(schema), entries, allTxns))
       advancePointer(name, v)
       true
     } catch {
@@ -768,17 +795,17 @@ class VersionedStore(root: String) {
             .filter(_ => srcRows <= BroadcastKeyRows)
             .map(_ + srcRows).filter(_ <= TinyMergeRows)
             .map(n => math.max(1L, n / 2000000L + 1L).toInt)
+          // conf override runs under ConfScope's lock: two CONCURRENT
+          // tiny merges on one session would otherwise interleave their
+          // capture/restore and leave the session stuck on the override
+          // (seen once in the parallel-writers spec).
           val staged = tinyMergeParts match {
             case None => phase("merge stage")(stageWithStats(merged, name))
             case Some(parts) =>
-              val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
-              val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
-              spark.conf.set("spark.sql.adaptive.enabled", "false")
-              spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-              try phase("merge stage")(stageWithStats(merged, name))
-              finally {
-                spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-                spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
+              ConfScope.withConf(spark, Seq(
+                "spark.sql.adaptive.enabled" -> "false",
+                "spark.sql.shuffle.partitions" -> parts.toString)) {
+                phase("merge stage")(stageWithStats(merged, name))
               }
           }
           // CHECK constraints vet the staged merge output (carried rows

@@ -110,12 +110,8 @@ object Bpe {
     // round-trip per round under AQE for nothing). Conf restored before
     // returning.
     var words = dictionary(s, dir).localCheckpoint()
-    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    s.conf.set("spark.sql.shuffle.partitions", "1")
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-    try {
+    Superstep.scoped(s) {
       for (r <- 1 to Rounds) {
         val best = pairCounts(words)
           .orderBy(desc("cnt"), asc("x"), asc("y")).limit(1).collect()
@@ -127,9 +123,6 @@ object Bpe {
           words = words.withColumn("syms", mergeExpr(x, y)).localCheckpoint()
         }
       }
-    } finally {
-      s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      s.conf.set("spark.sql.shuffle.partitions", partsBefore)
     }
     merges.toSeq
   }

@@ -208,8 +208,8 @@ object Joins {
     * computes. Plan-shape evidence lives in BandedJoinRuleSpec; this
     * query pins RESULT equivalence cross-engine. */
   private val ruleBandedJoin: Q = (s, dir) => {
-    s.conf.set("spark.graft.bandedRangeJoin", "true")
-    try {
+    graft.engine.ConfScope.withConf(s,
+      Seq("spark.graft.bandedRangeJoin" -> "true")) {
       val ev = t(s, dir, "events").filter(col("event_id") % 10 === 0)
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("value"))
@@ -219,7 +219,7 @@ object Joins {
         .groupBy("event_id").agg(count(lit(1)).as("n_near"))
         .orderBy("event_id")
         .localCheckpoint()
-    } finally s.conf.unset("spark.graft.bandedRangeJoin")
+    }
   }
 
   /** As-of join: for each event, the latest order date at-or-before the

@@ -228,15 +228,10 @@ object Wave11 {
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
       "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")
-    val saved = overrides.keys.map(k => k -> s.conf.getOption(k)).toMap
-    overrides.foreach { case (k, v) => s.conf.set(k, v) }
-    try {
+    graft.engine.ConfScope.withConf(s, overrides.toSeq) {
       val out = graft.engine.Fs.freshScratch(s, "skewaqe")
       skewJoinFrame(s, dir).write.mode("overwrite").parquet(out)
       s.read.parquet(out).orderBy("band")
-    } finally saved.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
     }
   }
 

@@ -165,7 +165,12 @@ object Wave12 {
   private val profileChisq: Q = (s, dir) => {
     val ev = t(s, dir, "events")
       .select(col("event_type"), dayofweek(to_date(col("ts"))).as("dow"))
+    // pinned: the contingency table feeds FOUR consumers (row/col
+    // totals, n, the χ² join) — unpinned, each replayed the events scan
+    // + aggregate (8 scans, 0 reused in-plan). Cells are (event_type ×
+    // dow)-sized — catalog-bounded at any scale (the cramersPair fix).
     val cells = ev.groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+      .localCheckpoint()
     val rowTot = cells.groupBy("event_type").agg(sum("o").as("rt"))
     val colTot = cells.groupBy("dow").agg(sum("o").as("ct"))
     val n = cells.agg(sum("o").as("n"))

@@ -155,15 +155,10 @@ object Wave21 {
     * (|brands| rows) and the order total rides the same broadcast.
     * Ratios are single rounded divisions of exact counts. */
   private val miningAssoc: Q = (s, dir) => {
-    // pinned: the basket build (lineitem⋈part + distinct) is the
-    // data-sized pass, and it feeds FOUR consumers — the singles and
-    // totals broadcast builds and both self-join sides; without the
-    // checkpoint each broadcast build replays the join (guide §3.3)
     val basket = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey"))
       .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand").as("brand")),
         col("l_partkey") === col("p_partkey"))
       .select("ok", "brand").distinct()
-      .localCheckpoint()
     val singles = basket.groupBy("brand").agg(count(lit(1)).as("cnt"))
     val totals = basket.agg(countDistinct("ok").as("n_orders"))
     val pairs = basket.as("a")

@@ -181,13 +181,8 @@ object Wave26 {
         (col("l_extendedprice").cast("decimal(18,6)") *
           (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
           .as("rev"))
-    // pinned: byNation is 25 rows but its SUBTREE is the full
-    // lineitem⋈orders⋈customer pass — without the checkpoint the
-    // byRegion and total broadcast builds each replay that data-sized
-    // join (3 scans of the fact chain for one report, guide §3.3)
     val byNation = rev.groupBy("r_name", "n_name")
       .agg(sum("rev").cast("decimal(38,6)").as("nation_rev"))
-      .localCheckpoint()
     val byRegion = byNation.groupBy("r_name")
       .agg(sum("nation_rev").cast("decimal(38,6)").as("region_rev"))
     val total = byRegion.agg(sum("region_rev").cast("decimal(38,6)").as("total_rev"))

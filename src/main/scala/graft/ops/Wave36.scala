@@ -33,9 +33,16 @@ object Wave36 {
     * scale-meaningless: it is n-normalized to [0,1]. */
   private def cramersPair(d: DataFrame, a: String, b: String,
       label: String): DataFrame = {
+    // the contingency table feeds FOUR consumers (row/col totals, the
+    // n/r/c scalars and the χ² join): unpinned, each replayed the full
+    // data scan + aggregate — 8 parquet scans per pair, 24 per query,
+    // 0 ReusedExchange (plans/r10/profile_cramers_v_before.txt). Pinned,
+    // the data pass runs ONCE per pair; cells are (domain a × domain b)-
+    // sized — catalog-bounded at any data scale.
     val cells = d.select(col(a).cast("string").as("va"),
         col(b).cast("string").as("vb"))
       .groupBy("va", "vb").agg(count(lit(1)).as("o"))
+      .localCheckpoint()
     val rowTot = cells.groupBy("va").agg(sum("o").as("rt"))
     val colTot = cells.groupBy("vb").agg(sum("o").as("ct"))
     val tot = cells.agg(sum("o").as("n"),
@@ -129,12 +136,25 @@ object Wave36 {
 
   private val profileJoinability: Q = (s, dir) => {
     val frames = joinPairs.map { case (ta, ca, tb, cb) =>
-      val da = t(s, dir, ta).select(col(ca).cast("long").as("k")).distinct()
-      val db = t(s, dir, tb).select(col(cb).cast("long").as("k")).distinct()
-      val ndvA = da.agg(count(lit(1)).as("ndv_a"))
-      val ndvB = db.agg(count(lit(1)).as("ndv_b"))
-      val inter = da.join(db, "k").agg(count(lit(1)).as("inter"))
-      ndvA.crossJoin(ndvB).crossJoin(inter)
+      // ONE pass per pair: tag each side, aggregate per key, then the
+      // three counts fall out of one global aggregate. The r6 form built
+      // per-side distinct() sets and fed each into TWO consumers (its
+      // NDV count and the intersection join), replaying every scan and
+      // distinct-shuffle — 40 parquet scans / 100 exchanges across the
+      // 5 pairs, 0 reused (plans/r10/profile_joinability_before.txt).
+      // Now: 2 scans, one key shuffle, one scalar aggregate per pair.
+      // Semantics preserved exactly: distinct() counts NULL as a value
+      // (max-tag groupBy does too) while the inner equi-join never
+      // matched NULL — the intersection count keeps k IS NOT NULL.
+      val tagged = t(s, dir, ta)
+        .select(col(ca).cast("long").as("k"), lit(1L).as("ina"), lit(0L).as("inb"))
+        .unionAll(t(s, dir, tb)
+          .select(col(cb).cast("long").as("k"), lit(0L).as("ina"), lit(1L).as("inb")))
+      tagged.groupBy("k").agg(max("ina").as("ina"), max("inb").as("inb"))
+        .agg(coalesce(sum("ina"), lit(0L)).as("ndv_a"),
+          coalesce(sum("inb"), lit(0L)).as("ndv_b"),
+          coalesce(sum(when(col("ina") === 1L && col("inb") === 1L &&
+            col("k").isNotNull, 1L).otherwise(0L)), lit(0L)).as("inter"))
         .select(lit(s"$ta.$ca~$tb.$cb").as("pair"),
           col("ndv_a"), col("ndv_b"), col("inter"),
           round(col("inter").cast("double") / col("ndv_a").cast("double"), 6)

@@ -67,13 +67,11 @@ object Wave47 {
     // this point needs runtime re-planning: joins are hint-pinned
     // SHUFFLE_HASH, partitioning is explicit, and the edge aggregate is
     // already pinned above.
-    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
     val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try graphHitsBody(s, edges0, ne, partsBefore.toLong)
-    finally {
-      s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      s.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    graft.engine.ConfScope.withConf(s, Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> partsBefore)) {
+      graphHitsBody(s, edges0, ne, partsBefore.toLong)
     }
   }
 

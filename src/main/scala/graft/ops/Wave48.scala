@@ -51,15 +51,12 @@ object Wave48 {
       .observe(obs0, count(lit(1)).as("ne"))
       .localCheckpoint()
     val ne = obs0.get("ne").asInstanceOf[Long]
-    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
     val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    s.conf.set("spark.sql.shuffle.partitions",
-      math.max(1L, math.min(partsBefore.toLong, ne / 65536L + 1L)).toString)
-    try graphKcoreBody(s, edges0, ne)
-    finally {
-      s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      s.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    graft.engine.ConfScope.withConf(s, Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" ->
+        math.max(1L, math.min(partsBefore.toLong, ne / 65536L + 1L)).toString)) {
+      graphKcoreBody(s, edges0, ne)
     }
   }
 

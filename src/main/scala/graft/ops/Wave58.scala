@@ -156,13 +156,12 @@ object Wave58 {
     // frame). The result unions are pinned INSIDE the scope; conf
     // restored before returning.
     val nSeg = obsSeg.get("ns").asInstanceOf[Long]
-    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
     val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    s.conf.set("spark.sql.shuffle.partitions",
-      math.max(1L, math.min(partsBefore.toLong, nSeg / 65536L + 1L)).toString)
     val outPinned =
-      try {
+      graft.engine.ConfScope.withConf(s, Seq(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" ->
+          math.max(1L, math.min(partsBefore.toLong, nSeg / 65536L + 1L)).toString)) {
         // dp_1 = whole prefix as one bucket
         var dp = seg.filter(col("lov") === Long.MinValue)
           .select(col("hiv").as("j"), col("sse_q").as("cost"))
@@ -183,9 +182,6 @@ object Wave58 {
             .select(lit(k).as("k"), col("cost")))
         }
         out.localCheckpoint()
-      } finally {
-        s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-        s.conf.set("spark.sql.shuffle.partitions", partsBefore)
       }
     outPinned.select(col("k"), col("cost").cast("double").as("sse"))
       .orderBy("k")

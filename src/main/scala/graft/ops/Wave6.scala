@@ -553,13 +553,12 @@ object Wave6 {
       // frame; the final rank is pinned INSIDE the scope so the loop
       // genuinely executes under it (conf restored before returning —
       // the graph_hits superstep recipe).
-      val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
       val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      s.conf.set("spark.sql.shuffle.partitions",
-        math.max(1L, math.min(partsBefore.toLong, nNodes / 65536L + 1L)).toString)
       val ranked =
-        try {
+        graft.engine.ConfScope.withConf(s, Seq(
+          "spark.sql.adaptive.enabled" -> "false",
+          "spark.sql.shuffle.partitions" ->
+            math.max(1L, math.min(partsBefore.toLong, nNodes / 65536L + 1L)).toString)) {
           var rank = edges.select(col("src").as("token")).distinct()
             .withColumn("r", lit(r0))
           for (_ <- 1 to trIters) {
@@ -577,9 +576,6 @@ object Wave6 {
                 round(lit(base) + lit(damping) * col("m").cast("double"), 9).as("r"))
           }
           rank.localCheckpoint()
-        } finally {
-          s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-          s.conf.set("spark.sql.shuffle.partitions", partsBefore)
         }
       ranked.select(col("token"), col("r").as("rank_score"))
         .orderBy(col("rank_score").desc, col("token"))

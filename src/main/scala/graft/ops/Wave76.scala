@@ -44,47 +44,55 @@ object Wave76 {
         div (2 * size(filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')))"""
         .replaceAll("\\s+", " ")).as("x_m"))
       .localCheckpoint()
-    var b = s.range(1).select(lit(0L).as("b0m"), lit(0L).as("b1m"))
+    // Newton state is 2 longs — MODEL-sized driver state (the ml_em_gmm
+    // contract): each IRLS step is ONE aggregate-collect over the pinned
+    // (x_m, y) table with the coefficients inlined as literals, run in
+    // the superstep scope (AQE off, 1 reducer — the exchange carries one
+    // partial row per map partition). The r6 form carried a 1-row
+    // coefficient frame: same arithmetic, but each round paid a broadcast
+    // build + a checkpoint job on top of the aggregate. The per-row
+    // mu/gn/wn expressions are unchanged (lit(Long) in place of a
+    // constant LongType column — bit-identical IEEE), and the 2x2 Newton
+    // solve replays the decimal `div` rationals exactly in BigInt: dd is
+    // a Cauchy-Schwarz determinant of non-negative weights (>= 0), the
+    // numerators are sign-split to non-negative magnitudes, and both
+    // decimal div and BigInt / truncate toward zero.
+    var b0m = 0L; var b1m = 0L
     for (_ <- 1 to 6) {
-      val stats = base.crossJoin(broadcast(b))
+      val r = Superstep.scoped(s) { base
         .withColumn("mu", lit(1.0) /
-          (lit(1.0) + exp(-((col("b0m") * 1000 + col("b1m") * col("x_m"))
+          (lit(1.0) + exp(-((lit(b0m) * 1000 + lit(b1m) * col("x_m"))
             .cast("double") / 1e9))))
         .withColumn("gn", round((col("y") - col("mu")) * 1e9).cast("long"))
         .withColumn("wn", round(col("mu") * (lit(1.0) - col("mu")) * 1e9)
           .cast("long"))
-        .groupBy("b0m", "b1m")
         .agg(sum(expr("cast(gn as decimal(38,0))")).as("g0"),
           sum(expr("cast(gn as decimal(38,0)) * x_m")).as("g1"),
           sum(expr("cast(wn as decimal(38,0))")).as("w00"),
           sum(expr("cast(wn as decimal(38,0)) * x_m")).as("w01"),
           sum(expr("cast(wn as decimal(38,0)) * x_m * x_m")).as("w11"))
-      b = stats
-        .withColumn("dd", expr("w00 * w11 - w01 * w01"))
-        .withColumn("n0", expr("w11 * g0 - w01 * g1"))
-        .withColumn("n1", expr("(w00 * g1 - w01 * g0) * 1000"))
-        .select(
-          (col("b0m") + expr("case when dd = 0 then 0 else " +
-            "cast(case when n0 < 0 then -((2 * abs(n0) * 1000000 + dd) div (2 * dd)) " +
-            "else (2 * abs(n0) * 1000000 + dd) div (2 * dd) end as long) end"))
-            .as("b0m"),
-          (col("b1m") + expr("case when dd = 0 then 0 else " +
-            "cast(case when n1 < 0 then -((2 * abs(n1) * 1000000 + dd) div (2 * dd)) " +
-            "else (2 * abs(n1) * 1000000 + dd) div (2 * dd) end as long) end"))
-            .as("b1m"))
-        .localCheckpoint()
+        .collect() }(0)
+      def big(i: Int) =
+        if (r.isNullAt(i)) BigInt(0) else BigInt(r.getDecimal(i).toBigInteger)
+      val (g0, g1, w00, w01, w11) = (big(0), big(1), big(2), big(3), big(4))
+      val dd = w00 * w11 - w01 * w01
+      val n0 = w11 * g0 - w01 * g1
+      val n1 = (w00 * g1 - w01 * g0) * 1000
+      def delta(n: BigInt): Long =
+        if (dd == 0) 0L
+        else (n.signum * ((2 * n.abs * 1000000 + dd) / (2 * dd))).toLong
+      b0m += delta(n0); b1m += delta(n1)
     }
-    base.crossJoin(broadcast(b))
-      .withColumn("pred", (col("b0m") * 1000 + col("b1m") * col("x_m")) > 0)
-      .agg(first("b0m").as("b0m"), first("b1m").as("b1m"),
-        count(lit(1)).as("n"),
+    base
+      .withColumn("pred", (lit(b0m) * 1000 + lit(b1m) * col("x_m")) > 0)
+      .agg(count(lit(1)).as("n"),
         sum(when(col("pred") && col("y") === 1, 1L).otherwise(0L)).as("tp"),
         sum(when(col("pred") && col("y") === 0, 1L).otherwise(0L)).as("fp"),
         sum(when(!col("pred") && col("y") === 0, 1L).otherwise(0L)).as("tn"),
         sum(when(!col("pred") && col("y") === 1, 1L).otherwise(0L)).as("fn"))
       .select(
-        (col("b0m").cast("double") / 1e6).as("b0"),
-        (col("b1m").cast("double") / 1e6).as("b1"),
+        (lit(b0m).cast("double") / 1e6).as("b0"),
+        (lit(b1m).cast("double") / 1e6).as("b1"),
         col("n"), col("tp"), col("fp"), col("tn"), col("fn"),
         expr("cast((2 * (tp + tn) * 1000000 + n) div (2 * n) as double)")
           .divide(lit(1e6)).as("accuracy"))

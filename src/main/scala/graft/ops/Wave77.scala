@@ -56,7 +56,13 @@ object Wave77 {
         sum(expr("cast(d1 as decimal(38,0)) * dy")).as("s1y"),
         sum(expr("cast(d2 as decimal(38,0)) * dy")).as("s2y"),
         sum(expr("cast(dy as decimal(38,0)) * dy")).as("syy"))
-    val beta = cm
+    // the two moment aggregates (means broadcast build + cm) and the
+    // 1-row Cramer solve are a fixed shape over the pinned orders table:
+    // every exchange carries one partial row per map partition, so the
+    // superstep scope (AQE off, 1 reducer) is the right width at any
+    // scale; the data-sized orders⋈lineitem pass pinned above under
+    // session AQE. Arithmetic unchanged.
+    val beta = Superstep.scoped(s) { cm
       .withColumn("det", expr("s11 * s22 - s12 * s12"))
       .withColumn("nb1", expr("s1y * s22 - s2y * s12"))
       .withColumn("nb2", expr("s2y * s11 - s1y * s12"))
@@ -69,7 +75,7 @@ object Wave77 {
       // intercept in nano: my_milli*1e6 - b1_micro*m1_milli - b2_micro*m2_milli
       .withColumn("b0n",
         expr("my * 1000000 - b1m * m1 - b2m * m2"))
-      .localCheckpoint()
+      .localCheckpoint() }
     orders.crossJoin(broadcast(beta))
       .withColumn("rn",
         expr("y * 1000000000 - b0n - b1m * x1 * 1000 - b2m * x2 * 1000"))

@@ -129,14 +129,20 @@ object Wave80 {
     // of zs×4 rows EVERY iteration, plus a checkpoint job; identical
     // integer arithmetic, 6 shuffles fewer. Ties still break (d2, cl)
     // via lexicographic struct min.
-    var centArr: Array[(Long, Long, Long)] = ranked
+    // fixed-shape model-state loop (seed pick + 5 Lloyd steps): every
+    // collect is <= 4 rows and every exchange carries (#map-partitions x
+    // #clusters) partial rows — the superstep scope at 1 reducer is the
+    // right width at any scale. The data-sized passes (cust aggregate, z
+    // quantization, the kernel's range shuffle) all materialized above
+    // under session AQE; arithmetic and tie-breaks are unchanged.
+    var centArr: Array[(Long, Long, Long)] = Superstep.scoped(s) { ranked
       .filter(col("rk") === expr("nn div 8 + 1") ||
         col("rk") === expr("3 * nn div 8 + 1") ||
         col("rk") === expr("5 * nn div 8 + 1") ||
         col("rk") === expr("7 * nn div 8 + 1"))
       .withColumn("cl", expr("8 * (rk - 1) div nn div 2"))
       .select(col("cl"), col("z1").as("c1"), col("z2").as("c2"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .collect() }.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     def bestStruct = array_min(array(centArr.map { case (cl, c1, c2) =>
       struct(((col("z1") - lit(c1)) * (col("z1") - lit(c1)) +
@@ -144,10 +150,10 @@ object Wave80 {
         lit(cl).as("cl"))
     }: _*))
     for (_ <- 1 to 5) {
-      val r = zs.withColumn("cl", bestStruct.getField("cl"))
+      val r = Superstep.scoped(s) { zs.withColumn("cl", bestStruct.getField("cl"))
         .groupBy("cl")
         .agg(sum("z1").as("s1"), sum("z2").as("s2"), count(lit(1)).as("nc"))
-        .collect()
+        .collect() }
       centArr = r.map { row =>
         val cl = row.getLong(0)
         val s1 = BigInt(row.getLong(1)); val s2 = BigInt(row.getLong(2))

@@ -35,15 +35,7 @@ object Wave82 {
     // shuffles (the graph_hits superstep recipe). Conf restored before
     // returning.
     val edges0 = BrandGraph.edges(s, dir).localCheckpoint()
-    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    s.conf.set("spark.sql.shuffle.partitions", "1")
-    try graphKtrussBody(s, edges0)
-    finally {
-      s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      s.conf.set("spark.sql.shuffle.partitions", partsBefore)
-    }
+    Superstep.scoped(s) { graphKtrussBody(s, edges0) }
   }
 
   private def graphKtrussBody(s: SparkSession, edges0: DataFrame): DataFrame = {
@@ -162,6 +154,12 @@ object Wave82 {
     // operand here is non-negative after the sign split).
     var p1 = 500000L; var mu1 = -1000L; var v1 = 1000000L
     var mu2 = 1000L; var v2 = 1000000L
+    // fixed-shape model-state loop: 6 one-row aggregate-collects over the
+    // pinned z table. Data-sized work (the orders scan + z quantization)
+    // materialized in the checkpoint above under session AQE; the loop's
+    // only exchange carries (#map-partitions x 1 group) partial rows, so
+    // the superstep scope (AQE off, 1 reducer) is the right shape at any
+    // scale — same arithmetic, same literals, bit-identical rn.
     def scored = zs
       .withColumn("t1", lit(p1.toDouble / 1e6) *
         exp(-((col("z") - lit(mu1)) * (col("z") - lit(mu1)))
@@ -172,14 +170,14 @@ object Wave82 {
       .withColumn("rn",
         round(col("t1") / (col("t1") + col("t2")) * 1e9).cast("long"))
     for (_ <- 1 to 6) {
-      val r = scored.agg(
+      val r = Superstep.scoped(s) { scored.agg(
         count(lit(1)).as("n"),
         sum("rn").as("s1"),
         sum(expr("cast(rn as decimal(38,0)) * z")).as("z1"),
         sum(expr("cast(rn as decimal(38,0)) * z * z")).as("q1"),
         sum(expr("cast(1000000000 - rn as decimal(38,0)) * z")).as("z2"),
         sum(expr("cast(1000000000 - rn as decimal(38,0)) * z * z")).as("q2"))
-        .collect()(0)
+        .collect() }(0)
       val n = BigInt(r.getLong(0))
       val s1 = BigInt(r.getLong(1))
       def big(i: Int) = BigInt(r.getDecimal(i).toBigInteger)

@@ -401,25 +401,22 @@ object Wave9 {
       .localCheckpoint()
     val ne = obsE.get("ne").asInstanceOf[Long]
     edges.createOrReplaceTempView("graft_edges")
-    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
     val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    s.conf.set("spark.sql.shuffle.partitions",
-      math.max(1L, math.min(partsBefore.toLong, ne / 65536L + 1L)).toString)
-    try s.sql(
-      """WITH RECURSIVE reach(node, hops) AS (
-        |  SELECT 'click#0', 0
-        |  UNION ALL
-        |  SELECT e.dst, r.hops + 1
-        |  FROM reach r JOIN graft_edges e ON e.src = r.node
-        |  WHERE r.hops < 3)
-        |SELECT node, CAST(MIN(hops) AS INT) AS min_hops,
-        |  CAST(COUNT(*) AS BIGINT) AS n_walks
-        |FROM reach GROUP BY node ORDER BY node""".stripMargin)
-      .localCheckpoint()
-    finally {
-      s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      s.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    graft.engine.ConfScope.withConf(s, Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" ->
+        math.max(1L, math.min(partsBefore.toLong, ne / 65536L + 1L)).toString)) {
+      s.sql(
+        """WITH RECURSIVE reach(node, hops) AS (
+          |  SELECT 'click#0', 0
+          |  UNION ALL
+          |  SELECT e.dst, r.hops + 1
+          |  FROM reach r JOIN graft_edges e ON e.src = r.node
+          |  WHERE r.hops < 3)
+          |SELECT node, CAST(MIN(hops) AS INT) AS min_hops,
+          |  CAST(COUNT(*) AS BIGINT) AS n_walks
+          |FROM reach GROUP BY node ORDER BY node""".stripMargin)
+        .localCheckpoint()
     }
   }
 

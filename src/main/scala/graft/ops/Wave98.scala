@@ -52,13 +52,11 @@ object Wave98 {
       .select(col("p1"), col("p2"), col("w"))
       .observe(obsE, count(lit(1)).as("ne")).localCheckpoint()
     val ne = obsE.get("ne").asInstanceOf[Long]
-    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
     val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try graphLabelPropBody(s, e, ne, partsBefore.toLong)
-    finally {
-      s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      s.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    graft.engine.ConfScope.withConf(s, Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> partsBefore)) {
+      graphLabelPropBody(s, e, ne, partsBefore.toLong)
     }
   }
 

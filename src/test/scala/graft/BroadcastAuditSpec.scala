@@ -360,8 +360,6 @@ class BroadcastAuditSpec extends AnyFunSuite {
       "one-row scalar aggregate",
     ("ops/Wave75.scala", "wTot") ->
       "one-row scalar aggregate",
-    ("ops/Wave76.scala", "b") ->
-      "one-row scalar aggregate (logistic coefficients: model state (trained coefficients / centroids / tree nodes / codebooks))",
     ("ops/Wave77.scala", "beta") ->
       "one-row scalar aggregate (regression coefficients)",
     ("ops/Wave77.scala", "means") ->

@@ -982,4 +982,30 @@ class VersionedStoreSpec extends SparkSuite {
     assert(added.forall(id => !after.contains(id)),
       s"checkpoint RDDs $added still registered after free")
   }
+
+  test("manifest cache: a committing instance's parsed view is byte-equal " +
+      "to a fresh instance's disk parse (r10 populate-on-commit)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-versions").toString
+    val writer = new VersionedStore(root)
+    // stats-bearing entries + a txn watermark + a deletion vector: every
+    // manifest feature the cache carries must round-trip render -> parse
+    writer.write(Seq((1L, "a\tweird\"chars"), (2L, "b")).toDF("k", "v"), "t")
+    writer.upsertBatch(spark, "t", Seq((2L, "B2"), (3L, "c")).toDF("k", "v"),
+      Seq("k"), writerId = "w1", batchId = 7L)
+    writer.deleteMor(spark, "t", col("k") === 3L)
+    val reader = new VersionedStore(root)  // cold cache: parses from disk
+    // FileEntry is an inner case class (its == is outer-instance-
+    // sensitive), so compare the fields the engine actually consumes
+    def view(s: VersionedStore, v: Long) = {
+      val (schema, es) = s.manifestWithStats("t", v)
+      (schema, es.map(e => (e.file, e.stats, e.dvs)))
+    }
+    for (v <- writer.history("t")) {
+      assert(view(writer, v) === view(reader, v),
+        s"cached manifest of v$v diverges from its disk parse")
+      assert(writer.txns("t", v) === reader.txns("t", v),
+        s"cached txns of v$v diverge from their disk parse")
+    }
+    assert(writer.txns("t", 2L) === Map("w1" -> 7L))
+  }
 }
