@@ -100,8 +100,13 @@ object Wave25 {
       .agg(expr("CAST(SUM(tot) DIV COUNT(1) AS BIGINT)").as("mu"))
     val dev = daily.join(broadcast(mu), "event_type")
       .select(col("event_type"), col("dayidx"), (col("tot") - col("mu")).as("dev"))
+    // cast BEFORE the multiply: dev is a LONG daily-total deviation
+    // (micro-units), so dev² overflows long past |dev| ~ 3e9 — hit at
+    // sf0.1 (ANSI throws; found by the r10 full-surface sf0.1 oracle
+    // run). The decimal product is bit-identical where long didn't
+    // overflow, so small-SF hashes are unchanged.
     val den = dev.groupBy("event_type")
-      .agg(sum((col("dev") * col("dev")).cast("decimal(38,0)")).as("ss"))
+      .agg(sum(col("dev").cast("decimal(38,0)") * col("dev")).as("ss"))
     val lags = dev.withColumn("k", explode(lit((1 to 7).toArray)))
     val pairs = lags.alias("a")
       .join(dev.alias("b"),
@@ -109,7 +114,7 @@ object Wave25 {
           col("b.dayidx") === col("a.dayidx") + col("a.k"))
       .groupBy(col("a.event_type").as("event_type"), col("a.k").as("k"))
       .agg(count(lit(1)).as("n_pairs"),
-        sum((col("a.dev") * col("b.dev")).cast("decimal(38,0)")).as("sp"))
+        sum(col("a.dev").cast("decimal(38,0)") * col("b.dev")).as("sp"))
     pairs.join(broadcast(den), "event_type")
       .select(col("event_type"), col("k").cast("bigint").as("k"), col("n_pairs"),
         round(col("sp").cast("double") / col("ss").cast("double"), 6).as("r"))

@@ -252,8 +252,17 @@ object Wave7 {
       .groupBy("doc_id")
       .agg(sum(round(col("tf") * col("lr"), 6).cast(DecimalType(18, 6))).as("lpsum"),
         sum("tf").as("n_tok"))
+      // imp_lp as an EXACT half-up micro rational: lpsum is micro-exact
+      // DECIMAL(18,6) and n_tok an integer, so the old
+      // round(double(lpsum)/n_tok, 6) hit a genuine .xxxxxx5 tie at
+      // sf0.1 (doc 1795: -0.12147/60 = -0.0020245 exactly) where the
+      // engines' double paths round opposite ways. The sign-magnitude
+      // integer division below is the repo's standard exact convention —
+      // bit-identical in both engines at every SF.
       .select(col("doc_id"), col("n_tok"),
-        round(col("lpsum").cast("double") / col("n_tok"), 6).as("imp_lp"))
+        (expr("""cast(sign(lpsum) as long) *
+            ((2 * abs(cast(lpsum * 1000000 as long)) + n_tok) div (2 * n_tok))"""
+          .replaceAll("\\s+", " ")).cast("double") / 1e6).as("imp_lp"))
     docs.select(col("doc_id"), col("lang"),
         round((Hashing.md5Long(col("text")) % 1000000L).cast("double") / lit(1000000.0), 6).as("u"))
       .join(scored, Seq("doc_id"))
@@ -272,9 +281,13 @@ object Wave7 {
        |consts AS (SELECT (SELECT CAST(SUM(cr) AS DOUBLE) FROM raw) AS tr,
        |                  (SELECT CAST(COUNT(*) AS DOUBLE) FROM raw) AS v,
        |                  (SELECT CAST(COUNT(*) AS DOUBLE) FROM tgtterms) AS tt),
-       |sc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
-       |  round(CAST(SUM(CAST(round(tf * round(ln((COALESCE(ct,0)+0.5)/(tt+0.5*v)) - ln((cr+0.5)/(tr+0.5*v)),6),6) AS DECIMAL(18,6))) AS DOUBLE)/SUM(tf),6) AS imp_lp
-       |  FROM tf JOIN raw USING (token) LEFT JOIN tgt USING (token), consts GROUP BY doc_id)
+       |sc0 AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+       |  CAST(SUM(CAST(round(tf * round(ln((COALESCE(ct,0)+0.5)/(tt+0.5*v)) - ln((cr+0.5)/(tr+0.5*v)),6),6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS m
+       |  FROM tf JOIN raw USING (token) LEFT JOIN tgt USING (token), consts GROUP BY doc_id),
+       |sc AS (SELECT doc_id, n_tok,
+       |  CAST(CASE WHEN m < 0 THEN -1 ELSE 1 END *
+       |    ((2 * abs(m) + n_tok) // (2 * n_tok)) AS DOUBLE) / 1e6 AS imp_lp
+       |  FROM sc0)
        |SELECT d.doc_id, d.lang, sc.n_tok, sc.imp_lp,
        |  round(exp(least(sc.imp_lp, 0.0)),6) AS accept_p,
        |  round(CAST(CAST(concat('0x',substr(md5(d.text),1,15)) AS BIGINT) % 1000000 AS DOUBLE)/1000000.0,6) < round(exp(least(sc.imp_lp,0.0)),6) AS keep

@@ -128,7 +128,7 @@ object Wave91 {
   private val eventsSeqPatternOracle: String =
     """WITH ev AS (
       |  SELECT user_id, event_id, event_type,
-      |    CAST(epoch(ts) AS BIGINT) AS sec
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
       |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
       |m AS (
       |  SELECT user_id, sec, event_type,

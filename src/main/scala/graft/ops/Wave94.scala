@@ -75,6 +75,11 @@ object Wave94 {
   }
 
   private val timeseriesPeriodogramOracle: String = {
+    // power_i exceeds 2^64 at the bench SF, and DuckDB's direct
+    // HUGEINT->DOUBLE cast is not correctly rounded there (1-ulp off vs
+    // BigInt.toDouble — found by the r10 full-surface sf0.1 oracle run);
+    // the VARCHAR->DOUBLE route is strtod and correctly rounded, so the
+    // oracle below converts through it. Engine side unchanged.
     val rows = trig.map { case (p, k, c, sn) => s"($p, $k, $c, $sn)" }
       .mkString(", ")
     s"""WITH daily AS (
@@ -112,8 +117,8 @@ object Wave94 {
        |        ORDER BY power_i DESC, p) AS rk
        |    FROM pw) WHERE rk = 1)
        |SELECT pw.event_type, CAST(pw.p AS BIGINT) AS period,
-       |  CAST(power_i AS DOUBLE) / (CAST(n * n * n * n AS DOUBLE) * 1e12)
-       |    AS power,
+       |  CAST(CAST(power_i AS VARCHAR) AS DOUBLE)
+       |    / (CAST(n * n * n * n AS DOUBLE) * 1e12) AS power,
        |  pw.p = dom.dp AS dominant
        |FROM pw JOIN dom USING (event_type)
        |ORDER BY event_type, period""".stripMargin
