@@ -83,8 +83,11 @@ object GraftSession {
       // warmup it never amortizes (measured: 114 s -> 59 s total across
       // the bench suite at sf0.1). Cluster deployments (engineConfs) keep
       // codegen on - at 100 TB the generated code runs billions of rows
-      // and compilation cost vanishes.
-      .config("spark.sql.codegen.wholeStage", "false")
+      // and compilation cost vanishes. SPARK_GRAFT_CODEGEN overrides for
+      // dev A/Bs of the trade (default unchanged — the driver's bench
+      // methodology is untouched).
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN", "false"))
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
