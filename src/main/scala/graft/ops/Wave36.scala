@@ -34,15 +34,18 @@ object Wave36 {
   private def cramersPair(d: DataFrame, a: String, b: String,
       label: String): DataFrame = {
     // the contingency table feeds FOUR consumers (row/col totals, the
-    // n/r/c scalars and the χ² join): unpinned, each replayed the full
-    // data scan + aggregate — 8 parquet scans per pair, 24 per query,
-    // 0 ReusedExchange (plans/r10/profile_cramers_v_before.txt). Pinned,
-    // the data pass runs ONCE per pair; cells are (domain a × domain b)-
-    // sized — catalog-bounded at any data scale.
+    // n/r/c scalars and the χ² join). r10 pinned it (localCheckpoint)
+    // on an in-plan scan-count argument (24 scans per query, 0
+    // ReusedExchange); the r11 clean-window A/B showed the pin LOSES
+    // wall-clock (pinned warm 1.24-1.60 s vs unpinned 1.06-1.61 s, cold
+    // 8.8-10.7 vs 7.6-10.3) — the same lesson as the reverted
+    // agg_share_of_parent/mining_assoc pins: AQE stage reuse already
+    // covers the replays at runtime, and the checkpoint's 3 extra
+    // materialization jobs are pure overhead. In-plan scan counts are
+    // not runtime evidence; A/B wall-clock decides.
     val cells = d.select(col(a).cast("string").as("va"),
         col(b).cast("string").as("vb"))
       .groupBy("va", "vb").agg(count(lit(1)).as("o"))
-      .localCheckpoint()
     val rowTot = cells.groupBy("va").agg(sum("o").as("rt"))
     val colTot = cells.groupBy("vb").agg(sum("o").as("ct"))
     val tot = cells.agg(sum("o").as("n"),

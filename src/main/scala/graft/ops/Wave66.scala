@@ -99,7 +99,7 @@ object Wave66 {
     * the count of docs whose MAJORITY script is han — the cross-check
     * that catches text labeled `zh` that is actually latin (or spam
     * mixing scripts). Two aggregations, both data-sized once. */
-  private val textScriptMix: Q = (s, dir) => {
+  private val textScriptMix: Q = (s, dir) => Codegen.materialized(s) {
     val chars = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(split(col("text"), "")).as("ch"))
       .filter(col("ch") =!= "")

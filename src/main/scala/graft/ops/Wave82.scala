@@ -127,7 +127,7 @@ object Wave82 {
     * clamped at 0.01 to bar collapse). Init: μ = ∓1σ, σ² = 1, π = ½.
     * Output: mixing weight, both components' mean/sd in σ units, and
     * the soft count of component 1. */
-  private val mlEmGmm: Q = (s, dir) => {
+  private val mlEmGmm: Q = (s, dir) => Codegen.materialized(s) {
     val cust = t(s, dir, "orders")
       .select(round(col("o_totalprice")).cast("long").as("m"))
     val mo = cust.agg(count(lit(1)).as("n"), sum("m").as("sm"),
