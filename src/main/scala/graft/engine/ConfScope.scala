@@ -33,4 +33,27 @@ object ConfScope {
       case (k, None) => s.conf.unset(k)
     }
   }
+
+  /** [[withConf]] whose overrides DERIVE from baseline conf values, with
+    * the baseline read UNDER THE LOCK (r10 ADVICE): read outside, a
+    * caller could capture another scope's transient override (e.g. a
+    * tiny-merge's 1-partition width) as "the session's configured
+    * value" and pin a whole model-state loop to it. `baseline` keys are
+    * also registered for restoration (bodies may re-set them — e.g. the
+    * superstep width), exactly like overridden keys. The baseline map is
+    * passed to both `overridesFor` and `body`. */
+  def withConfFrom[A](s: SparkSession, baseline: Seq[String])
+      (overridesFor: Map[String, String] => Seq[(String, String)])
+      (body: Map[String, String] => A): A = lock.synchronized {
+    val base = baseline.map(k => k -> s.conf.get(k)).toMap
+    val overrides = overridesFor(base)
+    val before = (overrides.map(_._1) ++ baseline).distinct
+      .map(k => k -> s.conf.getOption(k))
+    overrides.foreach { case (k, v) => s.conf.set(k, v) }
+    try body(base)
+    finally before.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 }

@@ -86,8 +86,16 @@ object GraftSession {
       // and compilation cost vanishes. SPARK_GRAFT_CODEGEN overrides for
       // dev A/Bs of the trade (default unchanged — the driver's bench
       // methodology is untouched).
-      .config("spark.sql.codegen.wholeStage",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN", "false"))
+      .config("spark.sql.codegen.wholeStage", {
+        // fail fast with the env var's NAME on a typo value — unvalidated,
+        // a 'TRUE ' or '1' surfaces as an opaque Spark
+        // IllegalArgumentException far from its source (r10 ADVICE)
+        val raw = sys.env.getOrElse("SPARK_GRAFT_CODEGEN", "false")
+        val norm = raw.trim.toLowerCase
+        require(norm == "true" || norm == "false",
+          s"SPARK_GRAFT_CODEGEN must be 'true' or 'false', got: '$raw'")
+        norm
+      })
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

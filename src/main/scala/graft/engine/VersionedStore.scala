@@ -125,6 +125,31 @@ class VersionedStore(root: String) {
     new java.util.concurrent.ConcurrentHashMap[(String, Long),
       (StructType, Seq[FileEntry], Map[String, Long])]()
 
+  /** Per-table bound on cached parsed manifests. Unbounded, a long-lived
+    * streaming writer (thousands of micro-batch commits) leaks memory
+    * proportional to versions × file count even after vacuum deletes the
+    * manifest files (r10 ADVICE). Access is recency-biased — commit
+    * carry-forward reads v−1, changesSince walks recent ranges — so past
+    * the bound the OLDEST versions evict; a miss on an evicted version
+    * just re-parses the immutable manifest file. */
+  private[graft] val MfCacheKeepVersions = 64
+
+  /** Cache insert + per-table oldest-version pruning (one definition for
+    * both the parse path and the commit's seed-on-write). */
+  private def cachePut(name: String, v: Long,
+      parsed: (StructType, Seq[FileEntry], Map[String, Long])): Unit = {
+    mfCache.put((name, v), parsed)
+    val vs = mfCache.keySet.asScala.collect { case (`name`, ver) => ver }.toSeq
+    if (vs.size > MfCacheKeepVersions)
+      vs.sorted.dropRight(MfCacheKeepVersions)
+        .foreach(old => mfCache.remove((name, old)))
+  }
+
+  /** Versions currently held in the parsed-manifest cache for `name`
+    * (retention-spec observability). */
+  private[graft] def cachedManifestVersions(name: String): Seq[Long] =
+    mfCache.keySet.asScala.collect { case (`name`, v) => v }.toSeq.sorted
+
   private def readManifest(name: String, v: Long)
       : (StructType, Seq[FileEntry], Map[String, Long]) = {
     val mf = manifestFile(name, v)
@@ -145,7 +170,7 @@ class VersionedStore(root: String) {
       app -> id.toLong
     }.toMap
     val parsed = (DataType.fromJson(lines.head).asInstanceOf[StructType], entries, txns)
-    mfCache.put((name, v), parsed)
+    cachePut(name, v, parsed)
     parsed
   }
 
@@ -364,7 +389,7 @@ class VersionedStore(root: String) {
       // the next commit's carry-forward) never re-parses it. Values
       // mirror a parse of the file byte-for-byte: renderStats/parseStats
       // round-trip exactly and the schema is stored nullable.
-      mfCache.put((name, v), (nullable(schema), entries, allTxns))
+      cachePut(name, v, (nullable(schema), entries, allTxns))
       advancePointer(name, v)
       true
     } catch {
@@ -1625,7 +1650,14 @@ class VersionedStore(root: String) {
     require(keep >= 1, "must keep at least the live version")
     val live = currentVersion(name).toSeq
     val drop = history(name).dropRight(keep).filterNot(live.contains)
-    drop.foreach(v => manifestFile(name, v).delete())
+    drop.foreach { v =>
+      manifestFile(name, v).delete()
+      // a vacuumed version can never be read again (the exists() probe
+      // refuses it), so its parsed entries are dead weight — evict
+      // (r10 ADVICE: the cache otherwise retains every dropped
+      // version's full schema + file-stats seq forever)
+      mfCache.remove((name, v))
+    }
     // deletion-vector files are referenced like data files: a dv lives
     // while any retained manifest's entry names it
     val referenced = history(name).flatMap { v =>

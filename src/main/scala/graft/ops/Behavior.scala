@@ -95,15 +95,16 @@ object Behavior {
 
   /** Classic cohort retention: cohort = the user's first active epoch-day,
     * cell (cohort_day, day_offset) = distinct users from that cohort
-    * active offset days later. Two shuffles: first-day per user (map-side
-    * partial MIN), then the (cohort, offset) count over a join that is
-    * co-partitioned on user_id with the aggregate it feeds. */
+    * active offset days later. The cohort day rides a per-user aggregate
+    * window (r11; the r10 groupBy + join-back exchanged the events frame
+    * twice — guide §2.4), then one (cohort, offset) count-distinct.
+    * Per-user partitions are balanced (high-cardinality key). */
   private val retention: Q = (s, dir) => retentionOf(ev(s, dir))
 
   private[graft] def retentionOf(events: DataFrame): DataFrame = {
     val e = events.select(col("user_id"), dayCol.as("day"))
-    val first = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
-    e.join(first, "user_id")
+    e.withColumn("cohort_day",
+        min(col("day")).over(Window.partitionBy("user_id")))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy("cohort_day", "day_offset")

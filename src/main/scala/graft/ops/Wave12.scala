@@ -165,12 +165,15 @@ object Wave12 {
   private val profileChisq: Q = (s, dir) => {
     val ev = t(s, dir, "events")
       .select(col("event_type"), dayofweek(to_date(col("ts"))).as("dow"))
-    // pinned: the contingency table feeds FOUR consumers (row/col
-    // totals, n, the χ² join) — unpinned, each replayed the events scan
-    // + aggregate (8 scans, 0 reused in-plan). Cells are (event_type ×
-    // dow)-sized — catalog-bounded at any scale (the cramersPair fix).
+    // UNPINNED (r11): the contingency table feeds four consumers, but the
+    // r11 clean-window A/B — the same one that dropped the cramersPair
+    // pin — showed the localCheckpoint pin never wins here either
+    // (unpinned warm 0.67-0.77 s vs pinned 0.69-0.89 s over 4 cycles
+    // each): AQE stage reuse covers the replayed consumers at runtime,
+    // and the checkpoint's materialization job is one extra scheduler
+    // round-trip. In-plan scan counts are not runtime evidence; A/B
+    // wall-clock decides.
     val cells = ev.groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
-      .localCheckpoint()
     val rowTot = cells.groupBy("event_type").agg(sum("o").as("rt"))
     val colTot = cells.groupBy("dow").agg(sum("o").as("ct"))
     val n = cells.agg(sum("o").as("n"))

@@ -67,11 +67,12 @@ object Wave47 {
     // this point needs runtime re-planning: joins are hint-pinned
     // SHUFFLE_HASH, partitioning is explicit, and the edge aggregate is
     // already pinned above.
-    val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
-    graft.engine.ConfScope.withConf(s, Seq(
-      "spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" -> partsBefore)) {
-      graphHitsBody(s, edges0, ne, partsBefore.toLong)
+    // baseline width read INSIDE the scope lock (r10 ADVICE: outside it,
+    // a racing scope's transient override could be captured as the
+    // session value and pin the whole loop to it)
+    graft.engine.ConfScope.withConfFrom(s, Seq("spark.sql.shuffle.partitions"))(
+      _ => Seq("spark.sql.adaptive.enabled" -> "false")) { base =>
+      graphHitsBody(s, edges0, ne, base("spark.sql.shuffle.partitions").toLong)
     }
   }
 

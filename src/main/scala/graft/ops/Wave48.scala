@@ -51,11 +51,13 @@ object Wave48 {
       .observe(obs0, count(lit(1)).as("ne"))
       .localCheckpoint()
     val ne = obs0.get("ne").asInstanceOf[Long]
-    val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
-    graft.engine.ConfScope.withConf(s, Seq(
-      "spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" ->
-        math.max(1L, math.min(partsBefore.toLong, ne / 65536L + 1L)).toString)) {
+    // baseline width read INSIDE the scope lock (r10 ADVICE)
+    graft.engine.ConfScope.withConfFrom(s, Seq("spark.sql.shuffle.partitions"))(
+      base => Seq(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" ->
+          math.max(1L, math.min(base("spark.sql.shuffle.partitions").toLong,
+            ne / 65536L + 1L)).toString)) { _ =>
       graphKcoreBody(s, edges0, ne)
     }
   }

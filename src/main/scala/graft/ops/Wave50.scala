@@ -33,9 +33,17 @@ object Wave50 {
     val ev = t(s, dir, "events")
       .select(col("user_id"), col("event_type"),
         unix_timestamp(col("ts")).as("sec"), col("event_id"))
-    val firstPurchase = ev.filter(col("event_type") === "purchase")
-      .groupBy("user_id").agg(min("sec").as("psec"))
-    val touch = ev.join(firstPurchase, "user_id")
+    // first-purchase time via a per-user aggregate window instead of the
+    // r10 groupBy + join-back: one exchange of the events frame instead
+    // of two (guide §2.4 — window keyed like the following aggregate
+    // shares its partitioning). INNER-join semantics preserved: users
+    // with no purchase have NULL psec and the sec < psec filter drops
+    // them exactly as the join did. Per-user partitions are balanced
+    // (high-cardinality key) — no global-window cliff.
+    val wu = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val touch = ev
+      .withColumn("psec",
+        min(when(col("event_type") === "purchase", col("sec"))).over(wu))
       .filter(col("sec") < col("psec") && col("event_type") =!= "purchase")
       .select(col("user_id"),
         chans.zipWithIndex.map { case (c, i) =>

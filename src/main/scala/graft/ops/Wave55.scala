@@ -52,9 +52,15 @@ object Wave55 {
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_timestamp(col("ts")).as("sec"))
       .withColumn("rn", row_number().over(w))
-    val fp = ev.filter(col("event_type") === "purchase")
-      .groupBy("user_id").agg(min("rn").as("fp"))
-    val j = ev.join(fp, Seq("user_id"), "left")
+    // first-purchase rank via a per-user aggregate window instead of the
+    // r10 groupBy + LEFT-join-back: the window rides the SAME user_id
+    // partitioning (and sort) the rn window above just established, so
+    // the events frame exchanges once, not twice (guide §2.4). LEFT-join
+    // semantics preserved: no-purchase users get NULL fp and the isNull
+    // branch keeps them, exactly as before.
+    val j = ev
+      .withColumn("fp", min(when(col("event_type") === "purchase", col("rn")))
+        .over(Window.partitionBy("user_id")))
       .filter(col("fp").isNull || col("rn") <= col("fp"))
       .withColumn("state",
         when(col("event_type") === "purchase", "conv").otherwise(col("event_type")))

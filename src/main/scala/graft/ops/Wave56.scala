@@ -215,6 +215,25 @@ object Wave56 {
         .select(col("v").as(cn),
           (lit(2L) * col("sacc") - col("c") + 1).as(s"r_$cn"))
     }
+    // bounded-domain twin of ranks(): quantity (~50 distinct cent values)
+    // and discount (~11) have FIXED domains at any data scale, so their
+    // value-count tables are catalog-sized and the two-phase kernel's
+    // machinery (range-sample shuffle + checkpoint + offset collect +
+    // broadcast join — 3-4 jobs each) is pure overhead; a plain running
+    // sum over the tiny aggregate is one no-op-sized window task. Values
+    // are DISTINCT after the groupBy, so the RANGE/ROWS frame distinction
+    // is moot and the longs match the kernel form bit-for-bit (verified:
+    // the kernel is itself window-verified in RanksSpec). Registered in
+    // WindowAuditSpec (bounded domain).
+    def boundedRanks(cn: String): DataFrame = {
+      val vc = li.groupBy(col(cn).as("v")).agg(count(lit(1)).as("c"))
+      vc.withColumn("sacc", sum("c").over(
+          org.apache.spark.sql.expressions.Window.orderBy("v")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+        .select(col("v").as(cn),
+          (lit(2L) * col("sacc") - col("c") + 1).as(s"r_$cn"))
+    }
     // join the one unbounded-domain rank map (extendedprice: near-unique
     // per row) first as the shuffle join, then BROADCAST the two
     // bounded-domain maps — quantity is ~50 distinct cent values and
@@ -225,8 +244,8 @@ object Wave56 {
     assert(cols0 == Seq("q", "e", "d"),
       "profile_spearman join order is derived from cols0 = (q, e, d)")
     val wr = li.join(ranks("e"), "e")
-      .join(broadcast(ranks("q")), "q")
-      .join(broadcast(ranks("d")), "d")
+      .join(broadcast(boundedRanks("q")), "q")
+      .join(broadcast(boundedRanks("d")), "d")
     val prods = cols0.map(c => (Seq(c, c), s"q_$c")) ++
       cols0.combinations(2).map { case Seq(a, b) => (Seq(a, b), s"p_${a}_$b") }
     val withP = wr.select(cols0.map(c => col(s"r_$c")) ++

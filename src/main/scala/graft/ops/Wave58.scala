@@ -156,12 +156,14 @@ object Wave58 {
     // frame). The result unions are pinned INSIDE the scope; conf
     // restored before returning.
     val nSeg = obsSeg.get("ns").asInstanceOf[Long]
-    val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
+    // baseline width read INSIDE the scope lock (r10 ADVICE)
     val outPinned =
-      graft.engine.ConfScope.withConf(s, Seq(
-        "spark.sql.adaptive.enabled" -> "false",
-        "spark.sql.shuffle.partitions" ->
-          math.max(1L, math.min(partsBefore.toLong, nSeg / 65536L + 1L)).toString)) {
+      graft.engine.ConfScope.withConfFrom(s, Seq("spark.sql.shuffle.partitions"))(
+        base => Seq(
+          "spark.sql.adaptive.enabled" -> "false",
+          "spark.sql.shuffle.partitions" ->
+            math.max(1L, math.min(base("spark.sql.shuffle.partitions").toLong,
+              nSeg / 65536L + 1L)).toString)) { _ =>
         // dp_1 = whole prefix as one bucket
         var dp = seg.filter(col("lov") === Long.MinValue)
           .select(col("hiv").as("j"), col("sse_q").as("cost"))

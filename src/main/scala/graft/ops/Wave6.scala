@@ -553,12 +553,14 @@ object Wave6 {
       // frame; the final rank is pinned INSIDE the scope so the loop
       // genuinely executes under it (conf restored before returning —
       // the graph_hits superstep recipe).
-      val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
+      // baseline width read INSIDE the scope lock (r10 ADVICE)
       val ranked =
-        graft.engine.ConfScope.withConf(s, Seq(
-          "spark.sql.adaptive.enabled" -> "false",
-          "spark.sql.shuffle.partitions" ->
-            math.max(1L, math.min(partsBefore.toLong, nNodes / 65536L + 1L)).toString)) {
+        graft.engine.ConfScope.withConfFrom(s, Seq("spark.sql.shuffle.partitions"))(
+          base => Seq(
+            "spark.sql.adaptive.enabled" -> "false",
+            "spark.sql.shuffle.partitions" ->
+              math.max(1L, math.min(base("spark.sql.shuffle.partitions").toLong,
+                nNodes / 65536L + 1L)).toString)) { _ =>
           var rank = edges.select(col("src").as("token")).distinct()
             .withColumn("r", lit(r0))
           for (_ <- 1 to trIters) {

@@ -34,12 +34,21 @@ object Wave71 {
       .select(arm.as("arm"),
         expr("floor(unix_timestamp(ts) / 86400) div 7").cast("long").as("wk"),
         expr("cast(round(value * 100) as long)").as("cents"))
-    val mid = ev.agg(expr("cast(floor(percentile(wk, 0.5)) as long)").as("w0"))
-    val cells = ev.crossJoin(broadcast(mid))
+    // ONE data-sized pass (r11): the r10 form scanned events twice — a
+    // row-level percentile pass for the treatment week, then the cell
+    // aggregate. Both derive from the (wk, arm) weekly table, which is
+    // calendar-bounded at any data scale: the treatment week via the
+    // EXACT frequency-weighted percentile(wk, 0.5, n) (same counts-map
+    // accumulation as the row form — bit-identical), cells by re-summing
+    // the weekly partials (long sums, associative — exact).
+    val g = ev.groupBy("wk", "arm")
+      .agg(count(lit(1)).as("wn"), sum("cents").as("wsc"))
+    val mid = g.agg(expr("cast(floor(percentile(wk, 0.5, wn)) as long)").as("w0"))
+    val cells = g.crossJoin(broadcast(mid))
       .withColumn("rel", col("wk") - col("w0"))
       .filter(col("rel").between(-4, 4))
       .groupBy("rel", "arm")
-      .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+      .agg(sum("wn").as("n"), sum("wsc").as("sc"))
     val a = cells.filter(col("arm") === 1)
       .select(col("rel"), col("n").as("n_t"), col("sc").as("sc_t"))
     val b = cells.filter(col("arm") === 0)

@@ -106,7 +106,13 @@ object Wave97 {
 
   /** Encode + decode + feature-extract, fused in one narrow
     * mapPartitions pass per doc id — no payload ever shuffles, and the
-    * per-clip work is embarrassingly parallel at any scale. */
+    * per-clip work is embarrassingly parallel at any scale. Parallelism
+    * comes from the SCAN's splits: every clip costs identical fixed work
+    * (1024 samples), so scan-aligned distribution is already even and
+    * the r9 round-robin `repartition(shuffle.partitions)` here paid an
+    * exchange + sort-before-repartition of the typed rows for nothing
+    * (r11 A/B: 2.5-2.9 s warm with it, 0.9-1.0 s without; the codec
+    * itself measures ~70 ms for all 500 sf0.1 clips single-threaded). */
   private val multimodalDecodeAudio: Q = (s, dir) => {
     import s.implicits._
     t(s, dir, "documents")
@@ -116,7 +122,6 @@ object Wave97 {
       .select(col("doc_id"), pmod(col("hv"), lit(65536L)).as("h1"),
         pmod(expr("hv div 65536"), lit(65536L)).as("h2"))
       .as[(Long, Long, Long)]
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .mapPartitions(_.map { case (id, h1, h2) =>
         featuresOf(id, decodeWav(wavBytes(h1, h2)))
       })

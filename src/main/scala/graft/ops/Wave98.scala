@@ -52,11 +52,12 @@ object Wave98 {
       .select(col("p1"), col("p2"), col("w"))
       .observe(obsE, count(lit(1)).as("ne")).localCheckpoint()
     val ne = obsE.get("ne").asInstanceOf[Long]
-    val partsBefore = s.conf.get("spark.sql.shuffle.partitions")
-    graft.engine.ConfScope.withConf(s, Seq(
-      "spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" -> partsBefore)) {
-      graphLabelPropBody(s, e, ne, partsBefore.toLong)
+    // baseline width read INSIDE the scope lock (r10 ADVICE: outside it,
+    // a racing scope's transient override could be captured as the
+    // session value and pin the whole loop to it)
+    graft.engine.ConfScope.withConfFrom(s, Seq("spark.sql.shuffle.partitions"))(
+      _ => Seq("spark.sql.adaptive.enabled" -> "false")) { base =>
+      graphLabelPropBody(s, e, ne, base("spark.sql.shuffle.partitions").toLong)
     }
   }
 

@@ -268,9 +268,9 @@ class BroadcastAuditSpec extends AnyFunSuite {
       "one-row scalar aggregate",
     ("ops/Wave55.scala", "voc") ->
       "one-row scalar aggregate (vocab count)",
-    ("ops/Wave56.scala", "ranks(\"d\")") ->
+    ("ops/Wave56.scala", "boundedRanks(\"d\")") ->
       "bounded-domain rank map (profile_spearman design: unbounded side is shuffle-joined)",
-    ("ops/Wave56.scala", "ranks(\"q\")") ->
+    ("ops/Wave56.scala", "boundedRanks(\"q\")") ->
       "bounded-domain rank map (profile_spearman design: unbounded side is shuffle-joined)",
     ("ops/Wave56.scala", "us") ->
       "one-row scalar aggregate (corruption survival scalars)",

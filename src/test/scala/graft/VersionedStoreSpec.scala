@@ -49,6 +49,26 @@ class VersionedStoreSpec extends SparkSuite {
     }
   }
 
+  test("manifest cache: vacuum evicts dropped versions; per-table bound holds") {
+    val store = freshStore()
+    (1 to 4).foreach(i => store.write(Seq((i.toLong, s"v$i")).toDF("k", "v"), "t"))
+    // commits seed the cache for every written version
+    assert(store.cachedManifestVersions("t") === Seq(1L, 2L, 3L, 4L))
+    store.vacuumVersions("t", keep = 2)
+    // dropped versions' parsed entries must not be retained (a long-lived
+    // streaming writer would otherwise leak versions x file-count forever)
+    assert(store.cachedManifestVersions("t") === Seq(3L, 4L))
+    // the per-table bound evicts the OLDEST versions past the cap, even
+    // without a vacuum (miss = re-parse of the immutable file, so reads
+    // of evicted versions still work)
+    val n = store.MfCacheKeepVersions + 5
+    (5 to n + 4).foreach(i => store.write(Seq((i.toLong, s"v$i")).toDF("k", "v"), "t"))
+    val cached = store.cachedManifestVersions("t")
+    assert(cached.size <= store.MfCacheKeepVersions)
+    assert(cached.max === (n + 4).toLong) // head version stays cached
+    assert(store.readVersion(spark, "t", 3L).count() === 1L) // evicted -> re-parse
+  }
+
   test("profile meta-table maintained with history (the reference's shape)") {
     val store = freshStore()
     store.write(graft.ops.Profiler.schemaInformation(spark, sf,

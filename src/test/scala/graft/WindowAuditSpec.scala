@@ -38,6 +38,8 @@ class WindowAuditSpec extends SparkSuite {
       "KM curve over DISTINCT durations: time-resolution-bounded domain, not row-scaled (Wave32.scala:46-47)",
     "ml_decision_stump" ->
       "one row per feature after the per-feature argmin (Wave74.scala:77-78)",
+    "profile_spearman" ->
+      "rank maps over the quantity/discount value-count tables: fixed TPC-H domains (~50/~11 values at any scale) (Wave56.scala boundedRanks)",
     "rank_rrf" ->
       "two limit(50) channel heads (Wave23.scala:36,46)",
     "sim_ann_lsh" ->
@@ -115,6 +117,8 @@ class WindowAuditSpec extends SparkSuite {
       "greedy-decode argmax over ONE token's bigram fanout (<= vocab); materialized per step",
     ("ops/Wave49.scala", "orderBy:\"h\"") ->
       "merged KMV k-sets: <= 2k sketch rows",
+    ("ops/Wave56.scala", "orderBy:\"v\"") ->
+      "rank maps over the quantity/discount value-count tables: fixed TPC-H domains",
     ("ops/Wave74.scala", "orderBy:\"g_micro\", \"feature\"") ->
       "one row per feature after the per-feature argmin",
     ("ops/Wave74.scala", "orderBy:\"gsum\", \"grp\"") ->
