@@ -51,7 +51,16 @@ object Wave56 {
     * probability Σ(n_v/N)² of each field's value distribution — the
     * standard frequency-based u. All probabilities are micro-integers
     * and weights nano-log integers, so the table is engine-exact. */
-  private val linkFellegiSunter: Q = (s, dir) => {
+  // Codegen scope (r11): the agreement-vector expressions over the salted
+  // block join are a tight per-pair expression loop — the largest single
+  // codegen delta on the surface (same-window alternating A/B: scoped
+  // 1.5-1.6 s warm vs unscoped 3.1-3.4 s, ~2x; the session-wide
+  // SPARK_GRAFT_CODEGEN probe agreed, 2.6-2.9 -> 1.0-1.2). Materialized
+  // inside the scope (8-row output). text_textrank and
+  // corpus_ccnet_buckets were probed for the same scope and DROPPED —
+  // the scoped A/B showed a loss and a wash respectively (the loop-heavy
+  // plans pay per-plan codegen JIT the scope never amortizes).
+  private val linkFellegiSunter: Q = (s, dir) => Codegen.materialized(s) {
     def lnq(c: Column): Column =
       floor(log(c.cast("double")) * 1e9 + lit(0.5)).cast("long")
     val cust = t(s, dir, "customer").select(

@@ -99,7 +99,13 @@ object Wave66 {
     * the count of docs whose MAJORITY script is han — the cross-check
     * that catches text labeled `zh` that is actually latin (or spam
     * mixing scripts). Two aggregations, both data-sized once. */
-  private val textScriptMix: Q = (s, dir) => Codegen.materialized(s) {
+  // NOT codegen-scoped: the r10 session-wide probe suggested 0.66 -> 0.25
+  // here, but the r11 scoped A/B could never reproduce it — three
+  // alternating clean-window cycles measured the scope WORSE (warm
+  // 0.74-0.84 unscoped vs 0.81-1.02 scoped; cold +10%): the two-level
+  // aggregate compiles several one-shot generated classes whose JIT the
+  // single pass never amortizes. Scope dropped; A/B wall-clock decides.
+  private val textScriptMix: Q = (s, dir) => {
     val chars = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(split(col("text"), "")).as("ch"))
       .filter(col("ch") =!= "")

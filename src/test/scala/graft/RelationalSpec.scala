@@ -53,7 +53,10 @@ class RelationalSpec extends SparkSuite {
   }
 
   test("banded range join plans as an equi hash join, never nested-loop") {
-    val df = graft.ops.Joins.queries("join_range_banded")(spark, sf)
+    // the declared query materializes inside the codegen scope (its own
+    // plan is the checkpoint scan), so the contract inspects the inner
+    // lazy plan the scope executes
+    val df = graft.ops.Joins.joinRangeBandedInner(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("NestedLoop"),
